@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions (SURVEY.md §2.12 L4/L6): tokenization,
+  * quality scoring, language-ID heuristic, fingerprinting. All native
+  * column expressions (no UDFs) so they survive codegen and pushdown.
+  */
+object TextFunctions {
+
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Lowercased alpha tokens (BPE-ish pre-tokenization regex). */
+  def alphaTokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+
+  /** Token count without exploding (stays row-local). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Tokens with stopwords removed. */
+  def normalizedTokens(text: Column, stopwords: Seq[String] = DefaultStopwords): Column =
+    filter(alphaTokens(text), t => !t.isin(stopwords: _*))
+
+  /** Stopword ratio in [0,1]; null-safe on empty docs. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
+    val toks = tokens(text)
+    val stops = filter(toks, t => t.isin(stopwords: _*))
+    when(size(toks) > 0, size(stops).cast("double") / size(toks)).otherwise(lit(null))
+  }
+
+  /** Mean token length (quality signal). */
+  def avgTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(transform(toks, t => length(t).cast("double")), lit(0.0), (a, x) => a + x)
+        / size(toks))
+      .otherwise(lit(null))
+  }
+
+  /** Composite quality score in [0,1]: length sanity x lexical diversity x
+    * punctuation sanity. Heuristic, deterministic, and cheap — the shape a
+    * pretraining-data filter takes; thresholds are tunable per corpus.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val lengthOk = when(n.between(5, 100000), lit(1.0)).otherwise(lit(0.2))
+    val distinctRatio =
+      when(n > 0, size(array_distinct(tokens(text))).cast("double") / n).otherwise(lit(0.0))
+    val alphaRatio =
+      when(length(text) > 0,
+        length(regexp_replace(text, "[^a-zA-Z ]", "")).cast("double") / length(text))
+        .otherwise(lit(0.0))
+    round(lengthOk * (lit(0.5) + lit(0.5) * distinctRatio) * alphaRatio, 4)
+  }
+
+  /** 64-bit document fingerprint: order-sensitive xxhash64 rolling
+    * combination of tokens (SURVEY.md L4 "document fingerprinting").
+    * Identical token sequences => identical fingerprint.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** Character n-gram profile language-ID heuristic: scores text against
+    * tiny per-language trigram profiles and returns the argmax label.
+    * Profiles are the highest-frequency function-word trigrams of each
+    * language (public linguistic knowledge, cf. Cavnar & Trenkle 1994).
+    */
+  def languageId(text: Column): Column = {
+    val profiles: Map[String, Seq[String]] = Map(
+      "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "),
+      "de" -> Seq("er ", " de", "der", "ie ", " di", "die", "ein", "ich", "sch", "und"),
+      "fr" -> Seq(" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "que", "ion"),
+      "es" -> Seq(" de", "de ", " la", "la ", "el ", " el", "os ", "ión", "ent", "que"),
+      "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"),
+    )
+    val lowered = lower(text)
+    val scores = profiles.toSeq.sortBy(_._1).map { case (langCode, grams) =>
+      val s = grams
+        .map(g => when(lowered.contains(g), lit(1)).otherwise(lit(0)))
+        .reduce(_ + _)
+      struct(s.as("score"), lit(langCode).as("lang"))
+    }
+    // argmax by (score, lang) — deterministic tie-break on the lang code.
+    array_max(array(scores: _*)).getField("lang")
+  }
+}

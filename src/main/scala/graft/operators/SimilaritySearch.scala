@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.12 L3).
+  *
+  * - `topK`: exact brute-force cosine top-k — the oracle baseline. Probes
+  *   are broadcast against the candidate set, so the scan over candidates
+  *   is a single embarrassingly-parallel pass (no shuffle until the
+  *   per-probe top-k window, which is tiny: probes x k rows).
+  * - `lshBucketed`: random-hyperplane LSH (Charikar 2002) scale path:
+  *   candidates sharing a hyperplane sign-bucket with the probe are scored;
+  *   recall < 1 by construction, measured against `topK` in the spec.
+  */
+object SimilaritySearch {
+
+  /** Exact cosine top-k. probes/candidates: (idCol, vecCol). Output:
+    * (qid, rn, cid, cos) with rn in 1..k, cos rounded to 4dp, ties broken
+    * by cid.
+    */
+  def topK(
+      probes: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = probes.select(
+      col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val c = candidates.select(
+      col(idCol).as("cid"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val scored = broadcast(q).join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")), 4).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("cid"), col("cos"))
+  }
+
+  /** All pairs (a < b) with cosine >= threshold — embedding near-dup.
+    * Exact all-pairs form; prune with `lshBucketed` candidates at scale.
+    */
+  def nearDuplicates(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = base.select(col("id").as("ka"), col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("id").as("kb"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("ka") < col("kb"))
+      .select(col("ka"), col("kb"),
+        round(cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Random-hyperplane bucketing: docs get a `numBits`-bit sign key from
+    * fixed pseudo-random hyperplanes; pairs sharing the key are candidates.
+    * Deterministic: hyperplane components are derived from xxhash64 of
+    * (bit, dimension), not an RNG at runtime.
+    */
+  def hyperplaneKey(df: DataFrame, vecCol: String, numBits: Int = 12): DataFrame = {
+    // component(b, d) in {-1, +1} via hash parity — a signed random
+    // projection adequate for bucketing (Achlioptas-style sparse planes).
+    val bits = (0 until numBits).map { b =>
+      val proj = aggregate(
+        zip_with(toDouble(col(vecCol)), sequence(lit(0), size(col(vecCol)) - 1),
+          (x, d) => x * (pmod(xxhash64(lit(b), d), lit(2)) * 2 - 1).cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
+    }
+    df.withColumn("bucket", concat(bits: _*))
+  }
+
+  /** ANN top-k: score only same-bucket candidates. Returns the same shape
+    * as `topK`; recall measured in SimilaritySearchSpec.
+    */
+  def topKBucketed(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeIds: Seq[Long],
+      k: Int,
+      numBits: Int = 8): DataFrame = {
+    val keyed = hyperplaneKey(df, vecCol, numBits)
+      .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"), col("bucket"))
+      .withColumn("nrm", norm(col("v")))
+    val q = keyed.filter(col("id").isin(probeIds: _*))
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val c = keyed.select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"), col("bucket"))
+    val scored = broadcast(q).join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")), 4).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("cid"), col("cos"))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.{Canon, QueryDef, Tables}
+import graft.Canon._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch-equivalent forms of the streaming operators (SURVEY.md §2.11,
+  * Q29–Q33). The Structured Streaming implementations in
+  * graft.streaming.EventStreams run the same logic over a replayed stream
+  * and must converge to these results (asserted in StreamingSpec).
+  */
+object EventQueries {
+
+  val all: Seq[QueryDef] = Seq(
+    // ---- Q29: tumbling 1h window (T2 batch-equivalent) --------------------
+    QueryDef(
+      "q29_tumbling_window",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       event_type, count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).events
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), sumMoney($"value").as("sum_value"))
+        .select(tsStr($"window.start").as("w_start"), $"event_type", $"n", $"sum_value")
+        .orderBy($"w_start", $"event_type")
+    },
+
+    // ---- Q30: sliding 1h/15m window (T3 batch-equivalent) -----------------
+    // Each event belongs to exactly 4 epoch-aligned 15-min-slide windows:
+    // starts trunc15(ts) - k*15min, k = 0..3.
+    QueryDef(
+      "q30_sliding_window",
+      """WITH expanded AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000 - k.k * 900000000::BIGINT) AS w_start,
+        |         event_type
+        |  FROM events, (VALUES (0), (1), (2), (3)) k(k)
+        |)
+        |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+        |       count(*)::BIGINT AS n
+        |FROM expanded GROUP BY 1, 2 ORDER BY 1, 2""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).events
+        .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(tsStr($"window.start").as("w_start"), $"event_type", $"n")
+        .orderBy($"w_start", $"event_type")
+    },
+
+    // ---- Q31: sessionization, 30-min gap (T4 batch-equivalent) ------------
+    QueryDef(
+      "q31_sessionization",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged
+        |), per_session AS (
+        |  SELECT user_id, sid, count(*) AS n FROM sessions GROUP BY user_id, sid
+        |)
+        |SELECT user_id, count(*)::BIGINT AS n_sessions,
+        |       CAST(round(avg(n), 2) AS DECIMAL(18,2)) AS avg_events
+        |FROM per_session GROUP BY user_id ORDER BY user_id""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(spark, dir).events
+        .withColumn("new_session",
+          when(lag($"ts", 1).over(w).isNull ||
+            unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sid", sum($"new_session").over(run))
+        .groupBy($"user_id", $"sid")
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"), avg2($"n").as("avg_events"))
+        .orderBy($"user_id")
+    },
+
+    // ---- Q32: dedup on event_id (T5 batch-equivalent) ----------------------
+    QueryDef(
+      "q32_dedup_events",
+      """SELECT count(*)::BIGINT AS n_events,
+        |       count(DISTINCT event_id)::BIGINT AS n_distinct
+        |FROM events""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).events
+        .agg(count(lit(1)).as("n_events"), countDistinct($"event_id").as("n_distinct"))
+    },
+
+    // ---- Q33: stream-static join (T7 batch-equivalent) ---------------------
+    QueryDef(
+      "q33_stream_static_join",
+      """SELECT c_mktsegment, count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      t.events.join(broadcast(t.customer), $"user_id" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), sumMoney($"value").as("sum_value"))
+        .orderBy($"c_mktsegment")
+    },
+  )
+}

@@ -1,0 +1,577 @@
+package graft.queries
+
+import graft.{Canon, QueryDef, Tables}
+import graft.Canon._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational surface: scans, filters, projections, joins J1–J10,
+  * aggregations A3–A7, windows W1–W4, set ops, scalar-function batteries
+  * (SURVEY.md §2.14 Q1–Q28). Each entry pairs the Spark plan with the DuckDB
+  * oracle SQL; canonicalization per Canon.
+  *
+  * Scale notes are on each query: joins name their expected physical
+  * strategy (broadcast vs shuffle) and every aggregate is partial-agg
+  * friendly (no driver-side collection anywhere).
+  */
+object RelationalQueries {
+
+  val all: Seq[QueryDef] = Seq(
+    // ---- Q1: scan + filter pushdown + agg --------------------------------
+    QueryDef(
+      "q01_filter_scan",
+      """SELECT count(*)::BIGINT AS n_rows,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).lineitem
+        .filter(
+          $"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1996-01-01").cast("timestamp"))
+        .agg(count(lit(1)).as("n_rows"), sumMoney($"l_extendedprice").as("sum_price"))
+    },
+
+    // ---- Q2: projection + expression + global top-k ----------------------
+    QueryDef(
+      "q02_project_topk",
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS DECIMAL(18,2)) AS revenue
+        |FROM lineitem
+        |ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 100""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).lineitem
+        .select(
+          $"l_orderkey",
+          $"l_linenumber",
+          dec($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"), 2).as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey", $"l_linenumber")
+        .limit(100) // TakeOrderedAndProject: no global sort materialized
+    },
+
+    // ---- Q3: TPC-H Q1-shaped multi-measure hash aggregate ----------------
+    QueryDef(
+      "q03_groupby_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
+        |       CAST(round(avg(l_quantity), 2) AS DECIMAL(18,2)) AS avg_qty,
+        |       CAST(round(avg(l_extendedprice), 2) AS DECIMAL(18,2)) AS avg_price,
+        |       CAST(round(avg(l_discount), 4) AS DECIMAL(18,4)) AS avg_disc,
+        |       count(*)::BIGINT AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).lineitem
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sumMoney($"l_quantity").as("sum_qty"),
+          sumMoney($"l_extendedprice").as("sum_base_price"),
+          sum(discounted($"l_extendedprice", $"l_discount")).cast(Money).as("sum_disc_price"),
+          avg2($"l_quantity").as("avg_qty"),
+          avg2($"l_extendedprice").as("avg_price"),
+          dec(avg($"l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // ---- Q4: distinct aggregate ------------------------------------------
+    QueryDef(
+      "q04_distinct_agg",
+      """SELECT o_orderpriority,
+        |       count(DISTINCT o_custkey)::BIGINT AS n_cust,
+        |       count(*)::BIGINT AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).orders
+        .groupBy($"o_orderpriority")
+        .agg(countDistinct($"o_custkey").as("n_cust"), count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // ---- Q5: rollup + grouping_id over a broadcast dim chain -------------
+    QueryDef(
+      "q05_rollup",
+      """SELECT r_name, n_name, count(*)::BIGINT AS n_customers,
+        |       GROUPING(r_name, n_name) AS gid
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST, gid""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      t.customer
+        .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_customers"), grouping_id().as("gid"))
+        .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first, $"gid")
+    },
+
+    // ---- Q6: cube --------------------------------------------------------
+    QueryDef(
+      "q06_cube",
+      """SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |       GROUPING(o_orderstatus, o_orderpriority) AS gid
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, gid""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).orders
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sumMoney($"o_totalprice").as("sum_price"),
+          grouping_id().as("gid"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first, $"gid")
+    },
+
+    // ---- Q7: multi-way star join (broadcast dims, shuffle fact) ----------
+    QueryDef(
+      "q07_star_join",
+      """SELECT r_name, n_name, count(*)::BIGINT AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      // customer is small relative to orders at every SF ratio (1:10) but
+      // grows with SF; nation/region are constant-size -> always broadcast.
+      t.orders
+        .join(t.customer, $"o_custkey" === $"c_custkey")
+        .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_orders"), sumMoney($"o_totalprice").as("revenue"))
+        .orderBy($"r_name", $"n_name")
+    },
+
+    // ---- Q8: fact-fact join (shuffle/sort-merge at scale) ----------------
+    QueryDef(
+      "q08_factfact_join",
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_lines,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DECIMAL(18,2)) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      t.orders.select($"o_orderkey", $"o_orderstatus")
+        .join(t.lineitem.select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+          $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(discounted($"l_extendedprice", $"l_discount")).cast(Money).as("revenue"))
+        .orderBy($"o_orderstatus")
+    },
+
+    // ---- Q9: left outer join ---------------------------------------------
+    QueryDef(
+      "q09_left_join",
+      """SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      t.customer.select($"c_custkey")
+        .join(t.orders.select($"o_custkey", $"o_orderkey"), $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"))
+        .orderBy($"c_custkey")
+    },
+
+    // ---- Q10: left semi join ---------------------------------------------
+    QueryDef(
+      "q10_semi_join",
+      """SELECT p_partkey FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 40)
+        |ORDER BY p_partkey""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      t.part
+        .join(t.lineitem.filter($"l_quantity" > 40).select($"l_partkey"),
+          $"p_partkey" === $"l_partkey", "left_semi")
+        .select($"p_partkey")
+        .orderBy($"p_partkey")
+    },
+
+    // ---- Q11: left anti join ---------------------------------------------
+    QueryDef(
+      "q11_anti_join",
+      """SELECT count(*)::BIGINT AS n_customers,
+        |       min(c_custkey) AS min_custkey, max(c_custkey) AS max_custkey
+        |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      t.customer
+        .join(t.orders.select($"o_custkey"), $"c_custkey" === $"o_custkey", "left_anti")
+        .agg(count(lit(1)).as("n_customers"),
+          min($"c_custkey").as("min_custkey"), max($"c_custkey").as("max_custkey"))
+    },
+
+    // ---- Q12: theta/range join (small side broadcast -> BNLJ) ------------
+    QueryDef(
+      "q12_theta_join",
+      """SELECT count(*)::BIGINT AS n_pairs,
+        |       CAST(sum(p_partkey + s_suppkey) AS BIGINT) AS key_checksum
+        |FROM part, supplier
+        |WHERE p_retailprice BETWEEN s_acctbal * 0.1 AND s_acctbal * 0.5""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      // supplier is the 1% side; broadcast keeps this a single pass over part.
+      t.part.join(broadcast(t.supplier),
+          $"p_retailprice" >= $"s_acctbal" * 0.1 && $"p_retailprice" <= $"s_acctbal" * 0.5)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"p_partkey" + $"s_suppkey").as("key_checksum"))
+    },
+
+    // ---- Q13: as-of join (latest order at/before each event) -------------
+    QueryDef(
+      "q13_asof_join",
+      """WITH ranked AS (
+        |  SELECT e.event_id, e.event_type, o.o_orderkey,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |)
+        |SELECT event_type,
+        |       count(o_orderkey)::BIGINT AS matched,
+        |       (count(*) - count(o_orderkey))::BIGINT AS unmatched,
+        |       count(DISTINCT o_orderkey)::BIGINT AS distinct_orders
+        |FROM ranked WHERE rn = 1
+        |GROUP BY event_type ORDER BY event_type""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      val joined = graft.operators.AsOfJoin.latest(
+        left = t.events.select($"event_id", $"event_type", $"user_id", $"ts"),
+        right = t.orders.select($"o_custkey", $"o_orderkey", $"o_orderdate"),
+        leftKey = $"user_id", rightKey = $"o_custkey",
+        leftTime = $"ts", rightTime = $"o_orderdate",
+        rightTieBreak = $"o_orderkey", leftRowKey = $"event_id")
+      joined
+        .groupBy($"event_type")
+        .agg(
+          count($"o_orderkey").as("matched"),
+          (count(lit(1)) - count($"o_orderkey")).as("unmatched"),
+          countDistinct($"o_orderkey").as("distinct_orders"))
+        .orderBy($"event_type")
+    },
+
+    // ---- Q14: interval self-join (events of same user within 10 min) -----
+    QueryDef(
+      "q14_interval_join",
+      """SELECT a.event_type, count(*)::BIGINT AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) > epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000
+        |GROUP BY a.event_type ORDER BY a.event_type""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val e = Tables(spark, dir).events
+      val a = e.select($"user_id".as("a_user"), $"ts".as("a_ts"), $"event_type".as("a_type"))
+      val b = e.select($"user_id".as("b_user"), $"ts".as("b_ts"))
+      // Equi-join on user_id carries the shuffle; the time band is a post-join
+      // filter, so this stays a hash/sort-merge join (never a nested loop).
+      a.join(b,
+          $"a_user" === $"b_user" &&
+            unix_micros($"b_ts") > unix_micros($"a_ts") &&
+            unix_micros($"b_ts") <= unix_micros($"a_ts") + lit(600000000L))
+        .groupBy($"a_type".as("event_type"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"event_type")
+    },
+
+    // ---- Q15: cross join (explicit, bounded) ------------------------------
+    QueryDef(
+      "q15_cross_join",
+      """SELECT count(*)::BIGINT AS n_rows,
+        |       min(r_name || '|' || n_name) AS min_k,
+        |       max(r_name || '|' || n_name) AS max_k
+        |FROM region CROSS JOIN nation""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      t.region.crossJoin(t.nation)
+        .select(concat_ws("|", $"r_name", $"n_name").as("k"))
+        .agg(count(lit(1)).as("n_rows"), min($"k").as("min_k"), max($"k").as("max_k"))
+    },
+
+    // ---- Q16: set ops -----------------------------------------------------
+    QueryDef(
+      "q16a_except",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      t.customer.select($"c_nationkey".as("nationkey"))
+        .except(t.supplier.select($"s_nationkey".as("nationkey")))
+        .orderBy($"nationkey")
+    },
+    QueryDef(
+      "q16b_intersect",
+      """SELECT count(*)::BIGINT AS n_common FROM (
+        |  SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier
+        |) x""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      t.customer.select($"c_nationkey")
+        .intersect(t.supplier.select($"s_nationkey"))
+        .agg(count(lit(1)).as("n_common"))
+    },
+
+    // ---- Q17: global top-k ------------------------------------------------
+    QueryDef(
+      "q17_topk_orders",
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).orders
+        .select($"o_orderkey", money($"o_totalprice").as("o_totalprice"))
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(20)
+    },
+
+    // ---- Q18: ranking windows --------------------------------------------
+    QueryDef(
+      "q18_window_rank",
+      """SELECT o_custkey, o_orderkey, rn, rk, drk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+        |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |) x WHERE rk <= 3 ORDER BY o_custkey, o_orderkey""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables(spark, dir).orders
+        .select($"o_custkey", $"o_orderkey",
+          row_number().over(w).as("rn"), rank().over(w).as("rk"), dense_rank().over(w).as("drk"))
+        .filter($"rk" <= 3)
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // ---- Q19: lag ---------------------------------------------------------
+    QueryDef(
+      "q19_window_lag",
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(round(o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS DECIMAL(18,2)) AS delta
+        |FROM orders ORDER BY o_custkey, o_orderkey""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables(spark, dir).orders
+        .select($"o_custkey", $"o_orderkey",
+          dec($"o_totalprice" - lag($"o_totalprice", 1).over(w), 2).as("delta"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // ---- Q20: running sum -------------------------------------------------
+    QueryDef(
+      "q20_window_runsum",
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(spark, dir).orders
+        .select($"o_custkey", $"o_orderkey",
+          sum(money($"o_totalprice")).over(w).cast(Money).as("run_total"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // ---- Q21: top-k per group --------------------------------------------
+    QueryDef(
+      "q21_window_topk_per_group",
+      """SELECT l_orderkey, l_linenumber, price, rn FROM (
+        |  SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |                            ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC, l_linenumber) AS rn
+        |  FROM lineitem
+        |) x WHERE rn <= 2 ORDER BY l_orderkey, rn""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val w = Window.partitionBy($"l_orderkey").orderBy(money($"l_extendedprice").desc, $"l_linenumber")
+      Tables(spark, dir).lineitem
+        .select($"l_orderkey", $"l_linenumber", money($"l_extendedprice").as("price"),
+          row_number().over(w).as("rn"))
+        .filter($"rn" <= 2)
+        .orderBy($"l_orderkey", $"rn")
+    },
+
+    // ---- Q22: string function battery ------------------------------------
+    QueryDef(
+      "q22_string_funcs",
+      """SELECT c_custkey,
+        |       upper(c_name) AS uname,
+        |       substr(c_name, 1, 10) AS prefix,
+        |       length(c_name)::INTEGER AS name_len,
+        |       regexp_extract(c_name, '([0-9]+)$', 1) AS digits,
+        |       concat_ws('-', c_mktsegment, lpad(CAST(c_custkey AS VARCHAR), 8, '0')) AS seg_key,
+        |       lower(trim(c_mktsegment)) AS seg
+        |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).customer
+        .filter($"c_custkey" <= 200)
+        .select($"c_custkey",
+          upper($"c_name").as("uname"),
+          substring($"c_name", 1, 10).as("prefix"),
+          length($"c_name").as("name_len"),
+          regexp_extract($"c_name", "([0-9]+)$", 1).as("digits"),
+          concat_ws("-", $"c_mktsegment", lpad($"c_custkey".cast("string"), 8, "0")).as("seg_key"),
+          lower(trim($"c_mktsegment")).as("seg"))
+        .orderBy($"c_custkey")
+    },
+
+    // ---- Q23: date function battery --------------------------------------
+    QueryDef(
+      "q23a_date_trunc",
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+        |       count(*)::BIGINT AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).orders
+        .groupBy(dateStr(date_trunc("month", $"o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"month")
+    },
+    QueryDef(
+      "q23b_date_range",
+      """SELECT datediff('day', min(l_shipdate), max(l_shipdate))::INTEGER AS ship_span_days,
+        |       strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+        |       strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship,
+        |       strftime(max(l_shipdate) + INTERVAL 30 DAY, '%Y-%m-%d') AS max_ship_plus30
+        |FROM lineitem""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).lineitem
+        .agg(
+          datediff(max($"l_shipdate"), min($"l_shipdate")).as("ship_span_days"),
+          dateStr(min($"l_shipdate")).as("min_ship"),
+          dateStr(max($"l_shipdate")).as("max_ship"),
+          dateStr(date_add(max($"l_shipdate"), 30)).as("max_ship_plus30"))
+    },
+
+    // ---- Q24: math function battery --------------------------------------
+    QueryDef(
+      "q24_math_funcs",
+      """SELECT o_orderkey % 7 AS bucket, count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(round(sqrt(o_totalprice), 4) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_sqrt,
+        |       CAST(sum(CAST(round(ln(o_totalprice), 4) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_ln,
+        |       CAST(round(max(abs(o_totalprice - 100000)), 2) AS DECIMAL(18,2)) AS max_abs_dev
+        |FROM orders GROUP BY 1 ORDER BY 1""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).orders
+        .groupBy(pmod($"o_orderkey", lit(7)).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(sqrt($"o_totalprice"), 4)).cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("sum_sqrt"),
+          sum(dec(log($"o_totalprice"), 4)).cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("sum_ln"),
+          dec(max(abs($"o_totalprice" - 100000)), 2).as("max_abs_dev"))
+        .orderBy($"bucket")
+    },
+
+    // ---- Q25: array functions (collect_list etc.) -------------------------
+    QueryDef(
+      "q25_arrays",
+      """SELECT l_orderkey,
+        |       array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
+        |       len(list(l_linenumber))::INTEGER AS n_lines,
+        |       list_sort(list(l_linenumber))[1] AS first_line
+        |FROM lineitem WHERE l_orderkey <= 2000
+        |GROUP BY l_orderkey ORDER BY l_orderkey""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).lineitem
+        .filter($"l_orderkey" <= 2000)
+        .groupBy($"l_orderkey")
+        .agg(
+          concat_ws(",", array_sort(collect_list($"l_linenumber"))).as("line_numbers"),
+          size(collect_list($"l_linenumber")).as("n_lines"),
+          element_at(array_sort(collect_list($"l_linenumber")), 1).as("first_line"))
+        .orderBy($"l_orderkey")
+    },
+
+    // ---- Q26: JSON extraction --------------------------------------------
+    QueryDef(
+      "q26_json",
+      """SELECT event_type,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+        |       count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val k = get_json_object($"props", "$.k").cast("int")
+      Tables(spark, dir).events
+        .groupBy($"event_type", pmod(k, lit(10)).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(k).as("sum_k"))
+        .orderBy($"event_type", $"k_bucket")
+    },
+
+    // ---- Q27: CASE bands × coalesce/nullif --------------------------------
+    QueryDef(
+      "q27_case_bands",
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'xs' WHEN o_totalprice < 100000 THEN 's'
+        |            WHEN o_totalprice < 200000 THEN 'm' WHEN o_totalprice < 300000 THEN 'l'
+        |            ELSE 'xl' END AS band,
+        |       coalesce(nullif(o_orderpriority, '3-MEDIUM'), 'none') AS prio,
+        |       count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val band = when($"o_totalprice" < 50000, "xs")
+        .when($"o_totalprice" < 100000, "s")
+        .when($"o_totalprice" < 200000, "m")
+        .when($"o_totalprice" < 300000, "l")
+        .otherwise("xl")
+      val prio = coalesce(nullif($"o_orderpriority", lit("3-MEDIUM")), lit("none"))
+      Tables(spark, dir).orders
+        .groupBy(band.as("band"), prio.as("prio"))
+        .agg(count(lit(1)).as("n"), sumMoney($"o_totalprice").as("sum_price"))
+        .orderBy($"band", $"prio")
+    },
+
+    // ---- Q28: coalesce fallback chain (F1–F3 analog) ----------------------
+    QueryDef(
+      "q28_coalesce_chain",
+      """SELECT coalesce(nullif(o_orderpriority, '3-MEDIUM'), o_orderstatus, 'NA') AS k,
+        |       count(*)::BIGINT AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).orders
+        .groupBy(coalesce(nullif($"o_orderpriority", lit("3-MEDIUM")), $"o_orderstatus", lit("NA")).as("k"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"k")
+    },
+  )
+}

@@ -1,0 +1,269 @@
+package graft.queries
+
+import graft.{Canon, QueryDef, Tables}
+import graft.Canon._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, MinHashLSH, SimHash, SimilaritySearch}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** LLM-data-pipeline operators over documents/embeddings (SURVEY.md §2.12,
+  * Q34–Q40): dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine), similarity search, text analysis.
+  *
+  * The exact all-pairs forms are the oracles; the LSH paths must produce
+  * identical final pair sets after exact refinement (recall tuned to ~1 at
+  * the declared thresholds — see MinHashLSH scaladoc).
+  */
+object TextQueries {
+
+  /** Shared DuckDB shingle CTE (3-gram, set semantics). DuckDB 1.0's
+    * generate_series only takes constants, hence the bound+filter form.
+    */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, substr(lower(text), g.i::INT, 3) AS s
+      |  FROM documents, generate_series(1, 100000) g(i)
+      |  WHERE g.i <= length(text) - 2
+      |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  private val jaccardOracle =
+    s"""WITH $shingleCte
+       |SELECT da, db,
+       |       CAST(round(i * 1.0 / (sa.n + sb.n - i), 4) AS DECIMAL(18,4)) AS jaccard
+       |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+       |ORDER BY da, db""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    // ---- Q34: exact dedup stats (L1) --------------------------------------
+    QueryDef(
+      "q34_exact_dedup",
+      """WITH h AS (SELECT md5(text) AS hash, count(*) AS n FROM documents GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_groups,
+        |       count(*) FILTER (WHERE n > 1)::BIGINT AS n_dup_groups,
+        |       max(n)::BIGINT AS max_group_size,
+        |       CAST(sum(n) AS BIGINT) AS n_docs
+        |FROM h""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).documents
+        .groupBy(md5($"text").as("hash"))
+        .agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          count(when($"n" > 1, 1)).as("n_dup_groups"),
+          max($"n").as("max_group_size"),
+          sum($"n").as("n_docs"))
+    },
+
+    // ---- Q34b: SimHash Hamming-distance histogram (L2 sketch) -------------
+    QueryDef(
+      "q34b_simhash_histogram",
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, t.tok FROM documents, unnest(string_split(text, ' ')) t(tok)
+        |  WHERE t.tok <> ''
+        |), bits AS (
+        |  SELECT doc_id, g.p::INT AS pos,
+        |         ((strpos('0123456789abcdef', substr(md5(tok), (g.p::INT // 4) + 1, 1)) - 1)
+        |           >> (3 - (g.p::INT % 4))) & 1 AS bit
+        |  FROM tok, generate_series(0, 63) g(p)
+        |), sim AS (
+        |  SELECT doc_id, pos, CASE WHEN sum(2 * bit - 1) >= 0 THEN 1 ELSE 0 END AS sbit
+        |  FROM bits GROUP BY doc_id, pos
+        |), ham AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db,
+        |         sum(CASE WHEN a.sbit <> b.sbit THEN 1 ELSE 0 END) AS h
+        |  FROM sim a JOIN sim b ON a.pos = b.pos AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT h::INTEGER AS h, count(*)::BIGINT AS n_pairs
+        |FROM ham GROUP BY 1 ORDER BY 1""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      SimHash.hammingHistogram(Tables(spark, dir).documents, "doc_id", "text")
+        .select($"h".cast("int").as("h"), $"n_pairs")
+        .orderBy($"h")
+    },
+
+    // ---- Q35: exact n-gram Jaccard near-dup pairs (L2 oracle) -------------
+    QueryDef("q35_jaccard_pairs", jaccardOracle) { (spark, dir) =>
+      import spark.implicits._
+      val sh = Dedup.charShingles(Tables(spark, dir).documents, "doc_id", "text")
+      Dedup.jaccardPairs(sh, 0.7)
+        .select($"da", $"db", dec($"jaccard", 4).as("jaccard"))
+        .orderBy($"da", $"db")
+    },
+
+    // ---- Q35b: MinHash-LSH path — must equal the exact pair set -----------
+    QueryDef("q35b_minhash_lsh", jaccardOracle) { (spark, dir) =>
+      import spark.implicits._
+      val sh = Dedup.charShingles(Tables(spark, dir).documents, "doc_id", "text")
+      MinHashLSH.nearDuplicatePairs(sh, threshold = 0.7)
+        .select($"da", $"db", dec($"jaccard", 4).as("jaccard"))
+        .orderBy($"da", $"db")
+    },
+
+    // ---- Q36: exact cosine top-5 for probe set (L3) -----------------------
+    QueryDef(
+      "q36_cosine_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |         round(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos
+        |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |), r AS (
+        |  SELECT qid, cid, cos,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+        |  FROM p
+        |)
+        |SELECT qid, rn, cid, CAST(cos AS DECIMAL(18,4)) AS cos
+        |FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val e = Tables(spark, dir).embeddings
+      SimilaritySearch.topK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
+        .select($"qid", $"rn", $"cid", $"cos".cast(DecimalType(18, 4)).as("cos"))
+        .orderBy($"qid", $"rn")
+    },
+
+    // ---- Q36b: embedding-cosine near-dup pairs ----------------------------
+    QueryDef(
+      "q36b_cosine_neardup",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
+        |SELECT a.vec_id AS ka, b.vec_id AS kb,
+        |       CAST(round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS DECIMAL(18,4)) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.45
+        |ORDER BY ka, kb""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      SimilaritySearch.nearDuplicates(Tables(spark, dir).embeddings, "vec_id", "embedding", 0.45)
+        .select($"ka", $"kb", $"cos".cast(DecimalType(18, 4)).as("cos"))
+        .orderBy($"ka", $"kb")
+    },
+
+    // ---- Q37: token frequency (L4) ----------------------------------------
+    QueryDef(
+      "q37_token_frequency",
+      """WITH tok AS (
+        |  SELECT t.tok FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) t(tok)
+        |  WHERE t.tok <> ''
+        |)
+        |SELECT tok, count(*)::BIGINT AS n FROM tok GROUP BY tok HAVING count(*) >= 3
+        |ORDER BY n DESC, tok LIMIT 50""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).documents
+        .select(explode(TextFunctions.alphaTokens($"text")).as("tok"))
+        .groupBy($"tok")
+        .agg(count(lit(1)).as("n"))
+        .filter($"n" >= 3)
+        .orderBy($"n".desc, $"tok")
+        .limit(50)
+    },
+
+    // ---- Q37b: per-language quality stats (L4) ----------------------------
+    QueryDef(
+      "q37b_text_quality",
+      """WITH per_doc AS (
+        |  SELECT d.doc_id, d.lang,
+        |         count(*) AS n_tok,
+        |         sum(CASE WHEN t.tok IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) AS n_stop,
+        |         avg(length(t.tok)) AS avg_len
+        |  FROM documents d, unnest(string_split(d.text, ' ')) t(tok)
+        |  WHERE t.tok <> ''
+        |  GROUP BY 1, 2
+        |)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |       CAST(round(avg(n_tok), 2) AS DECIMAL(18,2)) AS avg_tokens,
+        |       CAST(round(avg(n_stop * 1.0 / n_tok), 4) AS DECIMAL(18,4)) AS stopword_ratio,
+        |       CAST(round(avg(avg_len), 2) AS DECIMAL(18,2)) AS avg_token_len
+        |FROM per_doc GROUP BY lang ORDER BY lang""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).documents
+        .select($"lang",
+          TextFunctions.tokenCount($"text").as("n_tok"),
+          size(filter(TextFunctions.tokens($"text"),
+            t => t.isin(TextFunctions.DefaultStopwords: _*))).as("n_stop"),
+          TextFunctions.avgTokenLength($"text").as("avg_len"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          avg2($"n_tok").as("avg_tokens"),
+          dec(avg($"n_stop" * lit(1.0) / $"n_tok"), 4).as("stopword_ratio"),
+          avg2($"avg_len").as("avg_token_len"))
+        .orderBy($"lang")
+    },
+
+    // ---- Q38: corpus stats per (lang, source) (L4) ------------------------
+    QueryDef(
+      "q38_lang_source_stats",
+      """SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |       CAST(round(avg(n_chars), 2) AS DECIMAL(18,2)) AS avg_chars,
+        |       max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).documents
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"), avg2($"n_chars").as("avg_chars"),
+          max($"n_chars").as("max_chars"))
+        .orderBy($"lang", $"source")
+    },
+
+    // ---- Q39: corpus manifest (L5 counts-only analog) ---------------------
+    QueryDef(
+      "q39_manifest",
+      """SELECT count(*)::BIGINT AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |       count(DISTINCT md5(text))::BIGINT AS distinct_hashes
+        |FROM documents""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).documents
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length($"text")).cast("long").as("total_chars"),
+          countDistinct(md5($"text")).as("distinct_hashes"))
+    },
+
+    // ---- Q40: normalize pipeline -> distinct tokens per lang (L6) ---------
+    QueryDef(
+      "q40_normalize_distinct",
+      """WITH tok AS (
+        |  SELECT DISTINCT d.lang, t.tok
+        |  FROM documents d, unnest(string_split_regex(lower(d.text), '[^a-z]+')) t(tok)
+        |  WHERE t.tok <> '' AND t.tok NOT IN ('the','a','of','and','to','in')
+        |)
+        |SELECT lang, count(*)::BIGINT AS n_distinct_tokens FROM tok GROUP BY lang ORDER BY lang""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).documents
+        .select($"lang", explode(TextFunctions.normalizedTokens($"text")).as("tok"))
+        .groupBy($"lang")
+        .agg(countDistinct($"tok").as("n_distinct_tokens"))
+        .orderBy($"lang")
+    },
+
+    // ---- fingerprint + language-id + quality score: library functions with
+    // no portable SQL oracle -> rows-only check ------------------------------
+    QueryDef.noOracle("q41_text_enrichment") { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).documents
+        .select($"doc_id", $"lang",
+          TextFunctions.fingerprint($"text").as("fingerprint"),
+          TextFunctions.languageId($"text").as("lang_guess"),
+          TextFunctions.qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    },
+  )
+}

