@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventQueries, RelationalQueries, TextQueries}
+import graft.queries.{EventQueries, MappingQueries, RelationalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** Every declared query, in declaration order. */
   val registry: Seq[QueryDef] =
-    RelationalQueries.all ++ EventQueries.all ++ TextQueries.all
+    RelationalQueries.all ++ EventQueries.all ++ TextQueries.all ++ MappingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -58,26 +58,31 @@ object SimilaritySearch {
       .filter(col("cos") >= threshold)
   }
 
-  /** Random-hyperplane bucketing: docs get a `numBits`-bit sign key from
-    * fixed pseudo-random hyperplanes; pairs sharing the key are candidates.
-    * Deterministic: hyperplane components are derived from xxhash64 of
-    * (bit, dimension), not an RNG at runtime.
+  /** Multi-table random-hyperplane LSH keys (Charikar 2002): `numTables`
+    * independent `numBits`-bit sign keys per vector, emitted as exploded
+    * (table-tagged) bucket rows. Two vectors at angle t share a table's key
+    * with prob (1 - t/pi)^numBits; union over tables lifts recall to
+    * 1-(1-p)^numTables — tune tables up for recall, bits up for
+    * selectivity. Deterministic: hyperplane components come from
+    * xxhash64(table, bit, dim) parity, no runtime RNG.
     */
-  def hyperplaneKey(df: DataFrame, vecCol: String, numBits: Int = 12): DataFrame = {
-    // component(b, d) in {-1, +1} via hash parity — a signed random
-    // projection adequate for bucketing (Achlioptas-style sparse planes).
-    val bits = (0 until numBits).map { b =>
-      val proj = aggregate(
-        zip_with(toDouble(col(vecCol)), sequence(lit(0), size(col(vecCol)) - 1),
-          (x, d) => x * (pmod(xxhash64(lit(b), d), lit(2)) * 2 - 1).cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
+  def hyperplaneBuckets(df: DataFrame, vecCol: String, numBits: Int, numTables: Int): DataFrame = {
+    val tableKeys = (0 until numTables).map { t =>
+      val bits = (0 until numBits).map { b =>
+        val proj = aggregate(
+          zip_with(toDouble(col(vecCol)), sequence(lit(0), size(col(vecCol)) - 1),
+            (x, d) => x * (pmod(xxhash64(lit(t), lit(b), d), lit(2)) * 2 - 1).cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, lit("1")).otherwise(lit("0"))
+      }
+      concat(lit(s"$t|") +: bits: _*)
     }
-    df.withColumn("bucket", concat(bits: _*))
+    df.withColumn("bucket", explode(array(tableKeys: _*)))
   }
 
-  /** ANN top-k: score only same-bucket candidates. Returns the same shape
-    * as `topK`; recall measured in SimilaritySearchSpec.
+  /** ANN top-k: score only candidates sharing at least one table bucket
+    * with the probe — the 100 TB path (bucket equi-join, never all-pairs).
+    * Same output shape as `topK`; recall vs exact measured in OperatorsSpec.
     */
   def topKBucketed(
       df: DataFrame,
@@ -85,14 +90,23 @@ object SimilaritySearch {
       vecCol: String,
       probeIds: Seq[Long],
       k: Int,
-      numBits: Int = 8): DataFrame = {
-    val keyed = hyperplaneKey(df, vecCol, numBits)
-      .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"), col("bucket"))
-      .withColumn("nrm", norm(col("v")))
+      numBits: Int = 4,
+      numTables: Int = 12): DataFrame = {
+    val keyed = hyperplaneBuckets(df, vecCol, numBits, numTables)
+      .select(col(idCol).as("id"), col("bucket"))
     val q = keyed.filter(col("id").isin(probeIds: _*))
-      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
-    val c = keyed.select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"), col("bucket"))
-    val scored = broadcast(q).join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
+      .select(col("id").as("qid"), col("bucket"))
+    // candidate pairs: same bucket in ANY table, deduped before scoring so
+    // each pair's cosine is computed once.
+    val cand = broadcast(q)
+      .join(keyed.select(col("id").as("cid"), col("bucket")), Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid")).distinct()
+    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val scored = cand
+      .join(base.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn")), Seq("qid"))
+      .join(base.select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn")), Seq("cid"))
       .select(col("qid"), col("cid"),
         round(cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")), 4).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))

@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.edi.ClaimMapping
+import graft.fixtures.{ClaimFixtures, Evaluator}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** The reference-fidelity mapping queries (SURVEY.md §2.14 Q41–Q43): parse
+  * the generated 837P corpus, normalize to claims / claim_services /
+  * claim_diagnoses, and hash-compare against the independent evaluator's
+  * expected parquet via DuckDB.
+  *
+  * These run on the fixture corpus (FIXTURES.md §2), not the sf testdata —
+  * the `dir` argument is ignored by design.
+  */
+object MappingQueries {
+
+  @volatile private var materialized = false
+
+  /** Write the EDI corpus + expected parquet once per JVM (deterministic,
+    * seed-fixed — repeated runs produce identical bytes). */
+  private def ensure(spark: SparkSession): Unit = synchronized {
+    if (!materialized) {
+      ClaimFixtures.writeEdi()
+      Evaluator.expectedClaims(spark).coalesce(1)
+        .write.mode("overwrite").parquet(s"${ClaimFixtures.ExpectedDir}/claims.parquet")
+      Evaluator.expectedServices(spark).coalesce(1)
+        .write.mode("overwrite").parquet(s"${ClaimFixtures.ExpectedDir}/claim_services.parquet")
+      Evaluator.expectedDiagnoses(spark).coalesce(1)
+        .write.mode("overwrite").parquet(s"${ClaimFixtures.ExpectedDir}/claim_diagnoses.parquet")
+      Evaluator.expectedManifest(spark).coalesce(1)
+        .write.mode("overwrite").parquet(s"${ClaimFixtures.ExpectedDir}/media_manifest.parquet")
+      materialized = true
+    }
+  }
+
+  private def expected(table: String): String =
+    s"SELECT * FROM read_parquet('${ClaimFixtures.ExpectedDir}/$table.parquet/*.parquet')"
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q41_claims_mapping",
+      s"${expected("claims")} ORDER BY claim_id",
+    ) { (spark, _) =>
+      ensure(spark)
+      ClaimMapping.claims(spark, ClaimMapping.readDocs(spark, ClaimFixtures.EdiDir))
+        .orderBy(col("claim_id"))
+    },
+    QueryDef(
+      "q42_claim_services",
+      s"${expected("claim_services")} ORDER BY claim_id, line_no",
+    ) { (spark, _) =>
+      ensure(spark)
+      ClaimMapping.claimServices(spark, ClaimMapping.readDocs(spark, ClaimFixtures.EdiDir))
+        .orderBy(col("claim_id"), col("line_no"))
+    },
+    QueryDef(
+      "q43_claim_diagnoses",
+      s"${expected("claim_diagnoses")} ORDER BY claim_id, slot",
+    ) { (spark, _) =>
+      ensure(spark)
+      ClaimMapping.claimDiagnoses(spark, ClaimMapping.readDocs(spark, ClaimFixtures.EdiDir))
+        .orderBy(col("claim_id"), col("slot"))
+    },
+    // L5 multimodal: binary source scan + metadata vs the evaluator's
+    // independently computed byte counts and sha256 digests (SURVEY Q39)
+    QueryDef(
+      "q45_media_manifest",
+      s"${expected("media_manifest")} ORDER BY file_name",
+    ) { (spark, _) =>
+      ensure(spark)
+      graft.operators.Multimodal.manifest(
+        graft.operators.Multimodal.readBinaryDir(spark, ClaimFixtures.EdiDir, "*.txt"))
+        .orderBy(col("file_name"))
+    },
+    // L5 stub decode path: schema/batching contract only -> rows-only check
+    QueryDef.noOracle("q46_media_features") { (spark, _) =>
+      ensure(spark)
+      graft.operators.Multimodal.extractFeatures(spark,
+        graft.operators.Multimodal.readBinaryDir(spark, ClaimFixtures.EdiDir, "*.txt"))
+        .toDF()
+        .select(col("fileName"), col("nBytes"), col("kind"),
+          org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.aggregate(col("features"),
+              org.apache.spark.sql.functions.lit(0.0d),
+              (a, x) => a + x), 4).as("feature_sum"))
+        .orderBy(col("fileName"))
+    },
+  )
+}

@@ -256,7 +256,7 @@ object TextQueries {
 
     // ---- fingerprint + language-id + quality score: library functions with
     // no portable SQL oracle -> rows-only check ------------------------------
-    QueryDef.noOracle("q41_text_enrichment") { (spark, dir) =>
+    QueryDef.noOracle("q44_text_enrichment") { (spark, dir) =>
       import spark.implicits._
       Tables(spark, dir).documents
         .select($"doc_id", $"lang",

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Operator-level behavior checks on small data: as-of join semantics,
+  * exact dedup survivors, and the LSH paths' agreement with their exact
+  * counterparts (the scale-path contract from SURVEY.md §2.12).
+  */
+class OperatorsSpec extends SparkSpec {
+
+  test("AsOfJoin.latest picks the greatest right time <= left time, ties by tiebreak") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 7L, "c"), (3L, 1L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 3L, 100L), (1L, 10L, 101L), (1L, 10L, 102L), (2L, 8L, 103L))
+      .toDF("rk", "rt", "rid")
+    val out = AsOfJoin.latest(left, right, $"k", $"rk", $"t", $"rt", $"rid", $"tag")
+      .select($"tag", $"rid").as[(String, Option[Long])].collect().toMap
+    assert(out("a").contains(102L)) // rt=10 tie -> larger rid wins
+    assert(out("b").contains(100L)) // only rt=3 <= 5
+    assert(out("c").isEmpty)        // rt=8 > 7 -> unmatched survives (left outer)
+    assert(out("d").isEmpty)        // no key match
+  }
+
+  test("Dedup.exact keeps one deterministic survivor per content group") {
+    import spark.implicits._
+    val df = Seq((1L, "xx"), (2L, "xx"), (3L, "yy"), (4L, "xx")).toDF("id", "t")
+    val survivors = Dedup.exact(df, $"t", $"id").select($"id").as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(1L, 3L))
+  }
+
+  test("MinHash-LSH near-dup pairs equal the exact Jaccard pairs at 0.7 on documents") {
+    val docs = tables.documents
+    val sh = Dedup.charShingles(docs, "doc_id", "text")
+    val exact = Dedup.jaccardPairs(sh, 0.7).select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = MinHashLSH.nearDuplicatePairs(sh, 0.7).select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture corpus should contain near-dups")
+    assert(lsh == exact)
+  }
+
+  test("multi-table hyperplane ANN reaches >=60% top-5 recall vs exact on embeddings") {
+    val e = tables.embeddings
+    val probes = (0L until 20L).toSeq
+    val exact = SimilaritySearch.topK(
+      e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SimilaritySearch.topKBucketed(
+      e, "vec_id", "embedding", probes, 5, numBits = 4, numTables = 16)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+}

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.nio.file.Files
+
+/** Streaming equivalence (SURVEY.md §2.11, §5.2.4): each Structured
+  * Streaming operator replayed from the events fixture must converge to the
+  * corresponding batch result once the source drains; plus a late-data test
+  * (T9) asserting rows older than the watermark are dropped.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private lazy val replayDir: String = {
+    val dir = Files.createTempDirectory("events_replay").toString
+    StreamFixtures.writeReplayDir(spark, sfDir, dir, nFiles = 1)
+    dir
+  }
+
+  private def replay = EventStreams.readReplay(spark, replayDir, filesPerTrigger = 4)
+
+  private lazy val batchEvents = tables.events
+
+  test("T2 tumbling window converges to the batch aggregation") {
+    val streamed = EventStreams.runToMemory(
+      spark, EventStreams.tumbling(replay), "t2_tumbling", OutputMode.Complete())
+      .select(col("w_start").cast("long"), col("event_type"), col("n"),
+        col("sum_value").cast("string"))
+      .collect().toSet
+    val batch = batchEvents
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+      .select(col("window.start").cast("long"), col("event_type"), col("n"),
+        col("sum_value").cast("string"))
+      .collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("T4 session windows match the batch gaps-and-islands session counts") {
+    val streamed = EventStreams.runToMemory(
+      spark, EventStreams.sessions(replay), "t4_sessions", OutputMode.Complete())
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // batch oracle: q31-style session split at >30 min gaps
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = batchEvents
+      .withColumn("new_session",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800000000L, 1)
+          .otherwise(0))
+      .groupBy(col("user_id")).agg(sum(col("new_session")).as("n_sessions"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+  }
+
+  test("T5 stateful dedup leaves exactly the distinct event_ids") {
+    val streamed = EventStreams.runToMemory(
+      spark, EventStreams.dedup(replay), "t5_dedup", OutputMode.Append())
+    val nDistinct = batchEvents.select(countDistinct(col("event_id"))).head().getLong(0)
+    assert(streamed.count() == nDistinct)
+  }
+
+  test("T6 mapGroupsWithState running profiles converge to batch per-user totals") {
+    val streamed = EventStreams.runToMemory(
+      spark, EventStreams.userProfiles(spark, replay), "t6_profiles", OutputMode.Update())
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n"), max(col("total_value")).as("tot"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), math.round(r.getDouble(2) * 100)))).toMap
+    val batch = batchEvents
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("tot"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), math.round(r.getDouble(2) * 100)))).toMap
+    assert(streamed == batch)
+  }
+
+  test("T7 stream-static join matches the batch join counts") {
+    val streamed = EventStreams.runToMemory(
+      spark, EventStreams.enrich(replay, tables.customer), "t7_enrich", OutputMode.Append())
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = batchEvents.join(tables.customer, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+  }
+
+  test("T8 stream-stream self-join matches the batch interval join count") {
+    val streamed = EventStreams.runToMemory(
+      spark, EventStreams.selfJoinWithin10Min(replay), "t8_selfjoin", OutputMode.Append())
+      .count()
+    val e = batchEvents
+    val a = e.select(col("user_id").as("a_user"), col("ts").as("a_ts"))
+    val b = e.select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val batch = a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES")).count()
+    assert(streamed == batch)
+  }
+
+  test("T9 rows older than the watermark are dropped from aggregations") {
+    // batch 1: a tight cluster that advances the watermark; batch 2 (written
+    // only after batch 1 fully commits): one event far in the past -> must
+    // be excluded. Update mode: watermark-based late-row dropping applies
+    // (Complete mode deliberately retains all state and keeps late rows).
+    val dir = Files.createTempDirectory("late_replay").toFile
+    val base = 1700000000000000000L // ns
+    val q = EventStreams
+      .tumbling(EventStreams.readReplay(spark, dir.toString, filesPerTrigger = 1))
+      .writeStream.format("memory").queryName("t9_late")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_t9").toString)
+      .start()
+    val rows1 = (0 until 10).map { i =>
+      s"""{"event_id":$i,"ts_ns":${base + i * 60000000000L},"user_id":1,"event_type":"view","value":1.0,"props":"{}"}"""
+    }
+    Files.write(new java.io.File(dir, "a.json").toPath, rows1.mkString("\n").getBytes)
+    q.processAllAvailable() // batch 1 commits; watermark = max(ts) - 10min
+    val late = s"""{"event_id":99,"ts_ns":${base - 86400L * 1000000000L},"user_id":1,"event_type":"view","value":1.0,"props":"{}"}"""
+    Files.write(new java.io.File(dir, "b.json").toPath, late.getBytes)
+    q.processAllAvailable() // batch 2: the late row is below the watermark
+    q.stop()
+    // memory sink collects one row per updated window per trigger: take the
+    // final count per window, then total.
+    val total = spark.table("t9_late").groupBy(col("w_start"), col("event_type"))
+      .agg(max(col("n")).as("n")).agg(sum(col("n"))).head().getLong(0)
+    assert(total == 10, s"late event must be dropped, saw $total")
+  }
+}
