@@ -3,13 +3,14 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over ArrayType embedding columns, built from codegen'd
-  * higher-order functions (`zip_with` + `aggregate`) — no UDFs, so the
-  * expressions stay inside whole-stage codegen (SURVEY.md §2.12 L3).
+/** Vector math over ArrayType embedding columns. The dot product is a
+  * custom codegen'd Catalyst expression (DotProduct) — the higher-order
+  * function formulation is CodegenFallback and its interpreted inner loop
+  * dominated all-pairs similarity cost (SURVEY.md §2.12 L3, §4.3).
   *
-  * All math is done in DOUBLE: the fold is a sequential left-to-right
-  * accumulation, which keeps results bit-deterministic for a given array
-  * (and matches the DuckDB oracle's list_inner_product on DOUBLE[]).
+  * All math is done in DOUBLE: a sequential left-to-right accumulation,
+  * which keeps results bit-deterministic for a given array (and matches the
+  * DuckDB oracle's list_inner_product on DOUBLE[]).
   */
 object VectorFunctions {
 
@@ -17,7 +18,7 @@ object VectorFunctions {
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.DotProduct.column(a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 

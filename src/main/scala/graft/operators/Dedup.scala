@@ -9,8 +9,28 @@ import org.apache.spark.sql.functions._
   * Exact dedup is a hash-groupBy: one shuffle on the content hash, fully
   * partial-aggregatable, no skew risk beyond genuinely duplicated content
   * (AQE skew handling covers that). Near-dup lives in MinHashLSH/SimHash.
+  *
+  * Exact Jaccard has two physical strategies behind one logical operator:
+  *
+  *  - **inverted-index** (general case): join docs on shared shingles, count
+  *    per pair. Cost is sum over shingles of (docs containing it)^2 — fine
+  *    when shingles are selective.
+  *  - **bitmap** (dictionary-bounded case): when the corpus' distinct
+  *    shingle count fits a small dictionary (<= MaxBitmapDict), encode each
+  *    doc's shingle set as a fixed-width bitmap and compute exact
+  *    |A∩B| / |A∪B| with popcounts per pair. This is the fast path for
+  *    vocabulary-bounded corpora (e.g. token-soup text), where the inverted
+  *    index degenerates: every shingle appears in nearly every doc and the
+  *    index join explodes to ~all-pairs x shingles rows.
+  *
+  * The strategy switch is a one-scalar runtime statistic (distinct shingle
+  * count) — the same adaptive-plan idea AQE applies to joins, applied here
+  * at the operator level.
   */
 object Dedup {
+
+  /** Dictionary cap for the bitmap strategy: 4096 shingles = 64 longs/doc. */
+  val MaxBitmapDict = 4096
 
   /** Keep one deterministic survivor (min tieBreak) per exact content hash. */
   def exact(df: DataFrame, content: Column, tieBreak: Column): DataFrame = {
@@ -33,13 +53,85 @@ object Dedup {
           s"transform(sequence(1, length(lower($textCol)) - ${n - 1}), i -> substring(lower($textCol), i, $n))"
         ))).as("s"))
 
-  /** n-gram Jaccard similarity over pre-exploded shingle rows (doc_id, s).
-    * Returns (da, db, jaccard) for da < db with jaccard >= threshold.
+  /** n-gram Jaccard over pre-exploded shingle rows (doc_id, s): all pairs
+    * (da < db) with jaccard >= threshold, exact. Picks the bitmap or
+    * inverted-index strategy from the corpus' distinct-shingle statistic.
     * This is the exact all-pairs path (the oracle); at 100 TB feed
-    * MinHashLSH.candidatePairs into `jaccardForPairs` instead so the
-    * shingle-equality join only touches candidate docs.
+    * MinHashLSH.candidatePairs into `jaccardForPairs` instead.
     */
   def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
+    val dict = shingleDict(shingles)
+    dict match {
+      case Some(d) => jaccardBitmap(bitmaps(shingles, d), None, threshold)
+      case None    => jaccardInverted(shingles, threshold)
+    }
+  }
+
+  /** Exact Jaccard restricted to a candidate pair set (the LSH refine). */
+  def jaccardForPairs(shingles: DataFrame, pairs: DataFrame, threshold: Double): DataFrame =
+    shingleDict(shingles) match {
+      case Some(d) => jaccardBitmap(bitmaps(shingles, d), Some(pairs), threshold)
+      case None    => jaccardInvertedForPairs(shingles, pairs, threshold)
+    }
+
+  // ---- bitmap strategy ---------------------------------------------------
+
+  /** The global shingle dictionary if it is small enough, else None. The
+    * distinct count is a cheap pre-aggregated action; collecting the
+    * dictionary itself is metadata-scale (<= MaxBitmapDict strings) and is
+    * broadcast via the expression tree, never a data-scale driver pull.
+    */
+  private def shingleDict(shingles: DataFrame): Option[Map[String, Int]] = {
+    val distinct = shingles.select(col("s")).distinct()
+    if (distinct.count() > MaxBitmapDict) None
+    else Some(distinct.orderBy(col("s")).collect().map(_.getString(0)).zipWithIndex.toMap)
+  }
+
+  /** (doc_id, n, w0..wk): per-doc set size + fixed-width bitmap words. */
+  private def bitmaps(shingles: DataFrame, dict: Map[String, Int]): DataFrame = {
+    val nWords = (dict.size + 63) / 64
+    // broadcast hash join against the dictionary: O(1) per shingle row
+    // (a folded map literal would linear-scan its entries per row)
+    val spark = shingles.sparkSession
+    import spark.implicits._
+    val dictDf = dict.toSeq.toDF("s", "idx")
+    val withIdx = shingles.join(broadcast(dictDf), Seq("s")).select(col("doc_id"), col("idx"))
+    val wordCols = (0 until nWords).map { w =>
+      sum(expr(s"IF(idx div 64 = $w, shiftleft(1L, idx % 64), 0L)")).as(s"w$w")
+    }
+    withIdx
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), wordCols: _*)
+  }
+
+  /** Popcount Jaccard over bitmap rows; `pairs` restricts to candidates
+    * (LSH refine), otherwise the full da < db pair space is scanned — the
+    * compact one-row-per-doc side makes that a broadcast nested loop with
+    * constant per-pair work.
+    */
+  private def jaccardBitmap(
+      bm: DataFrame, pairs: Option[DataFrame], threshold: Double): DataFrame = {
+    val nWords = bm.columns.count(_.startsWith("w"))
+    val a = bm.select(col("doc_id").as("da") +: col("n").as("na") +:
+      (0 until nWords).map(w => col(s"w$w").as(s"a$w")): _*)
+    val b = bm.select(col("doc_id").as("db") +: col("n").as("nb") +:
+      (0 until nWords).map(w => col(s"w$w").as(s"b$w")): _*)
+    val joined = pairs match {
+      case Some(p) => p.join(a, Seq("da")).join(b, Seq("db"))
+      case None    => a.join(b, col("da") < col("db"))
+    }
+    val inter = (0 until nWords)
+      .map(w => bit_count(col(s"a$w").bitwiseAND(col(s"b$w"))))
+      .reduce(_ + _)
+    joined
+      .select(col("da"), col("db"),
+        (inter.cast("double") / (col("na") + col("nb") - inter)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- inverted-index strategy ------------------------------------------
+
+  private def jaccardInverted(shingles: DataFrame, threshold: Double): DataFrame = {
     val a = shingles.select(col("doc_id").as("da"), col("s").as("sa"))
     val b = shingles.select(col("doc_id").as("db"), col("s").as("sb"))
     val inter = a.join(b, col("sa") === col("sb") && col("da") < col("db"))
@@ -47,8 +139,8 @@ object Dedup {
     withJaccard(inter, shingleSizes(shingles), threshold)
   }
 
-  /** Exact Jaccard restricted to a candidate pair set (the LSH refine). */
-  def jaccardForPairs(shingles: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
+  private def jaccardInvertedForPairs(
+      shingles: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
     val a = shingles.select(col("doc_id").as("da"), col("s").as("sa"))
     val b = shingles.select(col("doc_id").as("db"), col("s").as("sb"))
     // The sa === sb conjunct is pushed into the second equi-join by

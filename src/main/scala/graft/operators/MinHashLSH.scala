@@ -15,10 +15,10 @@ import org.apache.spark.sql.functions._
   * never all-pairs.
   *
   * Recall tuning: P(candidate | J) = 1 - (1 - J^rows)^bands. Defaults
-  * (rows=2, bands=64) give P > 1 - 2e-19 at J = 0.7 — effectively total
-  * recall above the 0.7 refine threshold, at the cost of a generous
-  * candidate set on highly self-similar corpora. For corpora with a low
-  * similarity baseline, raise `rowsPerBand` to sharpen the cutoff.
+  * (rows=4, bands=32) give P = 0.99985 at J = 0.7 while pruning ~99.6% of
+  * the J~0.25 background pairs a self-similar token-soup corpus produces —
+  * rows=2/bands=64 had total recall but degenerated to all-pairs candidate
+  * sets on such corpora. Raise bands for recall, rows for selectivity.
   */
 object MinHashLSH {
 
@@ -45,7 +45,7 @@ object MinHashLSH {
   }
 
   /** Distinct candidate pairs (da < db) from banded signatures. */
-  def candidatePairs(signatures: DataFrame, bands: Int = 64, rowsPerBand: Int = 2): DataFrame = {
+  def candidatePairs(signatures: DataFrame, bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
     val banded = signatures.select(
       col("doc_id"),
       posexplode(
@@ -67,9 +67,13 @@ object MinHashLSH {
       shingles: DataFrame,
       threshold: Double,
       numPerms: Int = 128,
-      bands: Int = 64,
-      rowsPerBand: Int = 2): DataFrame = {
-    val cand = candidatePairs(signatures(shingles, numPerms), bands, rowsPerBand)
-    Dedup.jaccardForPairs(shingles, cand, threshold)
+      bands: Int = 32,
+      rowsPerBand: Int = 4): DataFrame = {
+    // The pipeline scans the shingle set several times (signature agg, the
+    // dictionary statistic, the refine join) — cache the exploded form once
+    // rather than re-deriving it from the source per action.
+    val sh = shingles.cache()
+    val cand = candidatePairs(signatures(sh, numPerms), bands, rowsPerBand)
+    Dedup.jaccardForPairs(sh, cand, threshold)
   }
 }

@@ -5,18 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** SimHash near-duplicate sketching (SURVEY.md §2.12 L2; Charikar 2002).
   *
-  * Two variants share the same bit definition (so they agree exactly):
-  *
-  *  - `bitRows`/`hammingHistogram`: a relational formulation whose bits are
-  *    derived from md5 nibbles — chosen because the identical computation is
-  *    expressible in DuckDB SQL, which is what makes the simhash query
-  *    oracle-checkable (SURVEY §2.14 determinism rules).
-  *  - `packed`: a fast path packing the 64 bits into one BIGINT per doc for
-  *    banded bucketing at scale.
-  *
-  * Bit definition: for each distinct whitespace token, md5 -> first 16 hex
+  * Bit definition (shared by the Spark path and the DuckDB oracle so they
+  * agree exactly): for each distinct whitespace token, md5 -> first 16 hex
   * nibbles -> 64 bits; simhash bit b is 1 iff sum over tokens of
   * (2*bit_b - 1) >= 0.
+  *
+  * The 64-bit signature is packed into two BIGINT halves (bits 0-31 / 32-63)
+  * rather than one long: both engines then compute Hamming distance as
+  * bit_count(xor(lo)) + bit_count(xor(hi)) without signed-shift overflow at
+  * bit 63, and the pair stage is a compact 2-column self-join — one row per
+  * doc, not 64 — so the all-pairs Hamming histogram is O(pairs), not
+  * O(pairs x 64) rows.
   */
 object SimHash {
 
@@ -26,11 +25,14 @@ object SimHash {
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .distinct()
+    // md5 is projected ONCE per token before the 64-way bit explode —
+    // computing it inside the transform lambda would hash every token 64x.
     val bits = toks
+      .select(col("doc_id"), md5(col("tok")).as("h"))
       .select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(0, 63), p -> " +
-            "(shiftright(instr('0123456789abcdef', substring(md5(tok), (p div 4) + 1, 1)) - 1, " +
+            "(shiftright(instr('0123456789abcdef', substring(h, (p div 4) + 1, 1)) - 1, " +
             "3 - p % 4) & 1))")))
       .select(col("doc_id"), col("pos"), col("col").as("bit"))
     bits
@@ -38,28 +40,29 @@ object SimHash {
       .agg(when(sum(col("bit") * 2 - 1) >= 0, 1).otherwise(0).as("sbit"))
   }
 
-  /** Pairwise Hamming-distance histogram over all doc pairs: (h, n_pairs).
-    * Exercises the full sketch pipeline with a bounded output.
-    */
-  def hammingHistogram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sim = bitRows(docs, idCol, textCol)
-    val a = sim.select(col("doc_id").as("da"), col("pos").as("pa"), col("sbit").as("ba"))
-    val b = sim.select(col("doc_id").as("db"), col("pos").as("pb"), col("sbit").as("bb"))
-    a.join(b, col("pa") === col("pb") && col("da") < col("db"))
-      .groupBy(col("da"), col("db"))
-      .agg(sum(when(col("ba") =!= col("bb"), 1).otherwise(0)).as("h"))
-      .groupBy(col("h"))
-      .agg(count(lit(1)).as("n_pairs"))
-  }
-
-  /** Fast path: (doc_id, simhash BIGINT) — same bits packed little-endian
-    * (bit 0 = least significant). One narrow aggregation, no explode of
-    * pair space; candidate pairs at scale come from banding the 64-bit
-    * value into 4x16-bit keys (docs within Hamming distance 3 share at
-    * least one band, pigeonhole).
-    */
+  /** (doc_id, lo, hi): signature packed into two 32-bit halves. */
   def packed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     bitRows(docs, idCol, textCol)
       .groupBy(col("doc_id"))
-      .agg(sum(expr("shiftleft(CAST(sbit AS BIGINT), pos)")).as("simhash"))
+      .agg(
+        sum(expr("IF(pos < 32, shiftleft(CAST(sbit AS BIGINT), pos), 0L)")).as("lo"),
+        sum(expr("IF(pos >= 32, shiftleft(CAST(sbit AS BIGINT), pos - 32), 0L)")).as("hi"))
+
+  /** Pairwise Hamming-distance histogram over all doc pairs: (h, n_pairs).
+    * The pair join runs on the packed one-row-per-doc table (broadcast
+    * nested-loop over a kilobyte-scale side), so cost is linear in the pair
+    * count with constant per-pair work. At 100 TB, band the packed value
+    * into 4x16-bit keys first (pigeonhole: Hamming <= 3 shares a band) and
+    * feed candidate pairs here instead of the full cross product.
+    */
+  def hammingHistogram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val p = packed(docs, idCol, textCol)
+    val a = p.select(col("doc_id").as("da"), col("lo").as("la"), col("hi").as("ha"))
+    val b = p.select(col("doc_id").as("db"), col("lo").as("lb"), col("hi").as("hb"))
+    a.join(b, col("da") < col("db"))
+      .select((bit_count(col("la").bitwiseXOR(col("lb"))) +
+        bit_count(col("ha").bitwiseXOR(col("hb")))).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

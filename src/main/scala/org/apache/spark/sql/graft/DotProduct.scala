@@ -1,0 +1,67 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+
+/** Native codegen'd dot product over two array<double> columns.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(a,b,*),+)`)
+  * is CodegenFallback — every element goes through interpreted lambda
+  * dispatch and zip_with materializes an intermediate array per row. For
+  * all-pairs similarity (SURVEY.md §2.12 L3) that interpreted inner loop IS
+  * the workload (pairs x dim evaluations), so this is the one place a
+  * custom Catalyst Expression (SURVEY §4.3 preference (b)) buys a large
+  * constant factor: a tight multiply-add loop inside whole-stage codegen,
+  * no intermediate array per row.
+  *
+  * Lives in the org.apache.spark.sql namespace because AbstractDataType and
+  * the Column<->Expression bridge are private[sql].
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Column-API entry point for the expression. */
+  def column(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
