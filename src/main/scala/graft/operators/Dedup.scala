@@ -44,13 +44,17 @@ object Dedup {
     * Shingling is row-local (transform over a sequence — no shuffle);
     * array_distinct applies set semantics before the explode so the
     * exploded row count is bounded by distinct shingles, not text length.
+    * lower() is projected once per document — inlining it in the transform
+    * lambda would re-lowercase the whole text per shingle position (O(n^2)
+    * per doc; measured 3x on the sf0.1 shingle stage).
     */
   def charShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     df.filter(length(col(textCol)) >= n)
+      .select(col(idCol).as("doc_id"), lower(col(textCol)).as("__lt"))
       .select(
-        col(idCol).as("doc_id"),
+        col("doc_id"),
         explode(array_distinct(expr(
-          s"transform(sequence(1, length(lower($textCol)) - ${n - 1}), i -> substring(lower($textCol), i, $n))"
+          s"transform(sequence(1, length(__lt) - ${n - 1}), i -> substring(__lt, i, $n))"
         ))).as("s"))
 
   /** n-gram Jaccard over pre-exploded shingle rows (doc_id, s): all pairs
@@ -60,10 +64,12 @@ object Dedup {
     * MinHashLSH.candidatePairs into `jaccardForPairs` instead.
     */
   def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
-    val dict = shingleDict(shingles)
-    dict match {
-      case Some(d) => jaccardBitmap(bitmaps(shingles, d), None, threshold)
-      case None    => jaccardInverted(shingles, threshold)
+    // the strategy statistic + bitmap build scan the shingle set multiple
+    // times; cache the exploded form across those actions
+    val sh = shingles.cache()
+    shingleDict(sh) match {
+      case Some(d) => jaccardBitmap(bitmaps(sh, d), None, threshold)
+      case None    => jaccardInverted(sh, threshold)
     }
   }
 

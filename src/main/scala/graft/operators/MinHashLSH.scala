@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  private val Prime = 2147483647L // 2^31 - 1, Mersenne
+  private[operators] val Prime = 2147483647L // 2^31 - 1, Mersenne
 
   /** Universal-hash permutation parameters, fixed seeds => deterministic. */
   private def perms(numPerms: Int): Seq[(Long, Long)] = {
@@ -30,11 +30,28 @@ object MinHashLSH {
     Seq.fill(numPerms)((1 + rng.nextInt(Int.MaxValue - 1).toLong, rng.nextInt(Int.MaxValue).toLong))
   }
 
-  /** (doc_id, sig: array<bigint>) — one row per doc. `shingles` is
-    * (doc_id, s) as produced by Dedup.charShingles.
+  /** Flattened (a0,b0,a1,b1,...) permutation params for the Aggregator. */
+  private[operators] def permParams(numPerms: Int): Array[Long] =
+    perms(numPerms).flatMap { case (a, b) => Seq(a, b) }.toArray
+
+  /** (doc_id, sig: array<bigint>) — one row per doc, via the fused
+    * MinHashAggregator (A8). `shingles` is (doc_id, s) as produced by
+    * Dedup.charShingles. One shuffle, partial-agg on the map side.
     */
   def signatures(shingles: DataFrame, numPerms: Int = 128): DataFrame = {
     val h = pmod(xxhash64(col("s")), lit(Prime)) // base hash into [0, p)
+    val mh = udaf(new MinHashAggregator(numPerms))
+    shingles
+      .select(col("doc_id"), h.as("h"))
+      .groupBy(col("doc_id"))
+      .agg(mh(col("h")).as("sig"))
+  }
+
+  /** The pure-expression formulation (numPerms separate min() columns) —
+    * kept for cross-checking the Aggregator produces identical signatures.
+    */
+  private[operators] def signaturesExpr(shingles: DataFrame, numPerms: Int = 128): DataFrame = {
+    val h = pmod(xxhash64(col("s")), lit(Prime))
     val minCols: Seq[Column] = perms(numPerms).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(h * a + b, lit(Prime))).as(s"m$i")
     }

@@ -560,6 +560,48 @@ object RelationalQueries {
         .orderBy($"band", $"prio")
     },
 
+    // ---- Q47: analytic windows (ntile, first/last_value) -------------------
+    QueryDef(
+      "q47_window_analytics",
+      """SELECT o_custkey, o_orderkey,
+        |       ntile(4) OVER w AS quartile,
+        |       first_value(o_orderkey) OVER w AS first_key,
+        |       last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(spark, dir).orders
+        .select($"o_custkey", $"o_orderkey",
+          ntile(4).over(w).as("quartile"),
+          first($"o_orderkey").over(w).as("first_key"),
+          last($"o_orderkey").over(wFull).as("last_key"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // ---- Q48: string distance + greatest/least battery ---------------------
+    QueryDef(
+      "q48_string_distance",
+      """SELECT c_custkey,
+        |       levenshtein(substr(c_name, 1, 12), 'Customer0000') AS lev,
+        |       greatest(round(c_acctbal, 0), 0)::DOUBLE AS g,
+        |       least(round(c_acctbal, 0), 5000)::DOUBLE AS l
+        |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).customer
+        .filter($"c_custkey" <= 300)
+        .select($"c_custkey",
+          levenshtein(substring($"c_name", 1, 12), lit("Customer0000")).as("lev"),
+          greatest(round($"c_acctbal", 0), lit(0)).cast("double").as("g"),
+          least(round($"c_acctbal", 0), lit(5000)).cast("double").as("l"))
+        .orderBy($"c_custkey")
+    },
+
     // ---- Q28: coalesce fallback chain (F1–F3 analog) ----------------------
     QueryDef(
       "q28_coalesce_chain",

@@ -41,6 +41,13 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("A8: fused MinHash Aggregator produces signatures identical to the expression form") {
+    val sh = Dedup.charShingles(tables.documents, "doc_id", "text")
+    val a = MinHashLSH.signatures(sh, 32).select(col("doc_id"), col("sig"))
+    val b = MinHashLSH.signaturesExpr(sh, 32).select(col("doc_id"), col("sig"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("multi-table hyperplane ANN reaches >=60% top-5 recall vs exact on embeddings") {
     val e = tables.embeddings
     val probes = (0L until 20L).toSeq
