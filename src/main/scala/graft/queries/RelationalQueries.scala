@@ -224,6 +224,37 @@ object RelationalQueries {
           min($"c_custkey").as("min_custkey"), max($"c_custkey").as("max_custkey"))
     },
 
+    // ---- Q49: right + full outer joins (J3 completes left/right/full) -----
+    QueryDef(
+      "q49_outer_joins",
+      """WITH f AS (
+        |  SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+        |         count(c.c_custkey) AS n_cust, count(s.s_suppkey) AS n_supp
+        |  FROM (SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey <= 500) c
+        |  FULL OUTER JOIN supplier s ON c.c_nationkey = s.s_nationkey
+        |  GROUP BY 1
+        |), r AS (
+        |  SELECT count(*) AS n_right
+        |  FROM (SELECT o_custkey FROM orders WHERE o_custkey <= 100) o
+        |  RIGHT JOIN (SELECT c_custkey FROM customer WHERE c_custkey <= 200) c
+        |    ON o.o_custkey = c.c_custkey
+        |)
+        |SELECT f.nationkey, f.n_cust, f.n_supp, r.n_right
+        |FROM f CROSS JOIN r ORDER BY f.nationkey NULLS FIRST""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      val f = t.customer.filter($"c_custkey" <= 500).select($"c_custkey", $"c_nationkey")
+        .join(t.supplier, $"c_nationkey" === $"s_nationkey", "full")
+        .groupBy(coalesce($"c_nationkey", $"s_nationkey").as("nationkey"))
+        .agg(count($"c_custkey").as("n_cust"), count($"s_suppkey").as("n_supp"))
+      val r = t.orders.filter($"o_custkey" <= 100).select($"o_custkey")
+        .join(t.customer.filter($"c_custkey" <= 200).select($"c_custkey"),
+          $"o_custkey" === $"c_custkey", "right")
+        .agg(count(lit(1)).as("n_right"))
+      f.crossJoin(r).orderBy($"nationkey".asc_nulls_first)
+    },
+
     // ---- Q12: theta/range join (small side broadcast -> BNLJ) ------------
     QueryDef(
       "q12_theta_join",

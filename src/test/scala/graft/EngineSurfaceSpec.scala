@@ -70,6 +70,35 @@ class EngineSurfaceSpec extends SparkSpec {
     assert(r.getDouble(0) == 2.0 && r.getSeq[Long](1) == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("W2/W3 extras: lead and a rangeBetween value frame") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+    val led = tables.orders
+      .select($"o_custkey", $"o_orderkey", lead($"o_orderkey", 1).over(w).as("next_key"))
+    // lead of the last row per partition is null; all others point forward
+    val bad = led.filter($"next_key".isNotNull && $"next_key" <= $"o_orderkey").count()
+    assert(bad == 0)
+    val wr = Window.partitionBy($"o_custkey").orderBy($"o_totalprice")
+      .rangeBetween(-1000, 0) // value frame: orders within $1000 below current
+    val framed = tables.orders
+      .select($"o_custkey", $"o_totalprice", count(lit(1)).over(wr).as("n_near"))
+    assert(framed.filter($"n_near" < 1).count() == 0) // frame always includes self
+  }
+
+  test("A7/O5 extras: collect_set and intersectAll/exceptAll multiset semantics") {
+    import spark.implicits._
+    val sets = tables.lineitem.filter($"l_orderkey" <= 500)
+      .groupBy($"l_orderkey")
+      .agg(size(collect_set($"l_returnflag")).as("n_flags"),
+        size(collect_list($"l_returnflag")).as("n_rows"))
+    assert(sets.filter($"n_flags" > $"n_rows").count() == 0)
+    val a = Seq(1, 1, 2, 3).toDF("v")
+    val b = Seq(1, 2, 2).toDF("v")
+    assert(a.intersectAll(b).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    assert(a.exceptAll(b).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+  }
+
   test("A5: approx_count_distinct within 5% of exact") {
     val r = tables.orders
       .agg(countDistinct(col("o_custkey")).as("exact"),
