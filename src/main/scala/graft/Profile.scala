@@ -34,6 +34,25 @@ object Profile {
     val candC = cand.cache(); candC.count()
     t("refine-bitmap")(Dedup.jaccardForPairs(sh, candC, 0.7).count())
     t("exact-bitmap-all")(Dedup.jaccardPairs(sh, 0.7).count())
+
+    // 837 parse+map throughput: synthesize a large corpus in memory (no
+    // committed fixture needed) and push it through the full parse+mapping.
+    // This is the engine's core reference-fidelity path; the reference
+    // processes one document per single-threaded Ruby run.
+    import spark.implicits._
+    val nDocs = sys.env.getOrElse("GRAFT_PROFILE_DOCS", "20000").toInt
+    val rendered = spark.range(nDocs)
+      .mapPartitions(_.map(i => graft.fixtures.ClaimFixtures.render(
+        graft.fixtures.ClaimFixtures.genDoc((i % 10000).toInt))))
+      .cache()
+    rendered.count()
+    val t0 = System.nanoTime
+    val docs837 = graft.edi.ClaimMapping.parseDocs(spark, rendered)
+    val nClaims = graft.edi.ClaimMapping.claims(spark, docs837).count()
+    val nSvc = graft.edi.ClaimMapping.claimServices(spark, docs837).count()
+    val dt = (System.nanoTime - t0) / 1e9
+    println(f"[prof] 837-map $nDocs%d docs -> $nClaims claims, $nSvc services" +
+      f" in $dt%.2f s (${nDocs / dt}%.0f docs/s, parse runs twice)")
     spark.stop()
   }
 }

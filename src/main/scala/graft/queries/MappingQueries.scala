@@ -18,19 +18,29 @@ object MappingQueries {
 
   @volatile private var materialized = false
 
-  /** Write the EDI corpus + expected parquet once per JVM (deterministic,
-    * seed-fixed — repeated runs produce identical bytes). */
+  /** Write the EDI corpus + expected parquet once per JVM. Generation is
+    * deterministic (fixed seeds) and the outputs are committed, so existing
+    * fixtures are reused unless GRAFT_REGEN_FIXTURES=1 forces a rebuild
+    * (set it after changing the generator or evaluator).
+    */
   private def ensure(spark: SparkSession): Unit = synchronized {
     if (!materialized) {
-      ClaimFixtures.writeEdi()
-      Evaluator.expectedClaims(spark).coalesce(1)
-        .write.mode("overwrite").parquet(s"${ClaimFixtures.ExpectedDir}/claims.parquet")
-      Evaluator.expectedServices(spark).coalesce(1)
-        .write.mode("overwrite").parquet(s"${ClaimFixtures.ExpectedDir}/claim_services.parquet")
-      Evaluator.expectedDiagnoses(spark).coalesce(1)
-        .write.mode("overwrite").parquet(s"${ClaimFixtures.ExpectedDir}/claim_diagnoses.parquet")
-      Evaluator.expectedManifest(spark).coalesce(1)
-        .write.mode("overwrite").parquet(s"${ClaimFixtures.ExpectedDir}/media_manifest.parquet")
+      val force = sys.env.get("GRAFT_REGEN_FIXTURES").contains("1")
+      def missing(p: String): Boolean =
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
+      if (force || !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(ClaimFixtures.EdiDir, "D0000.txt")))
+        ClaimFixtures.writeEdi()
+      val tables = Seq(
+        "claims.parquet" -> (() => Evaluator.expectedClaims(spark)),
+        "claim_services.parquet" -> (() => Evaluator.expectedServices(spark)),
+        "claim_diagnoses.parquet" -> (() => Evaluator.expectedDiagnoses(spark)),
+        "media_manifest.parquet" -> (() => Evaluator.expectedManifest(spark)))
+      tables.foreach { case (name, df) =>
+        val path = s"${ClaimFixtures.ExpectedDir}/$name"
+        if (force || missing(path))
+          df().coalesce(1).write.mode("overwrite").parquet(path)
+      }
       materialized = true
     }
   }
