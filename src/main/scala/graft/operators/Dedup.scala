@@ -116,7 +116,11 @@ object Dedup {
     * constant per-pair work.
     */
   private def jaccardBitmap(
-      bm: DataFrame, pairs: Option[DataFrame], threshold: Double): DataFrame = {
+      bm0: DataFrame, pairs: Option[DataFrame], threshold: Double): DataFrame = {
+    // both join branches consume the same one-row-per-doc aggregate; cache
+    // it so the bitmap build isn't executed once per branch (exchange reuse
+    // does not reliably fire across differently-projected subtrees)
+    val bm = bm0.cache()
     val nWords = bm.columns.count(_.startsWith("w"))
     val a = bm.select(col("doc_id").as("da") +: col("n").as("na") +:
       (0 until nWords).map(w => col(s"w$w").as(s"a$w")): _*)

@@ -63,12 +63,15 @@ object MinHashLSH {
 
   /** Distinct candidate pairs (da < db) from banded signatures. */
   def candidatePairs(signatures: DataFrame, bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    // cached: both sides of the bucket self-join read this (one signature
+    // aggregation, not two)
     val banded = signatures.select(
       col("doc_id"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+      .cache()
     val a = banded.select(col("band"), col("bkey"), col("doc_id").as("da"))
     val b = banded.select(col("band"), col("bkey"), col("doc_id").as("db"))
     a.join(b, Seq("band", "bkey"))
