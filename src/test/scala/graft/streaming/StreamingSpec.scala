@@ -101,6 +101,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("S7 parquet sink + checkpoint: restart resumes without reprocessing") {
+    val srcDir = Files.createTempDirectory("s7_src").toFile
+    val outDir = Files.createTempDirectory("s7_out").toString
+    val ckpt = Files.createTempDirectory("s7_ckpt").toString
+    val base = 1700000000000000000L
+    def writeBatch(name: String, ids: Range): Unit = {
+      val rows = ids.map { i =>
+        s"""{"event_id":$i,"ts_ns":${base + i * 1000000000L},"user_id":1,"event_type":"view","value":1.0,"props":"{}"}"""
+      }
+      Files.write(new java.io.File(srcDir, name).toPath, rows.mkString("\n").getBytes)
+    }
+    def start() = EventStreams.readReplay(spark, srcDir.toString, filesPerTrigger = 10)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    writeBatch("a.json", 0 until 50)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    writeBatch("b.json", 50 until 80)
+    val q2 = start(); q2.processAllAvailable(); q2.stop() // resumes from checkpoint
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 80, "restart must process only the new file, no duplicates")
+    assert(out.select(countDistinct(col("event_id"))).head().getLong(0) == 80)
+  }
+
   test("T9 rows older than the watermark are dropped from aggregations") {
     // batch 1: a tight cluster that advances the watermark; batch 2 (written
     // only after batch 1 fully commits): one event far in the past -> must
