@@ -42,7 +42,9 @@ object Edi837Parser {
     doc.split('~').iterator
       .map(_.trim)
       .filter(_.nonEmpty)
-      .map { s => val el = s.split('*'); Seg(el(0), el) }
+      .map(s => s.split('*'))
+      .filter(_.nonEmpty) // "***" splits to an empty array — not a segment
+      .map(el => Seg(el(0), el))
       .toSeq
 
   // ---- mutable builders (frozen to case classes at the end) --------------
@@ -110,6 +112,8 @@ object Edi837Parser {
 
     def claim: ClaimB = claims.last
     def svc: ServiceB = claim.services.last
+    def inClaim: Boolean = claims.nonEmpty
+    def inSvc: Boolean = claims.nonEmpty && claims.last.services.nonEmpty
 
     def nm1Of(s: Seg) = Nm1(s.e(1), s.e(2), s.e(3), s.e(4), s.e(5), s.e(8), s.e(9))
 
@@ -143,13 +147,15 @@ object Edi837Parser {
               }
             case "PR" => payer = new PartyB; payer.nm1 = n; curParty = payer; ctx = Ctx.Payer
             case "QC" => patient = new PartyB; patient.nm1 = n; curParty = patient; ctx = Ctx.Patient
-            case "DN" => claim.refProvNm1 = n; ctx = Ctx.RefProv
+            case "DN" => if (inClaim) { claim.refProvNm1 = n; ctx = Ctx.RefProv }
             case "82" =>
-              if (ctx == Ctx.Service || ctx == Ctx.SvcProv) { svc.nm1 = n; ctx = Ctx.SvcProv }
-              else { claim.rendNm1 = n; ctx = Ctx.RendProv }
+              if ((ctx == Ctx.Service || ctx == Ctx.SvcProv) && inSvc) { svc.nm1 = n; ctx = Ctx.SvcProv }
+              else if (inClaim) { claim.rendNm1 = n; ctx = Ctx.RendProv }
             case "77" =>
-              claim.facility = new PartyB; claim.facility.nm1 = n
-              curParty = claim.facility; ctx = Ctx.Facility
+              if (inClaim) {
+                claim.facility = new PartyB; claim.facility.nm1 = n
+                curParty = claim.facility; ctx = Ctx.Facility
+              }
             case _ => ()
           }
         case "N3" => if (curParty != null) curParty.address = s.e(1)
@@ -163,18 +169,18 @@ object Edi837Parser {
           val r = RefSeg(s.e(1), s.e(2))
           ctx match {
             case Ctx.Billing  => billing.refs += r
-            case Ctx.Claim    => if (claim.priorAuth == null) claim.priorAuth = r.id // hcc:116 first REF
-            case Ctx.RefProv  => if (claim.refProvRef == null) claim.refProvRef = r
-            case Ctx.RendProv => if (claim.rendRef == null) claim.rendRef = r
+            case Ctx.Claim    => if (inClaim && claim.priorAuth == null) claim.priorAuth = r.id // hcc:116 first REF
+            case Ctx.RefProv  => if (inClaim && claim.refProvRef == null) claim.refProvRef = r
+            case Ctx.RendProv => if (inClaim && claim.rendRef == null) claim.rendRef = r
             // a 2420A may carry REF/PRV without an NM1 (hcc:246-251 reads
             // them independently), so Service context routes to the line too
-            case Ctx.Service | Ctx.SvcProv => if (svc.ref == null) svc.ref = r
+            case Ctx.Service | Ctx.SvcProv => if (inSvc && svc.ref == null) svc.ref = r
             case _            => ()
           }
         case "PRV" =>
           ctx match {
-            case Ctx.RendProv => claim.rendPrvId = s.e(3)
-            case Ctx.Service | Ctx.SvcProv => svc.prvId = s.e(3)
+            case Ctx.RendProv => if (inClaim) claim.rendPrvId = s.e(3)
+            case Ctx.Service | Ctx.SvcProv => if (inSvc) svc.prvId = s.e(3)
             case _            => ()
           }
         case "CLM" =>
@@ -185,23 +191,25 @@ object Edi837Parser {
           curParty = null
           ctx = Ctx.Claim
         case "HI" =>
-          claim.diag = (1 to 4).map(i => s.c(i, 2))
+          if (inClaim) claim.diag = (1 to 4).map(i => s.c(i, 2))
         case "DTP" =>
           if (ctx == Ctx.Service || ctx == Ctx.SvcProv) {
-            if (s.e(1) == "472" && svc.serviceDate == null) svc.serviceDate = s.e(3)
+            if (inSvc && s.e(1) == "472" && svc.serviceDate == null) svc.serviceDate = s.e(3)
           } else if (claims.nonEmpty) claim.dtps += Dtp(s.e(1), s.e(2), s.e(3))
         case "NTE" => if (claims.nonEmpty && claim.note == null) claim.note = s.e(2)
         case "LX" =>
-          flush2320()
-          claim.services += new ServiceB
-          ctx = Ctx.Service
+          if (inClaim) {
+            flush2320()
+            claim.services += new ServiceB
+            ctx = Ctx.Service
+          }
         case "SV1" =>
-          svc.sv1 = Sv1(
+          if (inSvc) svc.sv1 = Sv1(
             s.c(1, 2), s.c(1, 3), s.c(1, 4), s.c(1, 5), s.c(1, 6), s.c(1, 7),
             s.e(2), s.e(4), s.e(5),
             s.c(7, 1), s.c(7, 2), s.c(7, 3), s.c(7, 4))
-        case "PS1" => svc.ps1Amount = s.e(2)
-        case "SVD" => svc.svdAmount = s.e(2)
+        case "PS1" => if (inSvc) svc.ps1Amount = s.e(2)
+        case "SVD" => if (inSvc) svc.svdAmount = s.e(2)
         case _ => () // BHT/SE/other envelope segments carry no mapped data
       }
 

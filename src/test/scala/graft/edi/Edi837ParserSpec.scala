@@ -139,6 +139,16 @@ class Edi837ParserSpec extends AnyFunSuite {
     assert(s2.svdAmount == null)
   }
 
+  test("degenerate inputs parse without throwing") {
+    val empty = Edi837Parser.parse("")
+    assert(empty.docId == null && empty.claims.isEmpty)
+    val junk = Edi837Parser.parse("NOT*AN*EDI~GARBAGE~~~***~")
+    assert(junk.claims.isEmpty)
+    // segments for loops that never opened are ignored, not attached
+    val orphan = Edi837Parser.parse("ST*837*DX~SV1*HC:1*5~PS1*1*2~SE*0*DX~")
+    assert(orphan.docId == "DX" && orphan.claims.isEmpty)
+  }
+
   test("absent segments stay null (auto-vivification analog)") {
     val minimal = Edi837Parser.parse(
       "ST*837*D0~HL*1**20*1~NM1*85*2*ORG~HL*2*1*22*0~SBR*P*18*******MC~" +

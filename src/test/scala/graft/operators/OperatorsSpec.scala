@@ -41,6 +41,17 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("SaltedJoin produces exactly the plain-join result on a skewed key") {
+    import spark.implicits._
+    // 90% of fact rows share one hot key — the salting target shape
+    val fact = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i)).toDF("k", "payload")
+    val dim = Seq((7L, "hot"), (10L, "a"), (20L, "b"), (1000L, "c")).toDF("dk", "name")
+    val plain = fact.join(dim, $"k" === $"dk").select($"payload", $"name")
+    val salted = SaltedJoin.inner(fact, dim, $"k", $"dk", factor = 8)
+      .select($"payload", $"name")
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+  }
+
   test("A8: fused MinHash Aggregator produces signatures identical to the expression form") {
     val sh = Dedup.charShingles(tables.documents, "doc_id", "text")
     val a = MinHashLSH.signatures(sh, 32).select(col("doc_id"), col("sig"))
