@@ -38,6 +38,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("T3 sliding windows converge to the batch sliding aggregation") {
+    val streamed = EventStreams.runToMemory(
+      spark, EventStreams.sliding(replay), "t3_sliding", OutputMode.Complete())
+      .select(col("w_start").cast("long"), col("event_type"), col("n"))
+      .collect().toSet
+    val batch = batchEvents
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long"), col("event_type"), col("n"))
+      .collect().toSet
+    assert(streamed == batch)
+  }
+
   test("T4 session windows match the batch gaps-and-islands session counts") {
     val streamed = EventStreams.runToMemory(
       spark, EventStreams.sessions(replay), "t4_sessions", OutputMode.Complete())
