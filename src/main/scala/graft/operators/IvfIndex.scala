@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.{Vector => MlVector}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor index (SURVEY.md §2.12
+  * L3 scale path, alternative to the hyperplane-LSH variant).
+  *
+  * Build: k-means coarse quantizer over the embedding column (Spark ML,
+  * seeded) assigns every vector to one of `nLists` cells — one narrow
+  * model.transform, then the assignment column rides with the data
+  * (repartition/bucket by cell at 100 TB so a cell is co-located).
+  *
+  * Query: each probe scores the `nProbe` nearest centroids (driver-side
+  * math on nLists small vectors — metadata scale), then exact cosine runs
+  * only inside those cells via a broadcast (probe, cell) join: cost is
+  * nProbe/nLists of the corpus per probe instead of all-pairs. Recall
+  * depends on how well cells capture the neighborhood — measured against
+  * exact topK in OperatorsSpec.
+  */
+object IvfIndex {
+
+  final case class Model(assignments: DataFrame, centroids: Array[(Int, Array[Double])])
+
+  /** Assign every row of (idCol, vecCol) to a k-means cell. */
+  def build(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 16): Model = {
+    val feat = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(20).fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("id"), col("v"), col("prediction").as("cell"))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c: MlVector, i) => (i, c.toArray) }
+    Model(assigned, centroids)
+  }
+
+  /** Cosine top-k restricted to each probe's nProbe nearest cells. */
+  def topK(spark: SparkSession, m: Model, probeIds: Seq[Long], k: Int,
+      nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val probes = m.assignments.filter(col("id").isin(probeIds: _*))
+      .select(col("id").as("qid"), col("v").as("qv"))
+    // probe -> candidate cells: computed against the centroid table, which
+    // is metadata-scale (nLists rows) and broadcast as a literal frame
+    val cents = m.centroids.toSeq.toDF("cell", "cv")
+    val wCells = Window.partitionBy(col("qid")).orderBy(col("dist"))
+    val probeCells = probes.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qv"), col("cell"),
+        (dot(col("qv"), col("qv")) - lit(2) * dot(col("qv"), col("cv"))
+          + dot(col("cv"), col("cv"))).as("dist"))
+      .withColumn("rn", row_number().over(wCells))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qv"), col("cell"))
+    val probeNorm = probeCells.withColumn("qn", norm(col("qv")))
+    val cand = m.assignments
+      .select(col("id").as("cid"), col("v").as("cv2"), col("cell"))
+      .withColumn("cn", norm(col("cv2")))
+    val scored = broadcast(probeNorm).join(cand, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosinePrenormed(dot(col("qv"), col("cv2")), col("qn"), col("cn")), 4).as("cos"))
+      .distinct() // a pair can appear via several probed cells
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("cid"), col("cos"))
+  }
+}

@@ -254,6 +254,16 @@ object TextQueries {
         .orderBy($"lang")
     },
 
+    // ---- L3 scale path: IVF approximate top-k (approximate by design ->
+    // rows-only; recall vs exact asserted in OperatorsSpec) ------------------
+    QueryDef.noOracle("q50_ann_ivf") { (spark, dir) =>
+      import spark.implicits._
+      val e = Tables(spark, dir).embeddings
+      val m = graft.operators.IvfIndex.build(spark, e, "vec_id", "embedding", nLists = 16)
+      graft.operators.IvfIndex.topK(spark, m, (0L until 10L).toSeq, k = 5, nProbe = 4)
+        .orderBy($"qid", $"rn")
+    },
+
     // ---- fingerprint + language-id + quality score: library functions with
     // no portable SQL oracle -> rows-only check ------------------------------
     QueryDef.noOracle("q44_text_enrichment") { (spark, dir) =>

@@ -41,6 +41,19 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("IVF (k-means cells + nProbe search) reaches >=60% top-5 recall vs exact") {
+    val e = tables.embeddings
+    val probes = (0L until 20L).toSeq
+    val exact = SimilaritySearch.topK(
+      e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val m = IvfIndex.build(spark, e, "vec_id", "embedding", nLists = 12)
+    val ivf = IvfIndex.topK(spark, m, probes, 5, nProbe = 4)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+
   test("SaltedJoin produces exactly the plain-join result on a skewed key") {
     import spark.implicits._
     // 90% of fact rows share one hot key — the salting target shape
