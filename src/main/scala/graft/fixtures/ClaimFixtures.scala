@@ -55,6 +55,7 @@ object ClaimFixtures {
       accident: Option[String], admit: Option[String], discharge: Option[String],
       disability: Option[(String, Option[String])], // qualifier, value (null value covered)
       note: Option[String], priorAuth: Option[String],
+      extraRef: Option[(String, String)], // 2nd claim-level REF; first REF wins (hcc:116)
       referring: Option[(PartySpec, Option[(String, String)])],
       rendering: Option[(PartySpec, Option[(String, String)], Option[String])],
       facilityParty: Option[PartySpec],
@@ -65,6 +66,7 @@ object ClaimFixtures {
       docId: String,
       billing: PartySpec, taxQual: Option[String], taxId: Option[String],
       extraBillingRef: Option[(String, String)], phone: Option[String],
+      perEmFirst: Boolean, // a non-TE PER precedes any TE one (hcc:43 detect)
       subscriberIsPatient: Boolean,
       filing: String, groupName: Option[String], groupNumber: Option[String],
       insured: PartySpec, payer: PartySpec,
@@ -165,6 +167,7 @@ object ClaimFixtures {
       },
       note = opt(r, 0.4)(s"NOTE FOR CLAIM ${docIdx}-${claimIdx}"),
       priorAuth = opt(r, 0.5)(f"PA${r.nextInt(999999)}%06d"),
+      extraRef = opt(r, 0.3)(("9F", f"XR${r.nextInt(9999)}%04d")),
       referring = opt(r, 0.6)((party(r, forcePerson = Some(true)),
         opt(r, 0.6)(("1G", f"RP${r.nextInt(99999)}%05d")))),
       rendering = opt(r, 0.7)((party(r, forcePerson = Some(r.nextBoolean())),
@@ -187,6 +190,7 @@ object ClaimFixtures {
       taxId = Some(f"9${r.nextInt(99999999)}%08d"),
       extraBillingRef = opt(r, 0.3)(("0B", f"XB${r.nextInt(9999)}%04d")),
       phone = opt(r, 0.6)(f"555${r.nextInt(9999999)}%07d"),
+      perEmFirst = r.nextDouble() < 0.3,
       subscriberIsPatient = r.nextBoolean(),
       filing = filings(r.nextInt(filings.size)),
       groupName = opt(r, 0.7)(s"PLAN ${r.nextInt(1000)}"),
@@ -233,6 +237,7 @@ object ClaimFixtures {
     b ++= renderParty("85", d.billing)
     d.taxQual.foreach(q => b += seg("REF", q, d.taxId.getOrElse("")))
     d.extraBillingRef.foreach { case (q, v) => b += seg("REF", q, v) }
+    if (d.perEmFirst) b += seg("PER", "IC", "BILLING CONTACT", "EM", "bill@example.test")
     d.phone.foreach(ph => b += seg("PER", "IC", "BILLING CONTACT", "TE", ph))
     b += seg("HL", "2", "1", "22", if (d.subscriberIsPatient) "0" else "1")
     b += seg("SBR", "P", "18", d.groupNumber.getOrElse(""), d.groupName.getOrElse(""),
@@ -265,6 +270,7 @@ object ClaimFixtures {
       }
       c.note.foreach(n => b += seg("NTE", "ADD", n))
       c.priorAuth.foreach(pa => b += seg("REF", "G1", pa))
+      c.extraRef.foreach { case (q, v) => b += seg("REF", q, v) }
       c.referring.foreach { case (p, ref) =>
         b += renderNm1("DN", p)
         ref.foreach { case (q, v) => b += seg("REF", q, v) }

@@ -126,7 +126,7 @@ object Evaluator {
         d8o(c.accident),
         d8o(c.admit),
         d8o(c.discharge),
-        c.priorAuth.orNull,
+        c.priorAuth.orElse(c.extraRef.map(_._2)).orNull, // first claim REF wins (hcc:116)
         c.acct,
         c.acceptAssign == "A",
         if (c.provSig == "Y") "Signature on File" else "",
