@@ -37,6 +37,32 @@ class EngineSurfaceSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("S6/J2: bucketed tables aggregate and co-join with no exchange") {
+    import spark.implicits._
+    tables.orders.write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bucketed")
+    tables.customer.write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_bucketed")
+    // pre-bucketed layout satisfies the aggregation's required distribution:
+    // the plan must contain no shuffle at all
+    val agg = spark.table("orders_bucketed").groupBy($"o_custkey").count()
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "bucketed aggregation must be shuffle-free")
+    assert(agg.count() == tables.orders.select($"o_custkey").distinct().count())
+    // co-bucketed join on the bucket key: also shuffle-free
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("orders_bucketed")
+        .join(spark.table("customer_bucketed"), $"o_custkey" === $"c_custkey")
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "co-bucketed join must be shuffle-free")
+      assert(j.count() ==
+        tables.orders.join(tables.customer, $"o_custkey" === $"c_custkey").count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("O2: sortWithinPartitions orders rows per partition without a shuffle") {
     val df = tables.orders.repartition(4, col("o_custkey"))
       .sortWithinPartitions(col("o_totalprice"))
