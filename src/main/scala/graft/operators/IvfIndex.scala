@@ -32,7 +32,9 @@ object IvfIndex {
       nLists: Int = 16): Model = {
     val feat = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("features", array_to_vector(col("v")))
-    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(20).fit(feat)
+    // a coarse quantizer needs rough cells, not convergence — 10 iterations
+    // is plenty (recall floor is asserted in OperatorsSpec)
+    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10).fit(feat)
     val assigned = model.transform(feat)
       .select(col("id"), col("v"), col("prediction").as("cell"))
     val centroids = model.clusterCenters.zipWithIndex
