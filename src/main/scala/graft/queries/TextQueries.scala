@@ -264,15 +264,63 @@ object TextQueries {
         .orderBy($"qid", $"rn")
     },
 
-    // ---- fingerprint + language-id + quality score: library functions with
-    // no portable SQL oracle -> rows-only check ------------------------------
-    QueryDef.noOracle("q44_text_enrichment") { (spark, dir) =>
+    // ---- q44: language-id + quality score, hash-gated (both heuristics are
+    // pure arithmetic/regex over the text, expressible in DuckDB SQL) --------
+    QueryDef(
+      "q44_text_enrichment",
+      {
+        val profiles = Map(
+          "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "),
+          "de" -> Seq("er ", " de", "der", "ie ", " di", "die", "ein", "ich", "sch", "und"),
+          "fr" -> Seq(" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "que", "ion"),
+          "es" -> Seq(" de", "de ", " la", "la ", "el ", " el", "os ", "ión", "ent", "que"),
+          "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"),
+        )
+        val scoreRows = profiles.toSeq.sortBy(_._1).map { case (langCode, grams) =>
+          val terms = grams
+            .map(g => s"(CASE WHEN contains(lower(text), '$g') THEN 1 ELSE 0 END)")
+            .mkString(" + ")
+          s"SELECT doc_id, '$langCode' AS lc, $terms AS score FROM documents"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH scores AS (
+           |  $scoreRows
+           |), lid AS (
+           |  SELECT doc_id, lc,
+           |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lc DESC) AS rn
+           |  FROM scores
+           |), q AS (
+           |  SELECT doc_id,
+           |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n,
+           |         len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS nd,
+           |         CASE WHEN length(text) > 0
+           |              THEN length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) * 1.0 / length(text)
+           |              ELSE 0.0 END AS ar
+           |  FROM documents
+           |)
+           |SELECT d.doc_id, d.lang, lid.lc AS lang_guess,
+           |       round((CASE WHEN q.n BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.2 END)
+           |             * (0.5 + 0.5 * (CASE WHEN q.n > 0 THEN q.nd * 1.0 / q.n ELSE 0.0 END))
+           |             * q.ar, 4) AS quality
+           |FROM documents d
+           |JOIN lid ON lid.doc_id = d.doc_id AND lid.rn = 1
+           |JOIN q ON q.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      },
+    ) { (spark, dir) =>
       import spark.implicits._
       Tables(spark, dir).documents
         .select($"doc_id", $"lang",
-          TextFunctions.fingerprint($"text").as("fingerprint"),
           TextFunctions.languageId($"text").as("lang_guess"),
           TextFunctions.qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- q44b: xxhash64 rolling fingerprint has no DuckDB equivalent ->
+    // rows-only check --------------------------------------------------------
+    QueryDef.noOracle("q44b_fingerprint") { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).documents
+        .select($"doc_id", TextFunctions.fingerprint($"text").as("fingerprint"))
         .orderBy($"doc_id")
     },
   )
