@@ -62,6 +62,20 @@ object TextQueries {
           sum($"n").as("n_docs"))
     },
 
+    // ---- Q51: exact-dedup survivor set (L1 operator form) -----------------
+    QueryDef(
+      "q51_dedup_survivors",
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |  FROM documents
+        |) x WHERE rn = 1 ORDER BY doc_id""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.Dedup.exact(Tables(spark, dir).documents, $"text", $"doc_id")
+        .select($"doc_id")
+        .orderBy($"doc_id")
+    },
+
     // ---- Q34b: SimHash Hamming-distance histogram (L2 sketch) -------------
     QueryDef(
       "q34b_simhash_histogram",
