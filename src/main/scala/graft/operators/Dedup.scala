@@ -128,7 +128,10 @@ object Dedup {
       (0 until nWords).map(w => col(s"w$w").as(s"b$w")): _*)
     val joined = pairs match {
       case Some(p) => p.join(a, Seq("da")).join(b, Seq("db"))
-      case None    => a.join(b, col("da") < col("db"))
+      // broadcast the compact one-row-per-doc side: a BroadcastNestedLoop
+      // streams the probe side per task instead of materializing the
+      // CartesianProduct partition grid
+      case None    => a.join(broadcast(b), col("da") < col("db"))
     }
     val inter = (0 until nWords)
       .map(w => bit_count(col(s"a$w").bitwiseAND(col(s"b$w"))))

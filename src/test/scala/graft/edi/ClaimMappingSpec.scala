@@ -39,6 +39,22 @@ class ClaimMappingSpec extends SparkSpec {
       Evaluator.expectedDiagnoses(spark), "claim_diagnoses")
   }
 
+  test("engine matches the evaluator on a 10x in-memory corpus (docs 200..2199)") {
+    import spark.implicits._
+    val specs = (200 until 2200).map(ClaimFixtures.genDoc)
+    val rendered = spark.createDataset(specs.map(ClaimFixtures.render))
+    val engine = ClaimMapping.claims(spark, ClaimMapping.parseDocs(spark, rendered))
+    val expected = spark.createDataFrame(
+      spark.sparkContext.parallelize(specs.flatMap(Evaluator.claimRows), 8),
+      Evaluator.claimsSchema)
+    assertSame(engine, expected, "claims@10x")
+    val engineSvc = ClaimMapping.claimServices(spark, ClaimMapping.parseDocs(spark, rendered))
+    val expectedSvc = spark.createDataFrame(
+      spark.sparkContext.parallelize(specs.flatMap(Evaluator.serviceRows), 8),
+      Evaluator.servicesSchema)
+    assertSame(engineSvc, expectedSvc, "claim_services@10x")
+  }
+
   test("every F3 legacy fallback branch is exercised by the corpus") {
     val specs = ClaimFixtures.corpus
     val branches = for {
