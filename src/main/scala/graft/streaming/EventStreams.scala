@@ -123,6 +123,40 @@ object EventStreams {
       .toDF()
   }
 
+  /** T6 on the Spark 4 `transformWithState` API (the successor to
+    * mapGroupsWithState): explicit typed state handles managed by the
+    * StatefulProcessor, RocksDB-backed state store required. Same running
+    * per-user profile semantics as `userProfiles` — equivalence asserted in
+    * StreamingSpec.
+    */
+  def userProfilesTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+    class ProfileProcessor extends StatefulProcessor[Long, UserEvent, UserProfile] {
+      @transient private var state: org.apache.spark.sql.streaming.ValueState[UserProfile] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[UserProfile](
+          "profile", implicitly[org.apache.spark.sql.Encoder[UserProfile]], TTLConfig.NONE)
+      override def handleInputRows(
+          uid: Long, rows: Iterator[UserEvent], timers: TimerValues): Iterator[UserProfile] = {
+        val prev = Option(state.get()).getOrElse(UserProfile(uid, 0L, 0.0))
+        var n = prev.n_events
+        var tot = prev.total_value
+        rows.foreach { e => n += 1; tot += e.value }
+        val next = UserProfile(uid, n, tot)
+        state.update(next)
+        Iterator.single(next)
+      }
+    }
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new ProfileProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
   /** Run any of the above to an in-memory sink until the source drains;
     * returns the final table. Test/dev harness — production sinks are
     * writeStream.format("parquet")+checkpointLocation.

@@ -89,6 +89,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("T6b transformWithState profiles match mapGroupsWithState and batch totals") {
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = EventStreams.runToMemory(
+        spark, EventStreams.userProfilesTws(spark, replay), "t6b_profiles", OutputMode.Update())
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n"), max(col("total_value")).as("tot"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), math.round(r.getDouble(2) * 100)))).toMap
+      val batch = batchEvents
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("tot"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), math.round(r.getDouble(2) * 100)))).toMap
+      assert(streamed == batch)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("T7 stream-static join matches the batch join counts") {
     val streamed = EventStreams.runToMemory(
       spark, EventStreams.enrich(replay, tables.customer), "t7_enrich", OutputMode.Append())
