@@ -139,7 +139,10 @@ object ClaimFixtures {
       svd = opt(r, 0.6)(amount(r)),
       has2420a = branch <= 1 || r.nextBoolean(),
       lineNpi = opt(r, 0.5)(f"2${r.nextInt(999999999)}%09d"),
-      lineRef = if (branch == 0) Some(("G2", f"LR${r.nextInt(99999)}%05d")) else None,
+      lineRef =
+        if (branch == 0) Some(("G2", f"LR${r.nextInt(99999)}%05d"))
+        else if (r.nextDouble() < 0.1) Some(("G2", "")) // qualifier-only REF
+        else None,
       linePrv = if (branch == 1) Some(f"LP${r.nextInt(99999)}%05d") else None)
   }
 
@@ -171,7 +174,7 @@ object ClaimFixtures {
       referring = opt(r, 0.6)((party(r, forcePerson = Some(true)),
         opt(r, 0.6)(("1G", f"RP${r.nextInt(99999)}%05d")))),
       rendering = opt(r, 0.7)((party(r, forcePerson = Some(r.nextBoolean())),
-        opt(r, 0.5)(("0B", f"CR${r.nextInt(99999)}%05d")),
+        opt(r, 0.5)(("0B", if (r.nextDouble() < 0.15) "" else f"CR${r.nextInt(99999)}%05d")),
         opt(r, 0.6)(f"CP${r.nextInt(99999)}%05d"))),
       facilityParty = opt(r, 0.5)(party(r, forcePerson = Some(false))),
       others = Seq.fill(r.nextInt(3))(OtherSpec(

@@ -212,12 +212,13 @@ object Evaluator {
   def serviceRows(d: DocSpec): Seq[Row] =
     d.claims.zipWithIndex.flatMap { case (c, i) =>
       c.services.zipWithIndex.map { case (s, j) =>
-        // F3 (hcc:245-259)
-        val (legQ, legN): (String, String) = s.lineRef match {
+        // F3 (hcc:245-259); a REF rendered without an id is skipped — the
+        // reference guards on ReferenceIdentification, not the segment
+        val (legQ, legN): (String, String) = s.lineRef.filter(_._2.nonEmpty) match {
           case Some((q, v)) => (q, v)
           case None => s.linePrv match {
             case Some(v) => ("ZZ", v)
-            case None => c.rendering.flatMap(_._2) match {
+            case None => c.rendering.flatMap(_._2).filter(_._2.nonEmpty) match {
               case Some((q, v)) => (q, v)
               case None => ("ZZ", c.rendering.flatMap(_._3).orNull)
             }
