@@ -6,6 +6,13 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON metrics line. Queries execute into the `noop` sink so
   * every output column is actually computed — `count()` would let Catalyst
   * prune the projections being measured.
+  *
+  * Two passes are timed: a cold pass (first execution, absorbs residual JIT
+  * and file-cache warmup) and a warm pass (steady state). The headline
+  * `value` is the warm total — the number that reflects what the plans cost,
+  * not what one noisy JVM start cost — with the cold totals and any failed
+  * query names carried alongside so a degraded or partially failed run is
+  * diagnosable from the artifact alone.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,20 +29,31 @@ object Bench {
     // doesn't absorb JVM/classloading cost
     Tables(spark, sfDir).lineitem.limit(1000)
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.registry.map { q =>
+
+    val failed = collection.mutable.LinkedHashSet[String]()
+    def pass(tag: String): Seq[(String, Double)] = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+        failed += q.name
+        System.err.println(s"[bench:$tag] ${q.name} FAILED: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] ${q.name}%-28s ${dt}%8.2f s")
+      System.err.println(f"[bench:$tag] ${q.name}%-28s ${dt}%8.2f s")
+      // drop anything a query pinned in the cache manager so storage memory
+      // can't accumulate across the registry (r1's back-half degradation)
+      spark.catalog.clearCache()
       q.name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val cold = pass("cold")
+    val warm = pass("warm")
+    def obj(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${warm.map(_._2).sum},"unit":"sec",""" +
+      s""""queries":${obj(warm)},"cold_total":${cold.map(_._2).sum},""" +
+      s""""cold_queries":${obj(cold)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -9,17 +9,27 @@ import org.apache.spark.sql.types.DecimalType
   * Every declared query's output must hash-match a DuckDB oracle, so:
   *  - money / double aggregates are cast per-value to DECIMAL(18,2) and
   *    summed exactly (order-independent), or rounded post-aggregate;
+  *  - final output columns are DOUBLE, never DECIMAL: the exact decimal is
+  *    converted once at the edge (`.cast("double")` here, `::DOUBLE` in the
+  *    oracle SQL). Decimal->double is the correctly-rounded IEEE conversion
+  *    of the same exact rational in both engines, so values stay identical,
+  *    while decimal *text* ("253942.00" vs "253942.0") does not survive the
+  *    driver's float-repr canonicalization;
   *  - timestamps are rendered as UTC strings;
   *  - row order is a total ORDER BY in both engines.
   */
 object Canon {
   val Money: DecimalType = DecimalType(18, 2)
 
-  /** Per-value cast to cents; summing these is exact and order-independent. */
+  /** Per-value cast to cents; summing these is exact and order-independent.
+    * INTERNAL type — convert with [[out]] before emitting. */
   def money(c: Column): Column = c.cast(Money)
 
-  /** Exact decimal sum of a double money column. */
-  def sumMoney(c: Column): Column = sum(money(c)).cast(Money)
+  /** Edge conversion: exact decimal -> final DOUBLE output column. */
+  def out(c: Column): Column = c.cast("double")
+
+  /** Exact decimal sum of a double money column, emitted as DOUBLE. */
+  def sumMoney(c: Column): Column = out(sum(money(c)))
 
   /** price * (1 - discount) in exact decimal arithmetic: both operands are
     * cast to decimal BEFORE multiplying, so no engine-specific double
@@ -29,12 +39,18 @@ object Canon {
   def discounted(price: Column, discount: Column): Column =
     money(price) * (lit(1) - discount.cast(DecimalType(18, 4)))
 
-  /** Rounded double aggregate -> decimal; only for avg-style results where
-    * the FP error (~1e-11 rel) is far below the 2dp rounding grid. */
-  def avg2(c: Column): Column = round(avg(c), 2).cast(Money)
+  /** Rounded double aggregate -> decimal -> DOUBLE; only for avg-style
+    * results where the FP error (~1e-11 rel) is far below the 2dp rounding
+    * grid. The decimal hop is what keeps both engines on the same value
+    * (Spark HALF_UP round vs DuckDB rounding agree once snapped to 2dp). */
+  def avg2(c: Column): Column = out(round(avg(c), 2).cast(Money))
 
-  /** Round + cast with an arbitrary scale. */
-  def dec(c: Column, scale: Int): Column = round(c, scale).cast(DecimalType(18, scale))
+  /** Round + snap to a decimal grid at arbitrary scale; INTERNAL decimal
+    * form — safe to `sum()` exactly. Convert with [[out]] at the edge. */
+  def decIn(c: Column, scale: Int): Column = round(c, scale).cast(DecimalType(18, scale))
+
+  /** Round + snap to a decimal grid at arbitrary scale, emitted as DOUBLE. */
+  def dec(c: Column, scale: Int): Column = out(decIn(c, scale))
 
   def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
   def dateStr(c: Column): Column = date_format(c, "yyyy-MM-dd")

@@ -28,13 +28,18 @@ object ClaimMapping {
   val AsOfKey = "graft.as_of_date"
   val AsOfDefault = "2026-01-15"
 
-  /** Parse raw documents in a narrow mapPartitions stage (S2). */
+  /** Parse raw documents in a narrow mapPartitions stage (S2). Each input
+    * string may be a bare 837 transaction or a full ISA/GS interchange
+    * carrying many ST..SE transactions — the flatMap split keeps one file
+    * -> N ClaimDocs without any shuffle. */
   def parseDocs(spark: SparkSession, raw: Dataset[String]): Dataset[ClaimDoc] = {
     import spark.implicits._
-    raw.mapPartitions(_.map(Edi837Parser.parse))
+    raw.mapPartitions(_.flatMap(d =>
+      Edi837Parser.splitInterchange(d).iterator.map(Edi837Parser.parse)))
   }
 
-  /** Read one-document-per-file EDI text (S1) and parse. */
+  /** Read whole-file EDI text (S1) and parse; one file may carry a full
+    * multi-transaction interchange. */
   def readDocs(spark: SparkSession, dir: String): Dataset[ClaimDoc] = {
     import spark.implicits._
     parseDocs(spark, spark.read.option("wholetext", "true").textFile(dir))
@@ -54,9 +59,11 @@ object ClaimMapping {
   private def dtpValue(c: Column, qual: String): Column =
     elemAt(filter(c.getField("dtps"), d => d.getField("qual") === qual), 1).getField("value")
 
-  /** Money parse mirroring Ruby `.to_f` (nil -> 0.0) then DECIMAL(12,2). */
+  /** Money parse mirroring Ruby `.to_f` (nil -> 0.0): snap to the 2dp
+    * decimal grid, then emit DOUBLE (final outputs are never DECIMAL — the
+    * driver's hash canonicalization is float-repr based; see graft.Canon). */
   private def toMoney(c: Column): Column =
-    coalesce(c.cast("double"), lit(0.0)).cast(MoneyType)
+    coalesce(c.cast("double"), lit(0.0)).cast(MoneyType).cast("double")
 
   /** DMG-guarded sex mapping (hcc:294/306-308): M -> male else female, but
     * only when the DMG segment exists at all. */
@@ -221,7 +228,7 @@ object ClaimMapping {
       formatPostalCode(c.getField("l2310c").getField("zip")).as("service_facility_zip"),
       // outside lab (hcc:209-211): charges only set when > 0
       (lab > 0).as("outside_lab"),
-      when(lab > 0, lab.cast(MoneyType)).otherwise(lit(null).cast(MoneyType))
+      when(lab > 0, lab.cast(MoneyType).cast("double")).otherwise(lit(null).cast("double"))
         .as("outside_lab_charges"))
   }
 

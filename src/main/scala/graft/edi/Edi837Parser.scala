@@ -38,6 +38,36 @@ object Edi837Parser {
     }
   }
 
+  /** Split a raw X12 interchange into per-transaction ST..SE documents, so
+    * one file can carry N claims documents (real claims feeds ship
+    * ISA/GS-enveloped interchanges with many transactions — a 100 TB feed
+    * is never one-transaction-per-file). Envelope segments (ISA, GS, GE,
+    * IEA) carry no mapped data and are dropped; a file with no ST at all
+    * passes through unchanged so bare-transaction fixtures keep working.
+    * Row-local (string walk, no allocation beyond the per-transaction
+    * buffers) — runs inside the same narrow mapPartitions stage as `parse`.
+    */
+  def splitInterchange(raw: String): Seq[String] = {
+    val segs = raw.split('~').iterator.map(_.trim).filter(_.nonEmpty).toArray
+    val out = ArrayBuffer[String]()
+    var cur: ArrayBuffer[String] = null
+    var sawSt = false
+    segs.foreach { seg =>
+      seg.takeWhile(_ != '*') match {
+        case "ST" =>
+          if (cur != null) out += cur.mkString("", "~", "~") // unterminated ST..
+          sawSt = true
+          cur = ArrayBuffer(seg)
+        case "SE" =>
+          if (cur != null) { cur += seg; out += cur.mkString("", "~", "~"); cur = null }
+        case "ISA" | "GS" | "GE" | "IEA" => () // envelope only
+        case _ => if (cur != null) cur += seg
+      }
+    }
+    if (cur != null) out += cur.mkString("", "~", "~")
+    if (!sawSt) Seq(raw) else out.toSeq
+  }
+
   private def tokenize(doc: String): Seq[Seg] =
     doc.split('~').iterator
       .map(_.trim)

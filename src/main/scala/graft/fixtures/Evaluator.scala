@@ -21,8 +21,10 @@ object Evaluator {
     if (s == null) null else Date.valueOf(LocalDate.parse(s, D8))
   private def d8o(o: Option[String]): Date = o.map(d8).orNull
 
-  private def money(o: Option[String]): java.math.BigDecimal =
-    new java.math.BigDecimal(o.getOrElse("0")).setScale(2)
+  /** Snap to 2dp then emit Double, mirroring the engine's
+    * `cast(DECIMAL(12,2)).cast("double")` edge conversion exactly. */
+  private def money(o: Option[String]): java.lang.Double =
+    new java.math.BigDecimal(o.getOrElse("0")).setScale(2).doubleValue()
 
   /** X2 (hcc:180-186). */
   private def fmtZip(z: String): String =
@@ -151,14 +153,18 @@ object Evaluator {
         c.facilityParty.flatMap(_.n4).map(_._2).orNull,
         c.facilityParty.flatMap(_.n4).map(n => fmtZip(n._3)).orNull,
         lab > 0,
-        if (lab > 0) new java.math.BigDecimal(lab).setScale(2, java.math.RoundingMode.HALF_UP) else null)
+        // BigDecimal.valueOf = Double.toString-based, matching Spark's
+        // double->decimal cast (shortest-repr, HALF_UP) before the double edge
+        if (lab > 0) java.math.BigDecimal.valueOf(lab)
+          .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue(): java.lang.Double
+        else null)
     }
   }
 
   private def strField(n: String) = StructField(n, StringType)
   private def dateField(n: String) = StructField(n, DateType)
   private def boolField(n: String) = StructField(n, BooleanType)
-  private def moneyField(n: String) = StructField(n, DecimalType(12, 2))
+  private def moneyField(n: String) = StructField(n, DoubleType)
 
   val claimsSchema: StructType = StructType(Seq(
     strField("claim_id"),
@@ -268,6 +274,38 @@ object Evaluator {
 
   val diagnosesSchema: StructType = StructType(Seq(
     strField("claim_id"), StructField("slot", IntegerType), strField("icd9_code")))
+
+  // ---- media features (L5 oracle: the stub featurizer re-computed in ----
+  // plain Scala straight from the rendered fixture bytes) ------------------
+
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def mediaFeatureRows(d: DocSpec): Row = {
+    val bytes = ClaimFixtures.render(d).getBytes("UTF-8")
+    // byte histogram, float arithmetic in the same order as the engine stub
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) % 16) += 1f; i += 1 }
+    val total = math.max(1f, bytes.length.toFloat)
+    var j = 0
+    while (j < 16) { hist(j) /= total; j += 1 }
+    var s = 0.0
+    j = 0
+    while (j < 16) { s += hist(j); j += 1 }
+    val kind =
+      if (bytes.length >= 2 && bytes(0) == 'S' && bytes(1) == 'T') "x12" else "bin"
+    Row(s"${d.docId}.txt", bytes.length.toLong, kind,
+      round4(hist(0).toDouble), round4(s))
+  }
+
+  val mediaFeaturesSchema: StructType = StructType(Seq(
+    strField("file_name"), StructField("n_bytes", LongType), strField("kind"),
+    StructField("f0", DoubleType), StructField("feature_sum", DoubleType)))
+
+  def expectedMediaFeatures(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(corpus.map(mediaFeatureRows), 2), mediaFeaturesSchema)
 
   // ---- media manifest (L5 oracle: expected bytes/hashes per EDI file) ----
 

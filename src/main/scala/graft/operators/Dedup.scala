@@ -57,16 +57,29 @@ object Dedup {
           s"transform(sequence(1, length(__lt) - ${n - 1}), i -> substring(__lt, i, $n))"
         ))).as("s"))
 
+  /** Document-count cap for the exact all-pairs Jaccard form; larger
+    * corpora auto-route through MinHash-LSH candidates. */
+  val MaxExactDocs = 65536L
+
   /** n-gram Jaccard over pre-exploded shingle rows (doc_id, s): all pairs
-    * (da < db) with jaccard >= threshold, exact. Picks the bitmap or
-    * inverted-index strategy from the corpus' distinct-shingle statistic.
-    * This is the exact all-pairs path (the oracle); at 100 TB feed
-    * MinHashLSH.candidatePairs into `jaccardForPairs` instead.
+    * (da < db) with jaccard >= threshold. While the corpus holds fewer than
+    * `maxExact` documents this is exact (bitmap or inverted-index strategy,
+    * picked from the distinct-shingle statistic); beyond that the operator
+    * auto-switches to MinHashLSH banded candidates + exact refine, so the
+    * all-pairs plan can't be reached accidentally at 100 TB. Both switches
+    * are one-scalar runtime statistics — operator-level AQE.
     */
-  def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(
+      shingles: DataFrame, threshold: Double, maxExact: Long = MaxExactDocs): DataFrame = {
+    if (shingles.select(col("doc_id")).distinct().count() > maxExact)
+      return MinHashLSH.nearDuplicatePairs(shingles, threshold)
     // the strategy statistic + bitmap build scan the shingle set multiple
-    // times; cache the exploded form across those actions
-    val sh = shingles.cache()
+    // times; materialize the exploded form once. localCheckpoint (not
+    // .cache()): CacheManager pins cached plans for the JVM's lifetime,
+    // which leaked storage memory across back-to-back registry runs —
+    // checkpoint blocks are dropped by the ContextCleaner once the
+    // DataFrame is unreferenced.
+    val sh = shingles.localCheckpoint()
     shingleDict(sh) match {
       case Some(d) => jaccardBitmap(bitmaps(sh, d), None, threshold)
       case None    => jaccardInverted(sh, threshold)
@@ -117,10 +130,11 @@ object Dedup {
     */
   private def jaccardBitmap(
       bm0: DataFrame, pairs: Option[DataFrame], threshold: Double): DataFrame = {
-    // both join branches consume the same one-row-per-doc aggregate; cache
-    // it so the bitmap build isn't executed once per branch (exchange reuse
-    // does not reliably fire across differently-projected subtrees)
-    val bm = bm0.cache()
+    // both join branches consume the same one-row-per-doc aggregate;
+    // materialize it so the bitmap build isn't executed once per branch
+    // (exchange reuse does not reliably fire across differently-projected
+    // subtrees). localCheckpoint, not cache — see jaccardPairs.
+    val bm = bm0.localCheckpoint()
     val nWords = bm.columns.count(_.startsWith("w"))
     val a = bm.select(col("doc_id").as("da") +: col("n").as("na") +:
       (0 until nWords).map(w => col(s"w$w").as(s"a$w")): _*)

@@ -65,4 +65,50 @@ object SimHash {
       .groupBy(col("h"))
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** Candidate pairs from 4x16-bit banding: two signatures at Hamming
+    * distance <= 3 differ in at most 3 of the 4 bands, so by pigeonhole
+    * they agree exactly on at least one band — a bucket equi-join on
+    * (band, key) finds every such pair without touching the n^2 space.
+    * Same shape as MinHashLSH.candidatePairs: shuffle on the band key,
+    * bucket-local joins, linear in bucket sizes at 100 TB.
+    */
+  def bandedCandidates(packed: DataFrame): DataFrame = {
+    val mask = lit(0xffffL)
+    val banded = packed.select(
+      col("doc_id"),
+      posexplode(array(
+        col("lo").bitwiseAND(mask),
+        shiftright(col("lo"), 16).bitwiseAND(mask),
+        col("hi").bitwiseAND(mask),
+        shiftright(col("hi"), 16).bitwiseAND(mask))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("da"))
+    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("db"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"))
+      .distinct()
+  }
+
+  /** Production near-dup path: banded candidates refined by the exact
+    * Hamming distance. Total recall for maxDist <= 3 (the pigeonhole
+    * bound); the all-pairs `hammingHistogram` stays an sf<=0.1 oracle.
+    * Returns (da, db, h) with h <= maxDist.
+    */
+  def nearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, s"4x16-bit banding only guarantees recall for Hamming <= 3, got $maxDist")
+    // signatures feed both the band keys and the refine join; materialize
+    // once (localCheckpoint, reclaimable — see Dedup.jaccardPairs)
+    val p = packed(docs, idCol, textCol).localCheckpoint()
+    val a = p.select(col("doc_id").as("da"), col("lo").as("la"), col("hi").as("ha"))
+    val b = p.select(col("doc_id").as("db"), col("lo").as("lb"), col("hi").as("hb"))
+    bandedCandidates(p)
+      .join(a, Seq("da")).join(b, Seq("db"))
+      .select(col("da"), col("db"),
+        (bit_count(col("la").bitwiseXOR(col("lb"))) +
+          bit_count(col("ha").bitwiseXOR(col("hb")))).as("h"))
+      .filter(col("h") <= maxDist)
+  }
 }

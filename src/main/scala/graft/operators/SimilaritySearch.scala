@@ -45,14 +45,51 @@ object SimilaritySearch {
   }
 
   /** All pairs (a < b) with cosine >= threshold — embedding near-dup.
-    * Exact all-pairs form; prune with `lshBucketed` candidates at scale.
+    * The exact all-pairs form runs only while the corpus fits under
+    * `maxExact` rows; past that the operator auto-switches to the
+    * hyperplane-bucketed candidate path (same result shape, recall
+    * tuned ~1 at near-dup thresholds) so the O(n^2) plan can't be reached
+    * accidentally at scale — the same operator-level adaptive switch
+    * Dedup applies between its bitmap and inverted strategies.
     */
-  def nearDuplicates(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+  def nearDuplicates(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      maxExact: Long = 65536): DataFrame =
+    if (df.count() > maxExact) nearDuplicatesBucketed(df, idCol, vecCol, threshold)
+    else nearDuplicatesExact(df, idCol, vecCol, threshold)
+
+  /** The exact O(n^2) form — oracle / small-corpus path. */
+  private[operators] def nearDuplicatesExact(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
     val a = base.select(col("id").as("ka"), col("v").as("va"), col("nrm").as("na"))
     val b = base.select(col("id").as("kb"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("ka") < col("kb"))
+      .select(col("ka"), col("kb"),
+        round(cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Scale path: hyperplane-bucket candidate pairs (bucket equi-join, never
+    * all-pairs) refined by the exact cosine. Recall per pair at angle t is
+    * 1-(1-(1-t/pi)^numBits)^numTables — 32 tables x 4 bits gives ~0.999 at
+    * cos 0.45; raise numTables for tighter guarantees.
+    */
+  def nearDuplicatesBucketed(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      numBits: Int = 4, numTables: Int = 32): DataFrame = {
+    val keyed = hyperplaneBuckets(df, vecCol, numBits, numTables)
+      .select(col(idCol).as("id"), col("bucket"))
+    val cand = keyed.select(col("id").as("ka"), col("bucket"))
+      .join(keyed.select(col("id").as("kb"), col("bucket")), Seq("bucket"))
+      .filter(col("ka") < col("kb"))
+      .select(col("ka"), col("kb")).distinct()
+    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    cand
+      .join(base.select(col("id").as("ka"), col("v").as("va"), col("nrm").as("na")), Seq("ka"))
+      .join(base.select(col("id").as("kb"), col("v").as("vb"), col("nrm").as("nb")), Seq("kb"))
       .select(col("ka"), col("kb"),
         round(cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")), 4).as("cos"))
       .filter(col("cos") >= threshold)

@@ -18,7 +18,7 @@ object EventQueries {
       "q29_tumbling_window",
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         |       event_type, count(*)::BIGINT AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     ) { (spark, dir) =>
       import spark.implicits._
@@ -69,7 +69,7 @@ object EventQueries {
         |  SELECT user_id, sid, count(*) AS n FROM sessions GROUP BY user_id, sid
         |)
         |SELECT user_id, count(*)::BIGINT AS n_sessions,
-        |       CAST(round(avg(n), 2) AS DECIMAL(18,2)) AS avg_events
+        |       CAST(CAST(round(avg(n), 2) AS DECIMAL(18,2)) AS DOUBLE) AS avg_events
         |FROM per_session GROUP BY user_id ORDER BY user_id""",
     ) { (spark, dir) =>
       import spark.implicits._
@@ -104,7 +104,7 @@ object EventQueries {
     QueryDef(
       "q33_stream_static_join",
       """SELECT c_mktsegment, count(*)::BIGINT AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1 ORDER BY 1""",
     ) { (spark, dir) =>

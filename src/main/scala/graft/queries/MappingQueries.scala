@@ -35,7 +35,8 @@ object MappingQueries {
         "claims.parquet" -> (() => Evaluator.expectedClaims(spark)),
         "claim_services.parquet" -> (() => Evaluator.expectedServices(spark)),
         "claim_diagnoses.parquet" -> (() => Evaluator.expectedDiagnoses(spark)),
-        "media_manifest.parquet" -> (() => Evaluator.expectedManifest(spark)))
+        "media_manifest.parquet" -> (() => Evaluator.expectedManifest(spark)),
+        "media_features.parquet" -> (() => Evaluator.expectedMediaFeatures(spark)))
       tables.foreach { case (name, df) =>
         val path = s"${ClaimFixtures.ExpectedDir}/$name"
         if (force || missing(path))
@@ -84,18 +85,21 @@ object MappingQueries {
         graft.operators.Multimodal.readBinaryDir(spark, ClaimFixtures.EdiDir, "*.txt"))
         .orderBy(col("file_name"))
     },
-    // L5 stub decode path: schema/batching contract only -> rows-only check
-    QueryDef.noOracle("q46_media_features") { (spark, _) =>
+    // L5 stub decode path, hash-gated against the evaluator's plain-Scala
+    // re-computation of the same deterministic featurizer (q45 pattern)
+    QueryDef(
+      "q46_media_features",
+      s"${expected("media_features")} ORDER BY file_name",
+    ) { (spark, _) =>
+      import org.apache.spark.sql.functions.{aggregate, element_at, lit, round}
       ensure(spark)
       graft.operators.Multimodal.extractFeatures(spark,
         graft.operators.Multimodal.readBinaryDir(spark, ClaimFixtures.EdiDir, "*.txt"))
         .toDF()
-        .select(col("fileName"), col("nBytes"), col("kind"),
-          org.apache.spark.sql.functions.round(
-            org.apache.spark.sql.functions.aggregate(col("features"),
-              org.apache.spark.sql.functions.lit(0.0d),
-              (a, x) => a + x), 4).as("feature_sum"))
-        .orderBy(col("fileName"))
+        .select(col("fileName").as("file_name"), col("nBytes").as("n_bytes"), col("kind"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
+          round(aggregate(col("features"), lit(0.0d), (a, x) => a + x), 4).as("feature_sum"))
+        .orderBy(col("file_name"))
     },
   )
 }

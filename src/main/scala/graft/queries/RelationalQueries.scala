@@ -21,7 +21,7 @@ object RelationalQueries {
     QueryDef(
       "q01_filter_scan",
       """SELECT count(*)::BIGINT AS n_rows,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'""",
     ) { (spark, dir) =>
@@ -37,7 +37,7 @@ object RelationalQueries {
     QueryDef(
       "q02_project_topk",
       """SELECT l_orderkey, l_linenumber,
-        |       CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS DECIMAL(18,2)) AS revenue
+        |       CAST(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
         |FROM lineitem
         |ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 100""",
     ) { (spark, dir) =>
@@ -55,12 +55,12 @@ object RelationalQueries {
     QueryDef(
       "q03_groupby_agg",
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
-        |       CAST(round(avg(l_quantity), 2) AS DECIMAL(18,2)) AS avg_qty,
-        |       CAST(round(avg(l_extendedprice), 2) AS DECIMAL(18,2)) AS avg_price,
-        |       CAST(round(avg(l_discount), 4) AS DECIMAL(18,4)) AS avg_disc,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_disc_price,
+        |       CAST(CAST(round(avg(l_quantity), 2) AS DECIMAL(18,2)) AS DOUBLE) AS avg_qty,
+        |       CAST(CAST(round(avg(l_extendedprice), 2) AS DECIMAL(18,2)) AS DOUBLE) AS avg_price,
+        |       CAST(CAST(round(avg(l_discount), 4) AS DECIMAL(18,4)) AS DOUBLE) AS avg_disc,
         |       count(*)::BIGINT AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
@@ -72,7 +72,7 @@ object RelationalQueries {
         .agg(
           sumMoney($"l_quantity").as("sum_qty"),
           sumMoney($"l_extendedprice").as("sum_base_price"),
-          sum(discounted($"l_extendedprice", $"l_discount")).cast(Money).as("sum_disc_price"),
+          out(round(sum(discounted($"l_extendedprice", $"l_discount")), 2).cast(Money)).as("sum_disc_price"),
           avg2($"l_quantity").as("avg_qty"),
           avg2($"l_extendedprice").as("avg_price"),
           dec(avg($"l_discount"), 4).as("avg_disc"),
@@ -120,7 +120,7 @@ object RelationalQueries {
     QueryDef(
       "q06_cube",
       """SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n_orders,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |       GROUPING(o_orderstatus, o_orderpriority) AS gid
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
@@ -138,7 +138,7 @@ object RelationalQueries {
     QueryDef(
       "q07_star_join",
       """SELECT r_name, n_name, count(*)::BIGINT AS n_orders,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -162,7 +162,7 @@ object RelationalQueries {
     QueryDef(
       "q08_factfact_join",
       """SELECT o_orderstatus, count(*)::BIGINT AS n_lines,
-        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DECIMAL(18,2)) AS revenue
+        |       CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     ) { (spark, dir) =>
@@ -173,7 +173,7 @@ object RelationalQueries {
           $"o_orderkey" === $"l_orderkey")
         .groupBy($"o_orderstatus")
         .agg(count(lit(1)).as("n_lines"),
-          sum(discounted($"l_extendedprice", $"l_discount")).cast(Money).as("revenue"))
+          out(round(sum(discounted($"l_extendedprice", $"l_discount")), 2).cast(Money)).as("revenue"))
         .orderBy($"o_orderstatus")
     },
 
@@ -375,12 +375,12 @@ object RelationalQueries {
     // ---- Q17: global top-k ------------------------------------------------
     QueryDef(
       "q17_topk_orders",
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
     ) { (spark, dir) =>
       import spark.implicits._
       Tables(spark, dir).orders
-        .select($"o_orderkey", money($"o_totalprice").as("o_totalprice"))
+        .select($"o_orderkey", out(money($"o_totalprice")).as("o_totalprice"))
         .orderBy($"o_totalprice".desc, $"o_orderkey")
         .limit(20)
     },
@@ -407,7 +407,7 @@ object RelationalQueries {
     QueryDef(
       "q19_window_lag",
       """SELECT o_custkey, o_orderkey,
-        |       CAST(round(o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS DECIMAL(18,2)) AS delta
+        |       CAST(CAST(round(o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS DECIMAL(18,2)) AS DOUBLE) AS delta
         |FROM orders ORDER BY o_custkey, o_orderkey""",
     ) { (spark, dir) =>
       import spark.implicits._
@@ -424,7 +424,7 @@ object RelationalQueries {
       """SELECT o_custkey, o_orderkey,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_total
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
         |FROM orders ORDER BY o_custkey, o_orderkey""",
     ) { (spark, dir) =>
       import spark.implicits._
@@ -432,7 +432,7 @@ object RelationalQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables(spark, dir).orders
         .select($"o_custkey", $"o_orderkey",
-          sum(money($"o_totalprice")).over(w).cast(Money).as("run_total"))
+          out(sum(money($"o_totalprice")).over(w)).as("run_total"))
         .orderBy($"o_custkey", $"o_orderkey")
     },
 
@@ -440,7 +440,7 @@ object RelationalQueries {
     QueryDef(
       "q21_window_topk_per_group",
       """SELECT l_orderkey, l_linenumber, price, rn FROM (
-        |  SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |  SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
         |         row_number() OVER (PARTITION BY l_orderkey
         |                            ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC, l_linenumber) AS rn
         |  FROM lineitem
@@ -449,7 +449,7 @@ object RelationalQueries {
       import spark.implicits._
       val w = Window.partitionBy($"l_orderkey").orderBy(money($"l_extendedprice").desc, $"l_linenumber")
       Tables(spark, dir).lineitem
-        .select($"l_orderkey", $"l_linenumber", money($"l_extendedprice").as("price"),
+        .select($"l_orderkey", $"l_linenumber", out(money($"l_extendedprice")).as("price"),
           row_number().over(w).as("rn"))
         .filter($"rn" <= 2)
         .orderBy($"l_orderkey", $"rn")
@@ -514,17 +514,17 @@ object RelationalQueries {
     QueryDef(
       "q24_math_funcs",
       """SELECT o_orderkey % 7 AS bucket, count(*)::BIGINT AS n,
-        |       CAST(sum(CAST(round(sqrt(o_totalprice), 4) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_sqrt,
-        |       CAST(sum(CAST(round(ln(o_totalprice), 4) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_ln,
-        |       CAST(round(max(abs(o_totalprice - 100000)), 2) AS DECIMAL(18,2)) AS max_abs_dev
+        |       CAST(sum(CAST(round(sqrt(o_totalprice), 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_sqrt,
+        |       CAST(sum(CAST(round(ln(o_totalprice), 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_ln,
+        |       CAST(CAST(round(max(abs(o_totalprice - 100000)), 2) AS DECIMAL(18,2)) AS DOUBLE) AS max_abs_dev
         |FROM orders GROUP BY 1 ORDER BY 1""",
     ) { (spark, dir) =>
       import spark.implicits._
       Tables(spark, dir).orders
         .groupBy(pmod($"o_orderkey", lit(7)).as("bucket"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(sqrt($"o_totalprice"), 4)).cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("sum_sqrt"),
-          sum(dec(log($"o_totalprice"), 4)).cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("sum_ln"),
+          out(sum(decIn(sqrt($"o_totalprice"), 4))).as("sum_sqrt"),
+          out(sum(decIn(log($"o_totalprice"), 4))).as("sum_ln"),
           dec(max(abs($"o_totalprice" - 100000)), 2).as("max_abs_dev"))
         .orderBy($"bucket")
     },
@@ -575,7 +575,7 @@ object RelationalQueries {
         |            ELSE 'xl' END AS band,
         |       coalesce(nullif(o_orderpriority, '3-MEDIUM'), 'none') AS prio,
         |       count(*)::BIGINT AS n,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
     ) { (spark, dir) =>
       import spark.implicits._
@@ -631,6 +631,39 @@ object RelationalQueries {
           greatest(round($"c_acctbal", 0), lit(0)).cast("double").as("g"),
           least(round($"c_acctbal", 0), lit(5000)).cast("double").as("l"))
         .orderBy($"c_custkey")
+    },
+
+    // ---- Q52: union / unionByName (O4) ------------------------------------
+    QueryDef(
+      "q52_union",
+      """WITH u AS (
+        |  SELECT c_custkey AS key, c_name AS name, 'customer' AS src FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey AS key, s_name AS name, 'supplier' AS src FROM supplier
+        |  UNION ALL
+        |  SELECT n_nationkey AS key, n_name AS name, NULL AS src FROM nation
+        |)
+        |SELECT src, count(*)::BIGINT AS n,
+        |       CAST(sum(key) AS BIGINT) AS key_checksum,
+        |       min(name) AS min_name, max(name) AS max_name
+        |FROM u GROUP BY src ORDER BY src NULLS FIRST""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      val cust = t.customer.select($"c_custkey".as("key"), $"c_name".as("name"),
+        lit("customer").as("src"))
+      val supp = t.supplier.select($"s_suppkey".as("key"), $"s_name".as("name"),
+        lit("supplier").as("src"))
+      // nation deliberately lacks `src`: unionByName(allowMissingColumns)
+      // null-fills it, exercising by-name (not positional) resolution
+      val nat = t.nation.select($"n_nationkey".as("key"), $"n_name".as("name"))
+      cust.union(supp) // positional union-all; no shuffle, plain concat
+        .unionByName(nat, allowMissingColumns = true)
+        .groupBy($"src")
+        .agg(count(lit(1)).as("n"),
+          sum($"key").cast("long").as("key_checksum"),
+          min($"name").as("min_name"), max($"name").as("max_name"))
+        .orderBy($"src".asc_nulls_first)
     },
 
     // ---- Q28: coalesce fallback chain (F1–F3 analog) ----------------------

@@ -17,6 +17,12 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TextQueries {
 
+  /** Expected-fingerprint parquet for q44b: sf-dependent, so it is written
+    * by the query builder at run time (not committed like the EDI
+    * fixtures) to a fixed path the static oracle SQL can reference. */
+  val FingerprintExpected: String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_expected/fingerprint.parquet"
+
   /** Shared DuckDB shingle CTE (3-gram, set semantics). DuckDB 1.0's
     * generate_series only takes constants, hence the bound+filter form.
     */
@@ -35,7 +41,7 @@ object TextQueries {
   private val jaccardOracle =
     s"""WITH $shingleCte
        |SELECT da, db,
-       |       CAST(round(i * 1.0 / (sa.n + sb.n - i), 4) AS DECIMAL(18,4)) AS jaccard
+       |       CAST(CAST(round(i * 1.0 / (sa.n + sb.n - i), 4) AS DECIMAL(18,4)) AS DOUBLE) AS jaccard
        |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
        |ORDER BY da, db""".stripMargin
@@ -105,6 +111,34 @@ object TextQueries {
         .orderBy($"h")
     },
 
+    // ---- Q34c: banded SimHash near-dup pairs (L2 scale path) — must equal
+    // the exact Hamming pair set at distance <= 3 ----------------------------
+    QueryDef(
+      "q34c_simhash_banded",
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, t.tok FROM documents, unnest(string_split(text, ' ')) t(tok)
+        |  WHERE t.tok <> ''
+        |), bits AS (
+        |  SELECT doc_id, g.p::INT AS pos,
+        |         ((strpos('0123456789abcdef', substr(md5(tok), (g.p::INT // 4) + 1, 1)) - 1)
+        |           >> (3 - (g.p::INT % 4))) & 1 AS bit
+        |  FROM tok, generate_series(0, 63) g(p)
+        |), sim AS (
+        |  SELECT doc_id, pos, CASE WHEN sum(2 * bit - 1) >= 0 THEN 1 ELSE 0 END AS sbit
+        |  FROM bits GROUP BY doc_id, pos
+        |)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |       sum(CASE WHEN a.sbit <> b.sbit THEN 1 ELSE 0 END)::BIGINT AS h
+        |FROM sim a JOIN sim b ON a.pos = b.pos AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING h <= 3
+        |ORDER BY da, db""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      SimHash.nearDuplicates(Tables(spark, dir).documents, "doc_id", "text", maxDist = 3)
+        .select($"da", $"db", $"h".cast("long").as("h"))
+        .orderBy($"da", $"db")
+    },
+
     // ---- Q35: exact n-gram Jaccard near-dup pairs (L2 oracle) -------------
     QueryDef("q35_jaccard_pairs", jaccardOracle) { (spark, dir) =>
       import spark.implicits._
@@ -137,13 +171,13 @@ object TextQueries {
         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
         |  FROM p
         |)
-        |SELECT qid, rn, cid, CAST(cos AS DECIMAL(18,4)) AS cos
+        |SELECT qid, rn, cid, CAST(CAST(cos AS DECIMAL(18,4)) AS DOUBLE) AS cos
         |FROM r WHERE rn <= 5 ORDER BY qid, rn""",
     ) { (spark, dir) =>
       import spark.implicits._
       val e = Tables(spark, dir).embeddings
       SimilaritySearch.topK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
-        .select($"qid", $"rn", $"cid", $"cos".cast(DecimalType(18, 4)).as("cos"))
+        .select($"qid", $"rn", $"cid", out($"cos".cast(DecimalType(18, 4))).as("cos"))
         .orderBy($"qid", $"rn")
     },
 
@@ -153,14 +187,14 @@ object TextQueries {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
         |SELECT a.vec_id AS ka, b.vec_id AS kb,
-        |       CAST(round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS DECIMAL(18,4)) AS cos
+        |       CAST(CAST(round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS DECIMAL(18,4)) AS DOUBLE) AS cos
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.45
         |ORDER BY ka, kb""",
     ) { (spark, dir) =>
       import spark.implicits._
       SimilaritySearch.nearDuplicates(Tables(spark, dir).embeddings, "vec_id", "embedding", 0.45)
-        .select($"ka", $"kb", $"cos".cast(DecimalType(18, 4)).as("cos"))
+        .select($"ka", $"kb", out($"cos".cast(DecimalType(18, 4))).as("cos"))
         .orderBy($"ka", $"kb")
     },
 
@@ -197,9 +231,9 @@ object TextQueries {
         |  GROUP BY 1, 2
         |)
         |SELECT lang, count(*)::BIGINT AS n_docs,
-        |       CAST(round(avg(n_tok), 2) AS DECIMAL(18,2)) AS avg_tokens,
-        |       CAST(round(avg(n_stop * 1.0 / n_tok), 4) AS DECIMAL(18,4)) AS stopword_ratio,
-        |       CAST(round(avg(avg_len), 2) AS DECIMAL(18,2)) AS avg_token_len
+        |       CAST(CAST(round(avg(n_tok), 2) AS DECIMAL(18,2)) AS DOUBLE) AS avg_tokens,
+        |       CAST(CAST(round(avg(n_stop * 1.0 / n_tok), 4) AS DECIMAL(18,4)) AS DOUBLE) AS stopword_ratio,
+        |       CAST(CAST(round(avg(avg_len), 2) AS DECIMAL(18,2)) AS DOUBLE) AS avg_token_len
         |FROM per_doc GROUP BY lang ORDER BY lang""",
     ) { (spark, dir) =>
       import spark.implicits._
@@ -222,7 +256,7 @@ object TextQueries {
     QueryDef(
       "q38_lang_source_stats",
       """SELECT lang, source, count(*)::BIGINT AS n_docs,
-        |       CAST(round(avg(n_chars), 2) AS DECIMAL(18,2)) AS avg_chars,
+        |       CAST(CAST(round(avg(n_chars), 2) AS DECIMAL(18,2)) AS DOUBLE) AS avg_chars,
         |       max(n_chars) AS max_chars
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
     ) { (spark, dir) =>
@@ -329,10 +363,19 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
-    // ---- q44b: xxhash64 rolling fingerprint has no DuckDB equivalent ->
-    // rows-only check --------------------------------------------------------
-    QueryDef.noOracle("q44b_fingerprint") { (spark, dir) =>
+    // ---- q44b: xxhash64 rolling fingerprint. DuckDB has no xxhash64, so
+    // the oracle reads an expected parquet computed by an INDEPENDENT
+    // plain-Scala XXH64 (graft.fixtures.XxHash64Ref, public spec) over the
+    // same documents — written fresh per run since the input is the sf dir.
+    QueryDef(
+      "q44b_fingerprint",
+      s"SELECT doc_id, fingerprint FROM read_parquet('$FingerprintExpected/*.parquet') ORDER BY doc_id",
+    ) { (spark, dir) =>
       import spark.implicits._
+      Tables(spark, dir).documents.select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) => (id, graft.fixtures.XxHash64Ref.fingerprint(t)) })
+        .toDF("doc_id", "fingerprint")
+        .coalesce(1).write.mode("overwrite").parquet(FingerprintExpected)
       Tables(spark, dir).documents
         .select($"doc_id", TextFunctions.fingerprint($"text").as("fingerprint"))
         .orderBy($"doc_id")

@@ -39,7 +39,10 @@ object EventStreams {
       .schema(eventSchema)
       .option("maxFilesPerTrigger", filesPerTrigger)
       .json(dir)
-      .withColumn("ts", timestamp_micros(col("ts_ns") / 1000 cast LongType))
+      // integer division, same as Tables.events: double division at
+      // epoch-nanos magnitude (ulp = 256ns) can land 1µs below the true
+      // microsecond and break exact batch/stream agreement
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
       .drop("ts_ns")
 
   /** T1+T2: watermarked tumbling 1h window — count + sum(value). */
@@ -97,6 +100,9 @@ object EventStreams {
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserProfile(user_id: Long, n_events: Long, total_value: Double)
 
+  /** Idle horizon after which per-user state is dropped (T6 variants). */
+  val IdleTimeoutMs: Long = 3600000L
+
   /** T6: arbitrary stateful processing — running per-user event count and
     * value total via mapGroupsWithState. State is one small record per user
     * key, partitioned across executors; timeout is event-time based so idle
@@ -112,13 +118,23 @@ object EventStreams {
       .groupByKey(_.user_id)
       .mapGroupsWithState[UserProfile, UserProfile](GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserProfile]) =>
-          val prev = state.getOption.getOrElse(UserProfile(uid, 0L, 0.0))
-          var n = prev.n_events
-          var tot = prev.total_value
-          rows.foreach { e => n += 1; tot += e.value }
-          val next = UserProfile(uid, n, tot)
-          state.update(next)
-          next
+          if (state.hasTimedOut) {
+            // idle user aged out: flush the final profile and drop the state
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserProfile(uid, 0L, 0.0))
+            var n = prev.n_events
+            var tot = prev.total_value
+            rows.foreach { e => n += 1; tot += e.value }
+            val next = UserProfile(uid, n, tot)
+            state.update(next)
+            // re-armed on every batch with data for this user; fires once
+            // the watermark passes last-seen + 1h, bounding state size
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + IdleTimeoutMs)
+            next
+          }
       }
       .toDF()
   }
@@ -128,15 +144,30 @@ object EventStreams {
     * StatefulProcessor, RocksDB-backed state store required. Same running
     * per-user profile semantics as `userProfiles` — equivalence asserted in
     * StreamingSpec.
+    *
+    * State bounding: pass `stateTtl = Some(horizon)` to age idle users out
+    * via the state store's native TTL. TTL is processing-time based (the
+    * only mode TTLConfig supports), and processing-time mode keeps the
+    * micro-batch loop running timer-evaluation batches even with no new
+    * data — correct for a 24/7 production stream, but a drain-the-source
+    * harness (`processAllAvailable`) would never see the stream go idle.
+    * Hence the default is `None`: event-time-bounded state belongs to
+    * `userProfiles` (mapGroupsWithState + EventTimeTimeout); TWS + TTL is
+    * the long-running-cluster configuration.
     */
-  def userProfilesTws(spark: SparkSession, events: DataFrame): DataFrame = {
+  def userProfilesTws(
+      spark: SparkSession,
+      events: DataFrame,
+      stateTtl: Option[java.time.Duration] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+    val ttlConfig = stateTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+    val timeMode = if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     class ProfileProcessor extends StatefulProcessor[Long, UserEvent, UserProfile] {
       @transient private var state: org.apache.spark.sql.streaming.ValueState[UserProfile] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
         state = getHandle.getValueState[UserProfile](
-          "profile", implicitly[org.apache.spark.sql.Encoder[UserProfile]], TTLConfig.NONE)
+          "profile", implicitly[org.apache.spark.sql.Encoder[UserProfile]], ttlConfig)
       override def handleInputRows(
           uid: Long, rows: Iterator[UserEvent], timers: TimerValues): Iterator[UserProfile] = {
         val prev = Option(state.get()).getOrElse(UserProfile(uid, 0L, 0.0))
@@ -153,7 +184,7 @@ object EventStreams {
       .select(col("user_id"), col("ts"), col("value"))
       .as[UserEvent]
       .groupByKey(_.user_id)
-      .transformWithState(new ProfileProcessor, TimeMode.None(), OutputMode.Update())
+      .transformWithState(new ProfileProcessor, timeMode, OutputMode.Update())
       .toDF()
   }
 

@@ -149,6 +149,30 @@ class Edi837ParserSpec extends AnyFunSuite {
     assert(orphan.docId == "DX" && orphan.claims.isEmpty)
   }
 
+  test("splitInterchange yields one document per ST..SE transaction") {
+    import graft.fixtures.ClaimFixtures
+    val docs = ClaimFixtures.corpus.take(3).map(ClaimFixtures.render)
+    // wrap three transactions in a full ISA/GS envelope, the shape a real
+    // claims feed ships (one file, many transactions)
+    val interchange =
+      "ISA*00*          *00*          *ZZ*SENDER         *ZZ*RECEIVER       " +
+        "*260101*0101*^*00501*000000001*0*P*:~" +
+        "GS*HC*SENDER*RECEIVER*20260101*0101*1*X*005010X222A1~" +
+        docs.mkString("") +
+        "GE*3*1~IEA*1*000000001~"
+    val split = Edi837Parser.splitInterchange(interchange)
+    assert(split.length == 3)
+    val parsed = split.map(Edi837Parser.parse)
+    val direct = docs.map(Edi837Parser.parse)
+    assert(parsed == direct) // envelope handling changes nothing per-doc
+  }
+
+  test("splitInterchange passes a bare transaction through unchanged") {
+    assert(Edi837Parser.splitInterchange(doc) == Seq(doc) ||
+      Edi837Parser.parse(Edi837Parser.splitInterchange(doc).head) == Edi837Parser.parse(doc))
+    assert(Edi837Parser.splitInterchange("no x12 here") == Seq("no x12 here"))
+  }
+
   test("absent segments stay null (auto-vivification analog)") {
     val minimal = Edi837Parser.parse(
       "ST*837*D0~HL*1**20*1~NM1*85*2*ORG~HL*2*1*22*0~SBR*P*18*******MC~" +

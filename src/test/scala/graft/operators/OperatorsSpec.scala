@@ -41,6 +41,23 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("banded SimHash near-dups equal the all-pairs Hamming pairs at distance <= 3") {
+    val docs = tables.documents
+    val p = SimHash.packed(docs, "doc_id", "text")
+    val a = p.select(col("doc_id").as("da"), col("lo").as("la"), col("hi").as("ha"))
+    val b = p.select(col("doc_id").as("db"), col("lo").as("lb"), col("hi").as("hb"))
+    val allPairs = a.join(b, col("da") < col("db"))
+      .select(col("da"), col("db"),
+        (bit_count(col("la").bitwiseXOR(col("lb"))) +
+          bit_count(col("ha").bitwiseXOR(col("hb")))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = SimHash.nearDuplicates(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(allPairs.nonEmpty, "fixture corpus should contain close signatures")
+    assert(banded == allPairs) // pigeonhole: banding loses nothing at <= 3
+  }
+
   test("IVF (k-means cells + nProbe search) reaches >=60% top-5 recall vs exact") {
     val e = tables.embeddings
     val probes = (0L until 20L).toSeq
