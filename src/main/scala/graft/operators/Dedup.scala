@@ -74,12 +74,12 @@ object Dedup {
     if (shingles.select(col("doc_id")).distinct().count() > maxExact)
       return MinHashLSH.nearDuplicatePairs(shingles, threshold)
     // the strategy statistic + bitmap build scan the shingle set multiple
-    // times; materialize the exploded form once. localCheckpoint (not
-    // .cache()): CacheManager pins cached plans for the JVM's lifetime,
-    // which leaked storage memory across back-to-back registry runs —
-    // checkpoint blocks are dropped by the ContextCleaner once the
-    // DataFrame is unreferenced.
-    val sh = shingles.localCheckpoint()
+    // times; cache the exploded form across those actions. Lazy .cache()
+    // (an eager localCheckpoint costs a full extra materialization pass —
+    // measured 2x on the LSH pipeline at sf0.1); the session that runs
+    // back-to-back operator pipelines is responsible for
+    // spark.catalog.clearCache() between them, as Bench/Verify do.
+    val sh = shingles.cache()
     shingleDict(sh) match {
       case Some(d) => jaccardBitmap(bitmaps(sh, d), None, threshold)
       case None    => jaccardInverted(sh, threshold)
@@ -130,11 +130,11 @@ object Dedup {
     */
   private def jaccardBitmap(
       bm0: DataFrame, pairs: Option[DataFrame], threshold: Double): DataFrame = {
-    // both join branches consume the same one-row-per-doc aggregate;
-    // materialize it so the bitmap build isn't executed once per branch
-    // (exchange reuse does not reliably fire across differently-projected
-    // subtrees). localCheckpoint, not cache — see jaccardPairs.
-    val bm = bm0.localCheckpoint()
+    // both join branches consume the same one-row-per-doc aggregate; cache
+    // it so the bitmap build isn't executed once per branch (exchange reuse
+    // does not reliably fire across differently-projected subtrees).
+    // Cache-release contract: see jaccardPairs.
+    val bm = bm0.cache()
     val nWords = bm.columns.count(_.startsWith("w"))
     val a = bm.select(col("doc_id").as("da") +: col("n").as("na") +:
       (0 until nWords).map(w => col(s"w$w").as(s"a$w")): _*)

@@ -63,17 +63,16 @@ object MinHashLSH {
 
   /** Distinct candidate pairs (da < db) from banded signatures. */
   def candidatePairs(signatures: DataFrame, bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
-    // materialized: both sides of the bucket self-join read this (one
-    // signature aggregation, not two). localCheckpoint rather than .cache()
-    // so the blocks are reclaimable once the query's DataFrame goes out of
-    // scope (CacheManager entries survive the whole JVM otherwise).
+    // cached: both sides of the bucket self-join read this (one signature
+    // aggregation, not two). Cache-release contract: see
+    // Dedup.jaccardPairs.
     val banded = signatures.select(
       col("doc_id"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
-      .localCheckpoint()
+      .cache()
     val a = banded.select(col("band"), col("bkey"), col("doc_id").as("da"))
     val b = banded.select(col("band"), col("bkey"), col("doc_id").as("db"))
     a.join(b, Seq("band", "bkey"))
@@ -92,10 +91,10 @@ object MinHashLSH {
       bands: Int = 32,
       rowsPerBand: Int = 4): DataFrame = {
     // The pipeline scans the shingle set several times (signature agg, the
-    // dictionary statistic, the refine join) — materialize the exploded form
-    // once rather than re-deriving it from the source per action.
-    // localCheckpoint, not cache — see Dedup.jaccardPairs.
-    val sh = shingles.localCheckpoint()
+    // dictionary statistic, the refine join) — cache the exploded form once
+    // rather than re-deriving it from the source per action.
+    // Cache-release contract: see Dedup.jaccardPairs.
+    val sh = shingles.cache()
     val cand = candidatePairs(signatures(sh, numPerms), bands, rowsPerBand)
     Dedup.jaccardForPairs(sh, cand, threshold)
   }

@@ -100,8 +100,8 @@ object SimHash {
       docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, s"4x16-bit banding only guarantees recall for Hamming <= 3, got $maxDist")
     // signatures feed both the band keys and the refine join; materialize
-    // once (localCheckpoint, reclaimable — see Dedup.jaccardPairs)
-    val p = packed(docs, idCol, textCol).localCheckpoint()
+    // once (cache-release contract: see Dedup.jaccardPairs)
+    val p = packed(docs, idCol, textCol).cache()
     val a = p.select(col("doc_id").as("da"), col("lo").as("la"), col("hi").as("ha"))
     val b = p.select(col("doc_id").as("db"), col("lo").as("lb"), col("hi").as("hb"))
     bandedCandidates(p)

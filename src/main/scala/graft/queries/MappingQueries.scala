@@ -85,6 +85,38 @@ object MappingQueries {
         graft.operators.Multimodal.readBinaryDir(spark, ClaimFixtures.EdiDir, "*.txt"))
         .orderBy(col("file_name"))
     },
+    // S5: the PDF sink, checked as a round trip — claims are rendered to
+    // CMS-1500 PDFs on the executors (foreachPartition file writes), the
+    // PDFs are read back via binaryFile and field values are extracted
+    // from their form coordinates; the oracle recomputes the same fields
+    // (incl. the box-28 total and page count) from the evaluator parquet.
+    QueryDef(
+      "q53_pdf_render",
+      s"""WITH s AS (
+         |  SELECT claim_id, count(*) AS n_lines,
+         |         CAST(round(sum(CAST(charges AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_charge
+         |  FROM read_parquet('${ClaimFixtures.ExpectedDir}/claim_services.parquet/*.parquet')
+         |  GROUP BY claim_id
+         |)
+         |SELECT c.claim_id,
+         |       CAST(GREATEST(CEIL(COALESCE(s.n_lines, 0) / 6.0), 1) AS INT) AS n_pages,
+         |       c.patient_name,
+         |       strftime(c.patient_date_of_birth, '%m/%d/%Y') AS patient_dob,
+         |       c.insured_name,
+         |       c.diagnosis_code_1 AS diagnosis_1,
+         |       COALESCE(s.total_charge, 0.0) AS total_charge
+         |FROM read_parquet('${ClaimFixtures.ExpectedDir}/claims.parquet/*.parquet') c
+         |LEFT JOIN s USING (claim_id)
+         |ORDER BY c.claim_id""".stripMargin,
+    ) { (spark, _) =>
+      ensure(spark)
+      val docs = ClaimMapping.readDocs(spark, ClaimFixtures.EdiDir)
+      val dir = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_pdf_out"
+      graft.operators.Cms1500Sink.write(
+        ClaimMapping.claims(spark, docs),
+        ClaimMapping.claimServices(spark, docs), dir)
+      graft.operators.Cms1500Sink.parsed(spark, dir).orderBy(col("claim_id"))
+    },
     // L5 stub decode path, hash-gated against the evaluator's plain-Scala
     // re-computation of the same deterministic featurizer (q45 pattern)
     QueryDef(
