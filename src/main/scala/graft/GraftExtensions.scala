@@ -55,6 +55,7 @@ object GraftExtensions {
     ("get_name", 4, cs => ClaimFunctions.getName(cs(0), cs(1), cs(2), cs(3))),
     ("x12_date", 1, cs => ClaimFunctions.x12Date(cs.head)),
     ("token_count", 1, cs => TextFunctions.tokenCount(cs.head)),
+    ("bpe_token_count", 1, cs => TextFunctions.bpeTokenCount(cs.head)),
     ("stopword_ratio", 1, cs => TextFunctions.stopwordRatio(cs.head)),
     ("quality_score", 1, cs => TextFunctions.qualityScore(cs.head)),
     ("language_id", 1, cs => TextFunctions.languageId(cs.head)),

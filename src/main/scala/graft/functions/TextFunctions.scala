@@ -22,6 +22,21 @@ object TextFunctions {
   /** Token count without exploding (stays row-local). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style pre-tokenizer pattern (the public BPE vocab spec's
+    * regex, minus its `\s+(?!\S)` lookahead so the same pattern runs on
+    * RE2-based engines — the DuckDB oracle among them): contractions,
+    * letter runs, digit runs, and punctuation runs, each with an
+    * optional leading space. Whitespace itself is not a token.
+    */
+  val BpeTokenPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish token count — the pre-merge token stream length a
+    * GPT-2-family tokenizer would start from; row-local regex count,
+    * no explode, codegen'd.
+    */
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpeTokenPattern))
+
   /** Tokens with stopwords removed. */
   def normalizedTokens(text: Column, stopwords: Seq[String] = DefaultStopwords): Column =
     filter(alphaTokens(text), t => !t.isin(stopwords: _*))

@@ -380,5 +380,20 @@ object TextQueries {
         .select($"doc_id", TextFunctions.fingerprint($"text").as("fingerprint"))
         .orderBy($"doc_id")
     },
+
+    // ---- q44c: BPE-ish pre-tokenizer count, differential across two
+    // regex engines (Spark regexp_count = Java regex, oracle
+    // regexp_extract_all = RE2) running the same lookahead-free pattern.
+    QueryDef(
+      "q44c_bpe_tokens",
+      s"""SELECT doc_id,
+         |       len(regexp_extract_all(text, '${TextFunctions.BpeTokenPattern.replace("'", "''")}'))::INT AS n_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).documents
+        .select($"doc_id", TextFunctions.bpeTokenCount($"text").as("n_bpe"))
+        .orderBy($"doc_id")
+    },
   )
 }

@@ -20,6 +20,11 @@ class EngineSurfaceSpec extends SparkSpec {
     val fromJson = spark.read.schema(schema).json(s"$dir/json")
     assert(fromCsv.exceptAll(region).count() == 0 && region.exceptAll(fromCsv).count() == 0)
     assert(fromJson.exceptAll(region).count() == 0 && region.exceptAll(fromJson).count() == 0)
+    // ORC: the other columnar format Spark ships natively; round-trips
+    // with predicate pushdown support like parquet
+    region.write.mode("overwrite").orc(s"$dir/orc")
+    val fromOrc = spark.read.schema(schema).orc(s"$dir/orc")
+    assert(fromOrc.exceptAll(region).count() == 0 && region.exceptAll(fromOrc).count() == 0)
   }
 
   test("S6: partitionBy sink + partition pruning on read") {

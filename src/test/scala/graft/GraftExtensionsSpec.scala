@@ -21,6 +21,7 @@ class GraftExtensionsSpec extends SparkSpec {
         |       get_name('1', 'DOE', 'JANE', 'Q') AS nm,
         |       x12_date('20260115') AS d,
         |       token_count('a quick brown fox') AS tc,
+        |       bpe_token_count('Hello, world! don''t') AS bpe,
         |       language_id('the cat and the dog went to the market and that') AS lang,
         |       doc_fingerprint('abcdefghij') AS fp
         |FROM one""".stripMargin).collect().head
@@ -29,6 +30,8 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getAs[String]("nm") == "DOE, JANE, Q")
     assert(row.getAs[java.sql.Date]("d") == java.sql.Date.valueOf("2026-01-15"))
     assert(row.getAs[Int]("tc") == 4)
+    // "Hello" "," " world" "!" " don" "'t" -> 6 pre-merge tokens
+    assert(row.getAs[Int]("bpe") == 6)
     assert(row.getAs[String]("lang") == "en")
     // fingerprint: same value as the Column API on the same input
     import s.implicits._
