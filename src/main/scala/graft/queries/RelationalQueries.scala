@@ -666,6 +666,28 @@ object RelationalQueries {
         .orderBy($"src".asc_nulls_first)
     },
 
+    // ---- Q54: exact percentiles (A battery extra). Integer-valued input
+    // keeps the linear interpolation bit-exact in both engines (sums and
+    // scaled differences of <2^53 integers are exact doubles), so the
+    // continuous quantile hash-matches with no rounding shim.
+    QueryDef(
+      "q54_percentiles",
+      """SELECT o_orderstatus, count(*)::BIGINT AS n,
+        |       quantile_cont(o_custkey, 0.25) AS p25,
+        |       quantile_cont(o_custkey, 0.5) AS p50,
+        |       quantile_cont(o_custkey, 0.9) AS p90
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).orders
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          percentile($"o_custkey", lit(0.25)).as("p25"),
+          percentile($"o_custkey", lit(0.5)).as("p50"),
+          percentile($"o_custkey", lit(0.9)).as("p90"))
+        .orderBy($"o_orderstatus")
+    },
+
     // ---- Q28: coalesce fallback chain (F1–F3 analog) ----------------------
     QueryDef(
       "q28_coalesce_chain",

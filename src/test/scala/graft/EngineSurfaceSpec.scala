@@ -130,6 +130,14 @@ class EngineSurfaceSpec extends SparkSpec {
     assert(a.exceptAll(b).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
   }
 
+  test("A5 extra: percentile_approx within 1% of the exact percentile") {
+    val row = tables.orders.agg(
+      percentile(col("o_totalprice"), lit(0.5)).as("exact"),
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx")).head()
+    val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.01, s"approx=$approx exact=$exact")
+  }
+
   test("A5: approx_count_distinct within 5% of exact") {
     val r = tables.orders
       .agg(countDistinct(col("o_custkey")).as("exact"),
