@@ -688,6 +688,31 @@ object RelationalQueries {
         .orderBy($"o_orderstatus")
     },
 
+    // ---- Q55: pivot (wide conditional aggregation). Spark's pivot with
+    // explicit values is exactly grouped FILTERed aggregation — no extra
+    // pass to discover the pivot domain — so the oracle states it that
+    // way portably.
+    QueryDef(
+      "q55_pivot",
+      """SELECT o_orderpriority,
+        |       count(*) FILTER (o_orderstatus = 'F')::BIGINT AS F_n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS F_rev,
+        |       count(*) FILTER (o_orderstatus = 'O')::BIGINT AS O_n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS O_rev,
+        |       count(*) FILTER (o_orderstatus = 'P')::BIGINT AS P_n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS P_rev
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).orders
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"), sumMoney($"o_totalprice").as("rev"))
+        // empty pivot cell: Spark emits null, COUNT FILTER emits 0 — align
+        .na.fill(0L, Seq("F_n", "O_n", "P_n"))
+        .orderBy($"o_orderpriority")
+    },
+
     // ---- Q28: coalesce fallback chain (F1–F3 analog) ----------------------
     QueryDef(
       "q28_coalesce_chain",

@@ -188,6 +188,50 @@ object EventStreams {
       .toDF()
   }
 
+  /** T-extra: the foreachBatch merge/upsert sink — maintain a
+    * latest-event-per-user parquet table, merged per micro-batch. Each
+    * batch unions the incoming rows with the current table, keeps one
+    * deterministic winner per user (max ts, total tiebreak), writes to a
+    * staging directory, and swaps it in — the classic pattern for sinks
+    * Spark can't transactionally update in place. Per-batch cost is a
+    * key-partitioned window over table+delta; at warehouse scale the
+    * same batch function targets a MERGE-capable table format instead.
+    */
+  def upsertLatestPerUser(
+      events: DataFrame, tableDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val cols = Seq("user_id", "ts", "event_id", "event_type", "value")
+        val delta = batch.select(cols.map(col): _*)
+        val existing = java.nio.file.Files.exists(java.nio.file.Paths.get(tableDir))
+        val merged0 =
+          if (existing) s.read.parquet(tableDir).unionByName(delta) else delta
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val merged = merged0
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val staging = tableDir + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        // swap: the staged write is complete before the old table vanishes
+        if (existing) {
+          def rmRf(p: java.nio.file.Path): Unit = {
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.list(p).forEach(rmRf(_))
+            java.nio.file.Files.delete(p)
+          }
+          rmRf(java.nio.file.Paths.get(tableDir))
+        }
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(staging), java.nio.file.Paths.get(tableDir))
+        ()
+      }
+      .start()
+
   /** Run any of the above to an in-memory sink until the source drains;
     * returns the final table. Test/dev harness — production sinks are
     * writeStream.format("parquet")+checkpointLocation.

@@ -22,6 +22,26 @@ class StreamingSpec extends SparkSpec {
 
   private lazy val batchEvents = tables.events
 
+  test("T-extra: foreachBatch upsert maintains latest-event-per-user across batches") {
+    // separate replay with several files + filesPerTrigger=1 so the merge
+    // actually runs incrementally (first batch creates, later ones merge)
+    val inDir = Files.createTempDirectory("events_upsert_in").toString
+    StreamFixtures.writeReplayDir(spark, sfDir, inDir, nFiles = 3)
+    val events = EventStreams.readReplay(spark, inDir, filesPerTrigger = 1)
+    val tableDir = Files.createTempDirectory("events_upsert").toString + "/latest"
+    val ckpt = Files.createTempDirectory("events_upsert_ckpt").toString
+    val q = EventStreams.upsertLatestPerUser(events, tableDir, ckpt)
+    q.processAllAvailable(); q.stop()
+    val result = spark.read.parquet(tableDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    val expected = batchEvents
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    assert(result.count() == expected.count())
+    assert(result.exceptAll(expected).count() == 0 && expected.exceptAll(result).count() == 0)
+  }
+
   test("T2 tumbling window converges to the batch aggregation") {
     val streamed = EventStreams.runToMemory(
       spark, EventStreams.tumbling(replay), "t2_tumbling", OutputMode.Complete())
