@@ -40,6 +40,43 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Connected components over an undirected near-dup pair set: assigns
+    * every vertex appearing in `pairs` the minimum doc_id reachable
+    * through the pair graph, as `cluster_id` — the step that turns
+    * pairwise near-dup detection into dedup groups. Iterative min-label
+    * propagation: each round joins labels across edges (key-partitioned,
+    * no driver-side graph) and keeps the per-vertex minimum; rounds
+    * needed = component diameter, which for near-dup clusters (dense,
+    * transitively similar) is small. Per round the result is
+    * localCheckpoint'ed — iterative self-joins otherwise grow the plan
+    * lineage exponentially — and convergence is one scalar count.
+    */
+  def clusters(
+      pairs: DataFrame, aCol: String = "da", bCol: String = "db", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val viaEdge = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val next = labels.union(viaEdge)
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      converged = next.alias("n")
+        .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .isEmpty
+      labels = next
+      it += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIter rounds")
+    labels
+  }
+
   /** Distinct n-character shingles per document: (doc_id, s) rows.
     * Shingling is row-local (transform over a sequence — no shuffle);
     * array_distinct applies set semantics before the explode so the

@@ -395,5 +395,39 @@ object TextQueries {
         .select($"doc_id", TextFunctions.bpeTokenCount($"text").as("n_bpe"))
         .orderBy($"doc_id")
     },
+
+    // ---- q56: near-dup clusters (L2 completion) — connected components
+    // over the exact Jaccard pair graph; every doc gets the min doc_id of
+    // its component (singletons cluster to themselves). Oracle = the same
+    // pair set closed transitively with a recursive CTE.
+    QueryDef(
+      "q56_neardup_clusters",
+      s"""WITH RECURSIVE $shingleCte,
+         |pairs AS (
+         |  SELECT da, db
+         |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+         |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+         |),
+         |edges AS (SELECT da AS src, db AS dst FROM pairs
+         |          UNION SELECT db, da FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.dst AS id, reach.r FROM edges e JOIN reach ON e.src = reach.id
+         |),
+         |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
+         |ORDER BY d.doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val pairs = Dedup.jaccardPairs(Dedup.charShingles(docs, "doc_id", "text"), 0.7)
+      val cl = Dedup.clusters(pairs)
+      docs.select($"doc_id")
+        .join(cl.withColumnRenamed("cluster_id", "__cl"), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"__cl", $"doc_id").as("cluster_id"))
+        .orderBy($"doc_id")
+    },
   )
 }

@@ -41,6 +41,18 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("clusters assigns each vertex the min id of its connected component") {
+    import spark.implicits._
+    // two components {1,2,3} (via 1-2, 2-3) and {5,6}; a path 10-11-12-13-14
+    // needs several propagation rounds end-to-end
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("da", "db")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L)
+    assert(got == expected)
+  }
+
   test("banded SimHash near-dups equal the all-pairs Hamming pairs at distance <= 3") {
     val docs = tables.documents
     val p = SimHash.packed(docs, "doc_id", "text")
