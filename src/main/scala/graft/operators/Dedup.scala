@@ -63,8 +63,19 @@ object Dedup {
     while (!converged && it < maxIter) {
       val viaEdge = edges.join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("cluster_id"))
-      val next = labels.union(viaEdge)
+      val propagated = labels.union(viaEdge)
         .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+      // pointer jumping: follow each vertex's label to ITS label
+      // (label(v) <- label(label(v))), so label distance to the component
+      // minimum halves per round — convergence in O(log diameter) rounds
+      // instead of O(diameter), which is what keeps long-chain components
+      // viable on a 100 TB pair graph
+      val ptr = propagated.select(
+        col("doc_id").as("__t"), col("cluster_id").as("__tl"))
+      val next = propagated
+        .join(ptr, propagated("cluster_id") === ptr("__t"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__tl"), col("cluster_id")).as("cluster_id"))
         .localCheckpoint()
       converged = next.alias("n")
         .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
