@@ -713,6 +713,50 @@ object RelationalQueries {
         .orderBy($"o_orderpriority")
     },
 
+    // ---- Q57: salted skew join (J-battery extra). Salting is result-
+    // invariant — the oracle is the plain join — so the gate proves the
+    // skew mechanics (per-row fact salt, dim exploded factor ways,
+    // (key, salt) join) change nothing but the partition distribution.
+    QueryDef(
+      "q57_salted_join",
+      """SELECT c_mktsegment, count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      graft.operators.SaltedJoin.inner(
+        t.events, t.customer.select($"c_custkey", $"c_mktsegment"),
+        $"user_id", $"c_custkey", factor = 8)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), sumMoney($"value").as("sum_value"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // ---- Q58: explicit GROUPING SETS (A6 generalization beyond
+    // rollup/cube: an arbitrary set list incl. the grand total), driven
+    // through the engine's SQL entry — Catalyst expands it to the same
+    // Expand + single-shuffle aggregate as the Column-API rollup.
+    QueryDef(
+      "q58_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,
+        |       GROUPING(o_orderstatus, o_orderpriority) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    ) { (spark, dir) =>
+      Tables(spark, dir).orders.createOrReplaceTempView("orders_v")
+      // Spark's bitmask form is GROUPING_ID (GROUPING is single-column);
+      // DuckDB's multi-arg GROUPING returns the same bitmask
+      spark.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          |       GROUPING_ID(o_orderstatus, o_orderpriority) AS gid
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+          |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    },
+
     // ---- Q28: coalesce fallback chain (F1–F3 analog) ----------------------
     QueryDef(
       "q28_coalesce_chain",
