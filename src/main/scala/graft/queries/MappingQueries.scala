@@ -112,6 +112,12 @@ object MappingQueries {
       ensure(spark)
       val docs = ClaimMapping.readDocs(spark, ClaimFixtures.EdiDir)
       val dir = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_pdf_out"
+      // stale PDFs from a previous corpus would leak extra rows into the
+      // read-back; start from an empty sink dir every run
+      val dirPath = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(dirPath)) {
+        java.nio.file.Files.list(dirPath).forEach(p => java.nio.file.Files.delete(p))
+      }
       graft.operators.Cms1500Sink.write(
         ClaimMapping.claims(spark, docs),
         ClaimMapping.claimServices(spark, docs), dir)

@@ -41,7 +41,6 @@ class Cms1500SinkSpec extends SparkSpec {
 
   test("service lines chunk into pages of 6 and the total lands on the last page") {
     ClaimFixtures.writeEdi() // no-op when fixtures exist
-    val parsed = graft.edi.Edi837Parser.parse(doc)
     val spark2 = spark
     import spark2.implicits._
     val docs = ClaimMapping.parseDocs(spark, spark.createDataset(Seq(doc)))
