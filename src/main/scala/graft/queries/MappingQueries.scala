@@ -116,7 +116,8 @@ object MappingQueries {
       // read-back; start from an empty sink dir every run
       val dirPath = java.nio.file.Paths.get(dir)
       if (java.nio.file.Files.exists(dirPath)) {
-        java.nio.file.Files.list(dirPath).forEach(p => java.nio.file.Files.delete(p))
+        val s = java.nio.file.Files.list(dirPath)
+        try s.forEach(p => java.nio.file.Files.delete(p)) finally s.close()
       }
       graft.operators.Cms1500Sink.write(
         ClaimMapping.claims(spark, docs),

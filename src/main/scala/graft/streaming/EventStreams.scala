@@ -220,8 +220,10 @@ object EventStreams {
         // swap: the staged write is complete before the old table vanishes
         if (existing) {
           def rmRf(p: java.nio.file.Path): Unit = {
-            if (java.nio.file.Files.isDirectory(p))
-              java.nio.file.Files.list(p).forEach(rmRf(_))
+            if (java.nio.file.Files.isDirectory(p)) {
+              val s = java.nio.file.Files.list(p)
+              try s.forEach(rmRf(_)) finally s.close()
+            }
             java.nio.file.Files.delete(p)
           }
           rmRf(java.nio.file.Paths.get(tableDir))
