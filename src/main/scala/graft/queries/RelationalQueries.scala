@@ -757,6 +757,36 @@ object RelationalQueries {
           |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
     },
 
+    // ---- Q59: correlated subqueries — EXISTS / NOT EXISTS decorrelate
+    // to semi/anti joins, the scalar subquery to a left-joined aggregate;
+    // the same SQL text runs in both engines.
+    QueryDef(
+      "q59_subqueries",
+      """SELECT c_custkey, c_name,
+        |       CAST(CAST((SELECT max(o_totalprice) FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey) AS DECIMAL(18,2)) AS DOUBLE) AS max_order
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |              AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey
+        |                  AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""",
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer.createOrReplaceTempView("customer")
+      t.orders.createOrReplaceTempView("orders")
+      spark.sql(
+        """SELECT c_custkey, c_name,
+          |       CAST(CAST((SELECT max(o_totalprice) FROM orders o
+          |                  WHERE o.o_custkey = c.c_custkey) AS DECIMAL(18,2)) AS DOUBLE) AS max_order
+          |FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          |              AND o.o_orderpriority = '1-URGENT')
+          |  AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey
+          |                  AND o2.o_orderstatus = 'F')
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
     // ---- Q28: coalesce fallback chain (F1–F3 analog) ----------------------
     QueryDef(
       "q28_coalesce_chain",
