@@ -787,6 +787,30 @@ object RelationalQueries {
           |ORDER BY c_custkey""".stripMargin)
     },
 
+    // ---- Q60: distribution window functions (W1 completion). percent_rank
+    // and cume_dist emit exact integer ratios — one IEEE division in both
+    // engines, bit-identical — so no rounding shim is needed.
+    QueryDef(
+      "q60_window_dist",
+      """SELECT o_custkey, o_orderkey,
+        |       percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS pr,
+        |       cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS cd,
+        |       nth_value(o_orderkey, 2) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+        |FROM orders ORDER BY o_custkey, o_orderkey""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(spark, dir).orders
+        .select($"o_custkey", $"o_orderkey",
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value($"o_orderkey", 2).over(full).as("second_key"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
     // ---- Q28: coalesce fallback chain (F1–F3 analog) ----------------------
     QueryDef(
       "q28_coalesce_chain",
