@@ -48,12 +48,18 @@ object Bench {
 
     val cold = pass("cold")
     val warm = pass("warm")
+    // Per-query times rounded to ms keep the summary line compact (~2.5 KB
+    // for 70 queries): the driver captures only a bounded tail of stdout, so
+    // the LAST line must carry the headline numbers and parse on its own.
+    // Cold per-query detail goes on its own earlier line — informative when
+    // captured, expendable when not.
     def obj(rs: Seq[(String, Double)]) =
-      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    def tot(rs: Seq[(String, Double)]) = f"${rs.map(_._2).sum}%.3f"
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${warm.map(_._2).sum},"unit":"sec",""" +
-      s""""queries":${obj(warm)},"cold_total":${cold.map(_._2).sum},""" +
-      s""""cold_queries":${obj(cold)},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"cold_detail","cold_total":${tot(cold)},"unit":"sec","cold_queries":${obj(cold)}}""")
+    println(s"""{"metric":"total","value":${tot(warm)},"unit":"sec","queries":${obj(warm)},""" +
+      s""""cold_total":${tot(cold)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

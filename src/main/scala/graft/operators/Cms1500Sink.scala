@@ -74,16 +74,23 @@ object Cms1500Sink {
     b.toString
   }
 
-  /** One page's content stream: form rules + absolutely positioned text. */
+  /** One page's content stream: form rules + absolutely positioned text.
+    * PDF operands use Locale.ROOT formatting — the f interpolator is
+    * locale-sensitive, and a comma-decimal executor locale (de_DE) would
+    * emit "36,0", an invalid PDF number.
+    */
+  private def num(v: Float): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Float.box(v))
+
   private def contentStream(
       texts: Seq[(Float, Float, Float, String)], rules: Seq[(Float, Float, Float, Float)]): String = {
     val sb = new StringBuilder
     rules.foreach { case (x, y, w, h) =>
-      sb.append(f"0.5 w $x%.1f $y%.1f $w%.1f $h%.1f re S\n")
+      sb.append(s"0.5 w ${num(x)} ${num(y)} ${num(w)} ${num(h)} re S\n")
     }
     texts.foreach { case (x, y, size, t) =>
       if (t != null && t.nonEmpty)
-        sb.append(f"BT /F1 $size%.1f Tf 1 0 0 1 $x%.1f $y%.1f Tm (${esc(t)}) Tj ET\n")
+        sb.append(s"BT /F1 ${num(size)} Tf 1 0 0 1 ${num(x)} ${num(y)} Tm (${esc(t)}) Tj ET\n")
     }
     sb.toString
   }
@@ -115,7 +122,8 @@ object Cms1500Sink {
     }
     val xrefOff = out.size()
     w(s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n")
-    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    offsets.foreach(o =>
+      w(String.format(java.util.Locale.ROOT, "%010d 00000 n \n", Integer.valueOf(o))))
     w(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }

@@ -22,7 +22,52 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private[operators] val Prime = 2147483647L // 2^31 - 1, Mersenne
+
+  /** Per-(band, key) bucket size above which the all-pairs self-join is
+    * replaced by a star through the bucket's min-doc representative. A
+    * pathological corpus (thousands of boilerplate-identical documents)
+    * puts K docs in one bucket and K^2 candidate rows into the refine —
+    * the one shape banding doesn't bound. Docs sharing an oversized
+    * bucket are by construction near-identical, so linking each to the
+    * bucket representative (K-1 pairs, each still exactly refined)
+    * keeps the downstream cluster connected at linear cost.
+    */
+  val DefaultBucketCap = 1024
+
+  /** Candidate pairs from banded rows (doc_id, band, bkey) with the
+    * hot-bucket cap applied. Bucket statistics ride a window over the
+    * same (band, bkey) shuffle the self-join needs; buckets over `cap`
+    * are logged and star-joined, the rest all-pairs'd bucket-locally.
+    * Shared by MinHash banding and SimHash pigeonhole banding.
+    */
+  private[operators] def cappedBucketPairs(banded: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band"), col("bkey"))
+    // cached: the small-bucket self-join reads this twice and the
+    // overflow branch + its logging statistic once more. Cache-release
+    // contract: see Dedup.jaccardPairs.
+    val ann = banded
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__rep", min(col("doc_id")).over(w))
+      .cache()
+    val overflow = ann.filter(col("__cnt") > cap)
+    val overflowBuckets = overflow.select(col("band"), col("bkey")).distinct().count()
+    if (overflowBuckets > 0)
+      log.warn(s"capped $overflowBuckets hot LSH bucket(s) exceeding $cap docs: " +
+        "emitting representative-star pairs instead of all-pairs for those buckets")
+    val small = ann.filter(col("__cnt") <= cap)
+    val a = small.select(col("band"), col("bkey"), col("doc_id").as("da"))
+    val b = small.select(col("band"), col("bkey"), col("doc_id").as("db"))
+    val smallPairs = a.join(b, Seq("band", "bkey"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"))
+    val starPairs = overflow.filter(col("doc_id") =!= col("__rep"))
+      .select(col("__rep").as("da"), col("doc_id").as("db"))
+    smallPairs.union(starPairs).distinct()
+  }
 
   /** Universal-hash permutation parameters, fixed seeds => deterministic. */
   private def perms(numPerms: Int): Seq[(Long, Long)] = {
@@ -61,24 +106,19 @@ object MinHashLSH {
       .select(col("doc_id"), array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** Distinct candidate pairs (da < db) from banded signatures. */
-  def candidatePairs(signatures: DataFrame, bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
-    // cached: both sides of the bucket self-join read this (one signature
-    // aggregation, not two). Cache-release contract: see
-    // Dedup.jaccardPairs.
+  /** Distinct candidate pairs (da < db) from banded signatures, hot
+    * buckets capped at `bucketCap` (see [[cappedBucketPairs]]).
+    */
+  def candidatePairs(
+      signatures: DataFrame, bands: Int = 32, rowsPerBand: Int = 4,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val banded = signatures.select(
       col("doc_id"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
-      .cache()
-    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("da"))
-    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("db"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("da") < col("db"))
-      .select(col("da"), col("db"))
-      .distinct()
+    cappedBucketPairs(banded, bucketCap)
   }
 
   /** End-to-end near-dup pairs: LSH candidates refined by exact Jaccard.

@@ -71,9 +71,12 @@ object SimHash {
     * they agree exactly on at least one band — a bucket equi-join on
     * (band, key) finds every such pair without touching the n^2 space.
     * Same shape as MinHashLSH.candidatePairs: shuffle on the band key,
-    * bucket-local joins, linear in bucket sizes at 100 TB.
+    * bucket-local joins, linear in bucket sizes at 100 TB, with the same
+    * hot-bucket cap (boilerplate-identical corpora would otherwise put
+    * K^2 rows through one bucket; see MinHashLSH.cappedBucketPairs).
     */
-  def bandedCandidates(packed: DataFrame): DataFrame = {
+  def bandedCandidates(
+      packed: DataFrame, bucketCap: Int = MinHashLSH.DefaultBucketCap): DataFrame = {
     val mask = lit(0xffffL)
     val banded = packed.select(
       col("doc_id"),
@@ -83,12 +86,7 @@ object SimHash {
         col("hi").bitwiseAND(mask),
         shiftright(col("hi"), 16).bitwiseAND(mask))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
-    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("da"))
-    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("db"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("da") < col("db"))
-      .select(col("da"), col("db"))
-      .distinct()
+    MinHashLSH.cappedBucketPairs(banded, bucketCap)
   }
 
   /** Production near-dup path: banded candidates refined by the exact

@@ -18,6 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object SimilaritySearch {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Physical strategy selector for [[nearDuplicates]]: `Auto` picks from
+    * the corpus row count and LOGS the choice; `Exact`/`Approx` pin it so
+    * the caller is never silently moved between exact and recall<1 results
+    * by data size alone.
+    */
+  sealed trait Mode
+  object Mode {
+    case object Auto extends Mode
+    case object Exact extends Mode
+    case object Approx extends Mode
+  }
+
   /** Exact cosine top-k. probes/candidates: (idCol, vecCol). Output:
     * (qid, rn, cid, cos) with rn in 1..k, cos rounded to 4dp, ties broken
     * by cid.
@@ -54,9 +68,20 @@ object SimilaritySearch {
     */
   def nearDuplicates(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      maxExact: Long = 65536): DataFrame =
-    if (df.count() > maxExact) nearDuplicatesBucketed(df, idCol, vecCol, threshold)
-    else nearDuplicatesExact(df, idCol, vecCol, threshold)
+      maxExact: Long = 65536, mode: Mode = Mode.Auto): DataFrame = mode match {
+    case Mode.Approx =>
+      log.info("nearDuplicates: mode=Approx (hyperplane-bucketed, recall < 1)")
+      nearDuplicatesBucketed(df, idCol, vecCol, threshold)
+    case Mode.Exact =>
+      nearDuplicatesExact(df, idCol, vecCol, threshold)
+    case Mode.Auto =>
+      val n = df.count()
+      if (n > maxExact) {
+        log.info(s"nearDuplicates: auto-switch to hyperplane buckets ($n rows > maxExact=" +
+          s"$maxExact); results are approximate (recall < 1) — pass mode=Exact to pin all-pairs")
+        nearDuplicatesBucketed(df, idCol, vecCol, threshold)
+      } else nearDuplicatesExact(df, idCol, vecCol, threshold)
+  }
 
   /** The exact O(n^2) form — oracle / small-corpus path. */
   private[operators] def nearDuplicatesExact(

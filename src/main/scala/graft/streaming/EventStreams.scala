@@ -196,6 +196,15 @@ object EventStreams {
     * Spark can't transactionally update in place. Per-batch cost is a
     * key-partitioned window over table+delta; at warehouse scale the
     * same batch function targets a MERGE-capable table format instead.
+    *
+    * Swap order is crash-safe: the current table is renamed ASIDE
+    * (`.old`) before staging moves in, and `.old` is deleted last — a
+    * crash at any point leaves either the table or its `.old` rename on
+    * disk, and the recovery step at batch start restores the rename, so
+    * the replayed batch merges against the full table instead of
+    * silently rebuilding from the delta alone (which would permanently
+    * drop every previously merged user). Delete-then-move would open
+    * exactly that window.
     */
   def upsertLatestPerUser(
       events: DataFrame, tableDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -203,36 +212,54 @@ object EventStreams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val s = batch.sparkSession
-        val cols = Seq("user_id", "ts", "event_id", "event_type", "value")
-        val delta = batch.select(cols.map(col): _*)
-        val existing = java.nio.file.Files.exists(java.nio.file.Paths.get(tableDir))
-        val merged0 =
-          if (existing) s.read.parquet(tableDir).unionByName(delta) else delta
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id"))
-          .orderBy(col("ts").desc, col("event_id").desc)
-        val merged = merged0
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-        val staging = tableDir + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        // swap: the staged write is complete before the old table vanishes
-        if (existing) {
-          def rmRf(p: java.nio.file.Path): Unit = {
-            if (java.nio.file.Files.isDirectory(p)) {
-              val s = java.nio.file.Files.list(p)
-              try s.forEach(rmRf(_)) finally s.close()
-            }
-            java.nio.file.Files.delete(p)
-          }
-          rmRf(java.nio.file.Paths.get(tableDir))
-        }
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(staging), java.nio.file.Paths.get(tableDir))
-        ()
+        mergeLatestBatch(batch, tableDir)
       }
       .start()
+
+  /** One micro-batch of the upsert sink: recover any interrupted swap,
+    * merge the delta against the current table, swap the staged result
+    * in. Package-private so the crash-window recovery is testable
+    * without orchestrating a mid-stream kill.
+    */
+  private[streaming] def mergeLatestBatch(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], tableDir: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    def rmRf(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.forEach(rmRf(_)) finally s.close()
+      }
+      Files.delete(p)
+    }
+    val tablePath = Paths.get(tableDir)
+    val oldPath = Paths.get(tableDir + ".old")
+    // recovery: a crash between rename-aside and staging-move leaves
+    // only `.old` — restore it; a crash after the staging move leaves
+    // a superseded `.old` next to the new table — drop it
+    if (Files.exists(oldPath)) {
+      if (!Files.exists(tablePath)) Files.move(oldPath, tablePath)
+      else rmRf(oldPath)
+    }
+    val s = batch.sparkSession
+    val cols = Seq("user_id", "ts", "event_id", "event_type", "value")
+    val delta = batch.select(cols.map(col): _*)
+    val existing = Files.exists(tablePath)
+    val merged0 =
+      if (existing) s.read.parquet(tableDir).unionByName(delta) else delta
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val merged = merged0
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val staging = tableDir + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    // swap: staged write complete -> rename table aside -> staging in
+    // -> drop the aside copy
+    if (existing) Files.move(tablePath, oldPath)
+    Files.move(Paths.get(staging), tablePath)
+    if (Files.exists(oldPath)) rmRf(oldPath)
+  }
 
   /** Run any of the above to an in-memory sink until the source drains;
     * returns the final table. Test/dev harness — production sinks are

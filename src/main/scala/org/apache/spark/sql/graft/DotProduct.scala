@@ -66,15 +66,18 @@ object DotProduct {
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
 
-/** Null-faithful variant used by [[RewriteHofDotProduct]] when element
-  * nullability can't be ruled out statically (Spark's parquet reader
-  * always reports containsNull=true): mirrors the exact semantics of
+/** Null-faithful variant emitted by [[RewriteHofDotProduct]]: mirrors
+  * the exact semantics of
   * `aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, el) -> acc + el)`
   * — unequal lengths null-pad the zip, and any null element
   * null-poisons the running sum, so the result is NULL in both cases.
-  * Same fused codegen loop as [[DotProduct]] plus a per-slot null bit
-  * test; the engine's own similarity paths keep the unchecked form
-  * (embeddings are contract-non-null and equal-dim).
+  * Note element non-nullability does NOT imply equal lengths (e.g.
+  * collect_list of a non-nullable column yields containsNull=false
+  * arrays of varying per-group length), so the length check is
+  * unconditional; the per-slot null-bit test is elided at codegen time
+  * when both element types are provably non-null. The engine's own
+  * similarity paths keep the unchecked [[DotProduct]] (embeddings are
+  * contract-non-null and equal-dim).
   */
 case class DotProductSafe(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -86,15 +89,21 @@ case class DotProductSafe(left: Expression, right: Expression)
 
   override def nullable: Boolean = true
 
+  private def elementsMayBeNull: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    val checkNulls = elementsMayBeNull
     var s = 0.0
     var i = 0
     while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -106,6 +115,10 @@ case class DotProductSafe(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val nullTest =
+        if (elementsMayBeNull)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -113,7 +126,7 @@ case class DotProductSafe(left: Expression, right: Expression)
          |} else {
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $nullTest
          |    $s += $a.getDouble($i) * $b.getDouble($i);
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $s;

@@ -17,12 +17,17 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * rewrite keeps the declarative spelling users reach for first and
   * gives them the tight fused loop.
   *
-  * Semantics: when both arrays' elements are provably non-nullable the
-  * unchecked [[DotProduct]] is emitted; otherwise [[DotProductSafe]],
-  * which reproduces the HOF form's null behavior exactly (any null
-  * element or a length mismatch nulls the result). The latter is the
-  * common case — Spark's parquet reader reports containsNull=true
-  * unconditionally — and costs one null-bit test per slot.
+  * Semantics: the rewrite always emits [[DotProductSafe]], which
+  * reproduces the HOF form's behavior exactly — any null element or a
+  * LENGTH MISMATCH nulls the result. Element non-nullability
+  * (containsNull=false, e.g. collect_list of a non-nullable column)
+  * does NOT imply equal lengths, so the unchecked [[DotProduct]] would
+  * silently turn the HOF form's NULL into a partial sum over min(len);
+  * DotProductSafe elides the per-slot null test at codegen time when
+  * both element types are provably non-null, so the only residual cost
+  * on that branch is one length comparison per row. The fully unchecked
+  * [[DotProduct]] is reserved for the engine's own call sites, where
+  * embeddings are contract-non-null and equal-dimension.
   */
 /** Column <-> Expression bridge for code outside the sql package (the
   * converters are private[sql]; this namespace trick is the same one
@@ -57,11 +62,6 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def nonNullElements(e: Expression): Boolean = e.dataType match {
-    case ArrayType(DoubleType, containsNull) => !containsNull
-    case _ => false
-  }
-
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ArrayAggregate(
         ZipWith(a, b, LambdaFunction(Multiply(m1, m2, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
@@ -70,7 +70,6 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
         LambdaFunction(fin: NamedLambdaVariable, Seq(facc: NamedLambdaVariable), _))
       if isVarPair(m1, m2, x, y) && isVarPair(s1, s2, acc, el) &&
         fin.exprId == facc.exprId && doubleArray(a) && doubleArray(b) =>
-      if (nonNullElements(a) && nonNullElements(b)) DotProduct(a, b)
-      else DotProductSafe(a, b)
+      DotProductSafe(a, b)
   }
 }

@@ -66,12 +66,38 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(optimized.expressions.exists(_.exists(_.isInstanceOf[DotProductSafe])),
       s"expected DotProductSafe in:\n$optimized")
     assert(hof.as[Double].collect().toSet == Set(32.0, 1.0))
-    // non-null element metadata (typed in-memory data) gets the unchecked form
+    // non-null element metadata does NOT imply equal lengths, so even the
+    // typed in-memory branch must get the length-checked variant — the
+    // unchecked DotProduct would turn the HOF form's NULL on a length
+    // mismatch into a partial min-length sum
     val typed = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
       .select(aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0d), (acc, x) => acc + x))
     val analyzed = typed.queryExecution.analyzed
     assert(org.apache.spark.sql.graft.RewriteHofDotProduct(analyzed)
-      .expressions.exists(_.exists(_.isInstanceOf[DotProduct])))
+      .expressions.exists(_.exists(_.isInstanceOf[DotProductSafe])))
+  }
+
+  test("length mismatch stays NULL even when elements are provably non-null") {
+    val s = session
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_len").toString
+    Seq((1, 1.0), (1, 2.0), (2, 3.0)).toDF("g", "x").write.mode("overwrite").parquet(dir)
+    // collect_list of a non-nullable expression yields containsNull=false
+    // arrays of varying per-group length — the branch that formerly got
+    // the unchecked DotProduct and silently summed over min(len)
+    val arrs = s.read.parquet(dir)
+      .groupBy($"g").agg(collect_list(coalesce($"x", lit(0.0))).as("v"))
+    assert(!arrs.schema("v").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val a = arrs.select($"g".as("ga"), $"v".as("va"))
+    val b = arrs.select($"g".as("gb"), $"v".as("vb"))
+    val hof = a.join(b, $"ga" < $"gb").select(
+      aggregate(zip_with($"va", $"vb", (x, y) => x * y), lit(0.0d), (acc, x) => acc + x).as("d"))
+    assert(hof.queryExecution.optimizedPlan
+      .expressions.exists(_.exists(_.isInstanceOf[DotProductSafe])))
+    val rows = hof.collect()
+    assert(rows.length == 1 && rows.head.isNullAt(0),
+      s"2-vs-1 length mismatch must be NULL, got ${rows.mkString(",")}")
   }
 
   test("rewritten dot product preserves the HOF null and length semantics") {

@@ -53,6 +53,46 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("clusters with a reliable checkpoint dir matches the localCheckpoint variant") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("da", "db")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val got = Dedup.clusters(pairs, checkpointDir = Some(dir)).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
+    // reliable checkpoints actually landed under the configured dir
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try assert(s.count() > 0, "expected checkpoint data under the configured dir")
+    finally s.close()
+  }
+
+  test("hot-bucket cap bounds candidates on a degenerate identical corpus, keeps it connected") {
+    import spark.implicits._
+    // 1000 boilerplate-identical docs: every (band, key) bucket holds all
+    // 1000 signatures, so uncapped candidate generation would emit
+    // ~499,500 pairs; the cap routes each bucket through its min-doc star
+    val docs = (1L to 1000L)
+      .map(i => (i, "all work and no play makes jack a dull boy"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.charShingles(docs, "doc_id", "text")
+    val sigs = MinHashLSH.signatures(sh, 32)
+    val capped = MinHashLSH.candidatePairs(sigs, bands = 8, rowsPerBand = 4, bucketCap = 64)
+    assert(capped.count() == 999, "expected one star pair per non-representative doc")
+    // connectivity survives the cap: still one cluster of all 1000 docs
+    val cl = Dedup.clusters(capped)
+    assert(cl.count() == 1000 &&
+      cl.select(col("cluster_id")).distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("bucket cap leaves the normal-corpus candidate set unchanged") {
+    val sh = Dedup.charShingles(tables.documents, "doc_id", "text")
+    val sigs = MinHashLSH.signatures(sh).cache()
+    def pairs(cap: Int) = MinHashLSH.candidatePairs(sigs, bucketCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(MinHashLSH.DefaultBucketCap) == pairs(Int.MaxValue))
+  }
+
   test("banded SimHash near-dups equal the all-pairs Hamming pairs at distance <= 3") {
     val docs = tables.documents
     val p = SimHash.packed(docs, "doc_id", "text")
