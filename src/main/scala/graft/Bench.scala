@@ -48,6 +48,42 @@ object Bench {
 
     val cold = pass("cold")
     val warm = pass("warm")
+
+    // Streaming claims-ingest catch-up: replicate the EDI fixture corpus
+    // 10x into a watched dir and time ClaimStreams.ingest draining it
+    // under Trigger.AvailableNow — the measured proof that ingest is
+    // executor-bound (stateless narrow stages + file-source listing), not
+    // coordination-bound. The fixture corpus exists by now: the q41/q53
+    // passes above materialize it.
+    val streamJson: String = try {
+      import java.nio.file.{Files, Paths}
+      val src = Paths.get(graft.fixtures.ClaimFixtures.EdiDir)
+      val tmp = Files.createTempDirectory("bench_stream")
+      val in = tmp.resolve("in"); Files.createDirectories(in)
+      var nFiles = 0
+      val listing = Files.list(src)
+      try listing.forEach { f =>
+        if (f.getFileName.toString.endsWith(".txt")) {
+          (0 until 10).foreach { r =>
+            Files.copy(f, in.resolve(s"r${r}_${f.getFileName}")); nFiles += 1
+          }
+        }
+      } finally listing.close()
+      val t0 = System.nanoTime()
+      val q = graft.streaming.ClaimStreams.ingest(
+        spark, in.toString, tmp.resolve("out").toString, tmp.resolve("ckpt").toString)
+      val finished = q.awaitTermination(600000L)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (!finished) { q.stop(); """null""" }
+      else {
+        val rows = spark.read.parquet(tmp.resolve("out").toString).count()
+        System.err.println(f"[bench:stream] ingest $nFiles files -> $rows claims in ${dt}%.2f s")
+        f"""{"files":$nFiles,"claims":$rows,"sec":${dt}%.3f}"""
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench:stream] ingest FAILED: ${e.getMessage}")
+      "null"
+    }
     // Per-query times rounded to ms keep the summary line compact (~2.5 KB
     // for 70 queries): the driver captures only a bounded tail of stdout, so
     // the LAST line must carry the headline numbers and parse on its own.
@@ -59,7 +95,8 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"cold_detail","cold_total":${tot(cold)},"unit":"sec","cold_queries":${obj(cold)}}""")
     println(s"""{"metric":"total","value":${tot(warm)},"unit":"sec","queries":${obj(warm)},""" +
-      s""""cold_total":${tot(cold)},"failed":$failedJson,"sf":"$sfDir"}""")
+      s""""cold_total":${tot(cold)},"stream_ingest":$streamJson,""" +
+      s""""failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

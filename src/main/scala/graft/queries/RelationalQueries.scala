@@ -591,14 +591,20 @@ object RelationalQueries {
         .orderBy($"band", $"prio")
     },
 
-    // ---- Q47: analytic windows (ntile, first/last_value) -------------------
+    // ---- Q47: analytic windows (ntile, first/last_value, lead, and a
+    // value-based RANGE frame — the count is frame-deterministic under
+    // date ties because RANGE includes peers by value, not row order) --------
     QueryDef(
       "q47_window_analytics",
       """SELECT o_custkey, o_orderkey,
         |       ntile(4) OVER w AS quartile,
         |       first_value(o_orderkey) OVER w AS first_key,
         |       last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+        |       lead(o_orderkey) OVER w AS next_key,
+        |       count(*) OVER (PARTITION BY o_custkey
+        |         ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
+        |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_orders_30d
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""",
@@ -606,11 +612,16 @@ object RelationalQueries {
       import spark.implicits._
       val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
       val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wRange = Window.partitionBy($"o_custkey")
+        .orderBy(datediff($"o_orderdate", lit("1992-01-01").cast("date")))
+        .rangeBetween(-30, Window.currentRow)
       Tables(spark, dir).orders
         .select($"o_custkey", $"o_orderkey",
           ntile(4).over(w).as("quartile"),
           first($"o_orderkey").over(w).as("first_key"),
-          last($"o_orderkey").over(wFull).as("last_key"))
+          last($"o_orderkey").over(wFull).as("last_key"),
+          lead($"o_orderkey", 1).over(w).as("next_key"),
+          count(lit(1)).over(wRange).as("n_orders_30d"))
         .orderBy($"o_custkey", $"o_orderkey")
     },
 

