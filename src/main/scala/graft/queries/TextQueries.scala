@@ -472,5 +472,70 @@ object TextQueries {
         .select($"doc_id", coalesce($"__cl", $"doc_id").as("cluster_id"))
         .orderBy($"doc_id")
     },
+
+    // ---- q61: context-window packing (the LLM sample-packing step) —
+    // documents are concatenated in doc_id order and the whitespace-token
+    // stream is cut into 2048-token windows. The Spark side runs the
+    // DISTRIBUTED prefix sum (SequencePacking: range partition + local
+    // cumsum + metadata-scale offsets) while the oracle is the naive
+    // single-window formulation, so the gate proves the scale-shaped plan
+    // computes exactly the textbook answer. --------------------------------
+    QueryDef(
+      "q61_context_pack",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, tokens,
+        |         CAST(sum(tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           - tokens AS before
+        |  FROM t
+        |)
+        |SELECT before // 2048 AS chunk_id, count(*)::BIGINT AS n_docs,
+        |       CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val weighted = Tables(spark, dir).documents
+        .select($"doc_id", TextFunctions.tokenCount($"text").cast("long").as("tokens"))
+      graft.operators.SequencePacking
+        .withChunkIds(weighted, "doc_id", $"tokens", 2048)
+        .groupBy($"chunk_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"tokens").cast("long").as("sum_tokens"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"chunk_id")
+    },
+
+    // ---- q62: deterministic train/val/test split + per-split stats —
+    // hash-based splitting (md5 of the id, threshold on the hex prefix)
+    // is the training-pipeline idiom for splits that are stable across
+    // runs, engines, and re-shards: no RNG, no sampling nondeterminism,
+    // and both engines compute the identical assignment. ~80/10/10. ---------
+    QueryDef(
+      "q62_hash_split",
+      """WITH s AS (
+        |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |              ELSE 'test' END AS split,
+        |         lang, length(text) AS chars
+        |  FROM documents
+        |)
+        |SELECT split, lang, count(*)::BIGINT AS n_docs,
+        |       CAST(sum(chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val h = substring(md5($"doc_id".cast("string")), 1, 2)
+      val split = when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+      Tables(spark, dir).documents
+        .groupBy(split.as("split"), $"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).cast("long").as("sum_chars"))
+        .orderBy($"split", $"lang")
+    },
   )
 }

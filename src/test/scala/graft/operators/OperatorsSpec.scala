@@ -123,6 +123,28 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("SequencePacking's distributed prefix sum equals the global-window formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = tables.documents
+      .select(col("doc_id"), graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("long").as("tokens"))
+    // force several range partitions so the offset path actually runs
+    val dist = SequencePacking.withChunkIds(docs, "doc_id", col("tokens"), 512, numParts = 7)
+      .select(col("doc_id"), col("tokens_before"), col("chunk_id"))
+    val naive = docs
+      .withColumn("tokens_before",
+        sum(col("tokens")).over(Window.orderBy(col("doc_id"))) - col("tokens"))
+      .withColumn("chunk_id", expr("tokens_before DIV 512L"))
+      .select(col("doc_id"), col("tokens_before"), col("chunk_id"))
+    assert(dist.exceptAll(naive).count() == 0 && naive.exceptAll(dist).count() == 0)
+    // chunks are dense 0..max and no chunk exceeds capacity by more than
+    // one document's spillover (contiguous packing cuts mid-document)
+    val chunks = dist.groupBy(col("chunk_id")).count()
+      .orderBy(col("chunk_id")).collect().map(_.getLong(0))
+    assert(chunks.toSeq == (0L until chunks.length).toSeq)
+  }
+
   test("SaltedJoin produces exactly the plain-join result on a skewed key") {
     import spark.implicits._
     // 90% of fact rows share one hot key — the salting target shape
