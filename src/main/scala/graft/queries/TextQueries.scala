@@ -4,6 +4,7 @@ import graft.{Canon, QueryDef, Tables}
 import graft.Canon._
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, MinHashLSH, SimHash, SimilaritySearch}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -536,6 +537,97 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(length($"text")).cast("long").as("sum_chars"))
         .orderBy($"split", $"lang")
+    },
+
+    // ---- q63: the composed training-data pipeline, end to end in ONE
+    // declarative plan — quality filter (integer predicates: >= 10 tokens,
+    // >= 1 stopword) -> exact dedup (min-id survivor per content hash) ->
+    // context packing (1024-token windows via the distributed prefix sum)
+    // -> per-chunk stats incl. the deterministic train-split count. The
+    // oracle recomputes every stage in SQL, so the whole composition is
+    // hash-gated, not just its pieces. -------------------------------------
+    QueryDef(
+      "q63_training_pipeline",
+      """WITH stats AS (
+        |  SELECT d.doc_id, d.text, count(*) AS tokens,
+        |         sum(CASE WHEN t.tok IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) AS n_stop
+        |  FROM documents d, unnest(string_split(d.text, ' ')) t(tok)
+        |  WHERE t.tok <> ''
+        |  GROUP BY 1, 2
+        |), kept AS (
+        |  SELECT * FROM stats WHERE tokens >= 10 AND n_stop >= 1
+        |), surv AS (
+        |  SELECT min(doc_id) AS doc_id, min(tokens) AS tokens FROM kept GROUP BY text
+        |), c AS (
+        |  SELECT doc_id, tokens,
+        |         CAST(sum(tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           - tokens AS before
+        |  FROM surv
+        |)
+        |SELECT before // 1024 AS chunk_id, count(*)::BIGINT AS n_docs,
+        |       CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+        |       CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val enriched = Tables(spark, dir).documents
+        .select($"doc_id", $"text",
+          TextFunctions.tokenCount($"text").cast("long").as("tokens"),
+          size(filter(TextFunctions.tokens($"text"),
+            t => t.isin(TextFunctions.DefaultStopwords: _*))).as("n_stop"))
+      val kept = enriched.filter($"tokens" >= 10 && $"n_stop" >= 1)
+      val survivors = Dedup.exact(kept, $"text", $"doc_id").select($"doc_id", $"tokens")
+      graft.operators.SequencePacking
+        .withChunkIds(survivors, "doc_id", $"tokens", 1024)
+        .withColumn("is_train",
+          (substring(md5($"doc_id".cast("string")), 1, 2) < "cc").cast("int"))
+        .groupBy($"chunk_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"tokens").cast("long").as("sum_tokens"),
+          sum($"is_train").cast("long").as("n_train"))
+        .orderBy($"chunk_id")
+    },
+
+    // ---- q64: stratified sampling with exact per-stratum quotas — take
+    // exactly ceil(10%) of each language by deterministic md5 rank. The
+    // complement of q62: thresholding gives each row an independent
+    // (binomial-sized) chance, rank-based quotas hit the target count
+    // exactly — the downsampling idiom when mixture proportions must be
+    // precise. Window top-k per group, no RNG, engine-portable. -------------
+    QueryDef(
+      "q64_stratified_sample",
+      """WITH ranked AS (
+        |  SELECT doc_id, lang, length(text) AS chars,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM documents
+        |), sampled AS (
+        |  SELECT * FROM ranked WHERE rn <= CAST(ceil(n_lang * 0.1) AS BIGINT)
+        |)
+        |SELECT lang, count(*)::BIGINT AS n_sampled,
+        |       CAST(min(n_lang) AS BIGINT) AS n_total,
+        |       CAST(sum(chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val w = Window.partitionBy($"lang")
+        .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      val wAll = Window.partitionBy($"lang")
+      Tables(spark, dir).documents
+        .select($"doc_id", $"lang", length($"text").as("chars"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_lang", count(lit(1)).over(wAll))
+        .filter($"rn" <= ceil($"n_lang" * 0.1).cast("long"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          min($"n_lang").cast("long").as("n_total"),
+          sum($"chars").cast("long").as("sum_chars"),
+          sum($"doc_id").cast("long").as("id_checksum"))
+        .orderBy($"lang")
     },
   )
 }
