@@ -40,8 +40,31 @@ object SimHash {
       .agg(when(sum(col("bit") * 2 - 1) >= 0, 1).otherwise(0).as("sbit"))
   }
 
-  /** (doc_id, lo, hi): signature packed into two 32-bit halves. */
-  def packed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** (doc_id, lo, hi): signature packed into two 32-bit halves, via the
+    * fused [[SimHashAggregator]] — one compact counter buffer per doc
+    * instead of the 64-rows-per-token posexplode (which stays below as
+    * the cross-checked reference formulation).
+    */
+  def packed(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+    val agg = udaf(new SimHashAggregator)
+    toks
+      .select(col("doc_id"), substring(md5(col("tok")), 1, 16).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(agg(col("h")).as("sig"))
+      .select(col("doc_id"),
+        element_at(col("sig"), 1).as("lo"), element_at(col("sig"), 2).as("hi"))
+  }
+
+  /** The posexplode + two-stage aggregation formulation — kept as the
+    * independent reference [[packed]] is cross-checked against (the A8
+    * pattern: fused Aggregator ≡ expression form, asserted in spec).
+    */
+  private[operators] def packedViaBitRows(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
     bitRows(docs, idCol, textCol)
       .groupBy(col("doc_id"))
       .agg(

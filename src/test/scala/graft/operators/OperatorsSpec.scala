@@ -156,6 +156,13 @@ class OperatorsSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
   }
 
+  test("fused SimHash Aggregator produces signatures identical to the posexplode form") {
+    val docs = tables.documents
+    val a = SimHash.packed(docs, "doc_id", "text")
+    val b = SimHash.packedViaBitRows(docs, "doc_id", "text")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("A8: fused MinHash Aggregator produces signatures identical to the expression form") {
     val sh = Dedup.charShingles(tables.documents, "doc_id", "text")
     val a = MinHashLSH.signatures(sh, 32).select(col("doc_id"), col("sig"))
