@@ -102,14 +102,29 @@ object Dedup {
   }
 
   /** Distinct n-character shingles per document: (doc_id, s) rows.
-    * Shingling is row-local (transform over a sequence — no shuffle);
-    * array_distinct applies set semantics before the explode so the
-    * exploded row count is bounded by distinct shingles, not text length.
-    * lower() is projected once per document — inlining it in the transform
-    * lambda would re-lowercase the whole text per shingle position (O(n^2)
-    * per doc; measured 3x on the sf0.1 shingle stage).
+    * Shingling is row-local (no shuffle) via the one-pass
+    * [[org.apache.spark.sql.graft.CharShingles]] expression — the
+    * declarative transform/substring spelling rescans the string per
+    * position (O(chars^2) per doc; it was the single dominant cost of
+    * the near-dup family at sf0.1) and is kept below as the
+    * cross-checked reference formulation. lower() is projected once per
+    * document.
     */
-  def charShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+  def charShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graft.{CharShingles, ColumnBridge}
+    df.filter(length(col(textCol)) >= n)
+      .select(col(idCol).as("doc_id"), lower(col(textCol)).as("__lt"))
+      .select(
+        col("doc_id"),
+        explode(ColumnBridge.toColumn(
+          CharShingles(ColumnBridge.toExpression(col("__lt")), n))).as("s"))
+  }
+
+  /** The transform/substring spelling — quadratic, spec-only: the
+    * reference [[charShingles]] is asserted set-identical to it.
+    */
+  private[operators] def charShinglesExpr(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     df.filter(length(col(textCol)) >= n)
       .select(col(idCol).as("doc_id"), lower(col(textCol)).as("__lt"))
       .select(
@@ -186,7 +201,12 @@ object Dedup {
     }
   }
 
-  /** Exact Jaccard restricted to a candidate pair set (the LSH refine). */
+  /** Exact Jaccard restricted to a candidate pair set (the LSH refine).
+    * (A size-ratio preprune — J <= min/max set size — was tried here
+    * and measured a net loss: banded candidates already share a band
+    * key, so on a near-uniform-size corpus the extra joins cost more
+    * than the popcounts they save.)
+    */
   def jaccardForPairs(shingles: DataFrame, pairs: DataFrame, threshold: Double): DataFrame =
     shingleDict(shingles) match {
       case Some(d) => jaccardBitmap(bitmaps(shingles, d), Some(pairs), threshold)
