@@ -110,6 +110,14 @@ class OperatorsSpec extends SparkSpec {
     assert(banded == allPairs) // pigeonhole: banding loses nothing at <= 3
   }
 
+  test("broadcast cosine near-dup kernel equals the all-pairs join formulation") {
+    val e = tables.embeddings
+    val k = SimilaritySearch.nearDuplicatesExact(e, "vec_id", "embedding", 0.45)
+    val j = SimilaritySearch.nearDuplicatesExactJoin(e, "vec_id", "embedding", 0.45)
+    assert(k.exceptAll(j).count() == 0 && j.exceptAll(k).count() == 0)
+    assert(k.count() > 0, "threshold should admit some pairs on the fixture embeddings")
+  }
+
   test("IVF (k-means cells + nProbe search) reaches >=60% top-5 recall vs exact") {
     val e = tables.embeddings
     val probes = (0L until 20L).toSeq
