@@ -207,9 +207,11 @@ object Dedup {
     * key, so on a near-uniform-size corpus the extra joins cost more
     * than the popcounts they save.)
     */
-  def jaccardForPairs(shingles: DataFrame, pairs: DataFrame, threshold: Double): DataFrame =
+  def jaccardForPairs(
+      shingles: DataFrame, pairs: DataFrame, threshold: Double,
+      maxBroadcast: Long = BroadcastRefineMaxDocs): DataFrame =
     shingleDict(shingles) match {
-      case Some(d) => jaccardBitmap(bitmaps(shingles, d), Some(pairs), threshold)
+      case Some(d) => jaccardBitmap(bitmaps(shingles, d), Some(pairs), threshold, maxBroadcast)
       case None    => jaccardInvertedForPairs(shingles, pairs, threshold)
     }
 
@@ -248,30 +250,88 @@ object Dedup {
       .agg(count(lit(1)).as("n"), wordCols: _*)
   }
 
+  /** Corpus bound under which the candidate refine collects + broadcasts
+    * the bitmap table instead of joining it: 65536 docs x 64 words = 33 MB
+    * worst case — the same metadata-scale broadcast contract as the
+    * shingle dictionary and the exact-cosine kernel.
+    */
+  val BroadcastRefineMaxDocs = 65536L
+
   /** Popcount Jaccard over bitmap rows; `pairs` restricts to candidates
     * (LSH refine), otherwise the full da < db pair space is scanned — the
     * compact one-row-per-doc side makes that a broadcast nested loop with
     * constant per-pair work.
+    *
+    * The candidate refine adapts on the corpus size: joining the bitmap
+    * table copies 2 x nWords longs into EVERY candidate row (6 GB of row
+    * traffic for 6M candidates over a 2.6 MB bitmap table at sf0.1 —
+    * measured as the refine's dominant cost), so under
+    * [[BroadcastRefineMaxDocs]] the bitmaps are broadcast once and a
+    * fused per-pair popcount loop runs over the narrow (da, db) rows.
+    * Past the bound the join form is the correct shape — at billions of
+    * docs nothing fits in a broadcast, and the join shuffles candidates
+    * against the bucketed bitmap table.
     */
   private def jaccardBitmap(
-      bm0: DataFrame, pairs: Option[DataFrame], threshold: Double): DataFrame = {
+      bm0: DataFrame, pairs: Option[DataFrame], threshold: Double,
+      maxBroadcast: Long = BroadcastRefineMaxDocs): DataFrame = {
     // both join branches consume the same one-row-per-doc aggregate; cache
     // it so the bitmap build isn't executed once per branch (exchange reuse
     // does not reliably fire across differently-projected subtrees).
     // Cache-release contract: see jaccardPairs.
     val bm = bm0.cache()
     val nWords = bm.columns.count(_.startsWith("w"))
+    pairs match {
+      case Some(p) if bm.count() <= maxBroadcast =>
+        val spark = bm.sparkSession
+        import spark.implicits._
+        val nIdx = bm.schema.fieldIndex("n")
+        val wIdx = (0 until nWords).map(w => bm.schema.fieldIndex(s"w$w")).toArray
+        val table: Map[Long, (Long, Array[Long])] = bm.collect().map { r =>
+          r.getLong(r.fieldIndex("doc_id")) -> (r.getLong(nIdx), wIdx.map(r.getLong))
+        }.toMap
+        val bc = spark.sparkContext.broadcast(table)
+        p.select(col("da").cast("long"), col("db").cast("long")).as[(Long, Long)]
+          .mapPartitions { it =>
+            val m = bc.value
+            it.flatMap { case (da, db) =>
+              val (na, wa) = m(da)
+              val (nb, wb) = m(db)
+              var inter = 0L
+              var i = 0
+              while (i < wa.length) { inter += java.lang.Long.bitCount(wa(i) & wb(i)); i += 1 }
+              val j = inter.toDouble / (na + nb - inter)
+              if (j >= threshold) Some((da, db, j)) else None
+            }
+          }
+          .toDF("da", "db", "jaccard")
+      case Some(p) =>
+        refineJoin(p, bm, nWords, threshold)
+      case None =>
+        val a = bm.select(col("doc_id").as("da") +: col("n").as("na") +:
+          (0 until nWords).map(w => col(s"w$w").as(s"a$w")): _*)
+        val b = bm.select(col("doc_id").as("db") +: col("n").as("nb") +:
+          (0 until nWords).map(w => col(s"w$w").as(s"b$w")): _*)
+        // broadcast the compact one-row-per-doc side: a BroadcastNestedLoop
+        // streams the probe side per task instead of materializing the
+        // CartesianProduct partition grid
+        popcountProject(a.join(broadcast(b), col("da") < col("db")), nWords, threshold)
+    }
+  }
+
+  /** The join-shaped candidate refine — the at-scale form, and the
+    * reference the broadcast kernel is spec-checked against.
+    */
+  private[operators] def refineJoin(
+      p: DataFrame, bm: DataFrame, nWords: Int, threshold: Double): DataFrame = {
     val a = bm.select(col("doc_id").as("da") +: col("n").as("na") +:
       (0 until nWords).map(w => col(s"w$w").as(s"a$w")): _*)
     val b = bm.select(col("doc_id").as("db") +: col("n").as("nb") +:
       (0 until nWords).map(w => col(s"w$w").as(s"b$w")): _*)
-    val joined = pairs match {
-      case Some(p) => p.join(a, Seq("da")).join(b, Seq("db"))
-      // broadcast the compact one-row-per-doc side: a BroadcastNestedLoop
-      // streams the probe side per task instead of materializing the
-      // CartesianProduct partition grid
-      case None    => a.join(broadcast(b), col("da") < col("db"))
-    }
+    popcountProject(p.join(a, Seq("da")).join(b, Seq("db")), nWords, threshold)
+  }
+
+  private def popcountProject(joined: DataFrame, nWords: Int, threshold: Double): DataFrame = {
     val inter = (0 until nWords)
       .map(w => bit_count(col(s"a$w").bitwiseAND(col(s"b$w"))))
       .reduce(_ + _)

@@ -41,6 +41,16 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("broadcast bitmap refine equals the join-shaped refine") {
+    val sh = Dedup.charShingles(tables.documents, "doc_id", "text").cache()
+    val cand = MinHashLSH.candidatePairs(MinHashLSH.signatures(sh))
+    val viaBroadcast = Dedup.jaccardForPairs(sh, cand, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaJoin = Dedup.jaccardForPairs(sh, cand, 0.7, maxBroadcast = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaBroadcast == viaJoin && viaBroadcast.nonEmpty)
+  }
+
   test("clusters assigns each vertex the min id of its connected component") {
     import spark.implicits._
     // two components {1,2,3} (via 1-2, 2-3) and {5,6}; a path 10-11-12-13-14
