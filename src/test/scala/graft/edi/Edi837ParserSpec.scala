@@ -173,6 +173,25 @@ class Edi837ParserSpec extends AnyFunSuite {
     assert(Edi837Parser.splitInterchange("no x12 here") == Seq("no x12 here"))
   }
 
+  test("malformed input never throws: garbage yields zero claims, valid transactions survive") {
+    // pure garbage, truncated segments, stray separators, empty string:
+    // the state machine must produce a claim-less doc, not an exception —
+    // a 100 TB feed WILL contain corrupt files and one bad row must not
+    // kill the ingest job
+    val garbage = Seq("", "~~~", "***", "not x12 at all",
+      "ST*837~CLM~SE", "NM1*85~CLM*", "ST*837*X~CLM*A~",
+      "ISA*00*~GS*HC~ST*837*T1~SE*0*T1~GE~IEA~")
+    garbage.foreach { g =>
+      val d = Edi837Parser.parse(g) // must not throw
+      assert(d != null)
+    }
+    // a half-corrupt interchange: the valid transaction still parses fully
+    val parsed = Edi837Parser.splitInterchange(
+      "ISA*00~GS*HC~ST*837*BAD~@@@corrupt@@~SE*0*BAD~" + doc + "GE~IEA~")
+      .map(Edi837Parser.parse)
+    assert(parsed.exists(_.claims.nonEmpty), "the valid transaction must still yield claims")
+  }
+
   test("absent segments stay null (auto-vivification analog)") {
     val minimal = Edi837Parser.parse(
       "ST*837*D0~HL*1**20*1~NM1*85*2*ORG~HL*2*1*22*0~SBR*P*18*******MC~" +
