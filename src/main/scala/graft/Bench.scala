@@ -77,8 +77,9 @@ object Bench {
       if (!finished) { q.stop(); """null""" }
       else {
         val rows = spark.read.parquet(tmp.resolve("out").toString).count()
-        System.err.println(f"[bench:stream] ingest $nFiles files -> $rows claims in ${dt}%.2f s")
-        f"""{"files":$nFiles,"claims":$rows,"sec":${dt}%.3f}"""
+        val sec = String.format(java.util.Locale.ROOT, "%.3f", Double.box(dt))
+        System.err.println(s"[bench:stream] ingest $nFiles files -> $rows claims in $sec s")
+        s"""{"files":$nFiles,"claims":$rows,"sec":$sec}"""
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench:stream] ingest FAILED: ${e.getMessage}")
@@ -88,10 +89,14 @@ object Bench {
     // for 70 queries): the driver captures only a bounded tail of stdout, so
     // the LAST line must carry the headline numbers and parse on its own.
     // Cold per-query detail goes on its own earlier line — informative when
-    // captured, expendable when not.
+    // captured, expendable when not. Locale.ROOT: the f interpolator is
+    // locale-sensitive and a comma-decimal JVM locale would emit invalid
+    // JSON (same class of bug as the PDF sink's operand formatting).
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def obj(rs: Seq[(String, Double)]) =
-      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    def tot(rs: Seq[(String, Double)]) = f"${rs.map(_._2).sum}%.3f"
+      rs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    def tot(rs: Seq[(String, Double)]) = ms(rs.map(_._2).sum)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"cold_detail","cold_total":${tot(cold)},"unit":"sec","cold_queries":${obj(cold)}}""")
     println(s"""{"metric":"total","value":${tot(warm)},"unit":"sec","queries":${obj(warm)},""" +

@@ -281,27 +281,36 @@ object Dedup {
     // Cache-release contract: see jaccardPairs.
     val bm = bm0.cache()
     val nWords = bm.columns.count(_.startsWith("w"))
+    // the kernel indexes bitmaps by primitive long id; any other id type
+    // keeps the type-generic join form
+    def longIds = bm.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.LongType
     pairs match {
-      case Some(p) if bm.count() <= maxBroadcast =>
+      case Some(p) if longIds && bm.count() <= maxBroadcast =>
         val spark = bm.sparkSession
         import spark.implicits._
+        val idIdx = bm.schema.fieldIndex("doc_id")
         val nIdx = bm.schema.fieldIndex("n")
         val wIdx = (0 until nWords).map(w => bm.schema.fieldIndex(s"w$w")).toArray
         val table: Map[Long, (Long, Array[Long])] = bm.collect().map { r =>
-          r.getLong(r.fieldIndex("doc_id")) -> (r.getLong(nIdx), wIdx.map(r.getLong))
+          r.getLong(idIdx) -> (r.getLong(nIdx), wIdx.map(r.getLong))
         }.toMap
         val bc = spark.sparkContext.broadcast(table)
         p.select(col("da").cast("long"), col("db").cast("long")).as[(Long, Long)]
           .mapPartitions { it =>
             val m = bc.value
             it.flatMap { case (da, db) =>
-              val (na, wa) = m(da)
-              val (nb, wb) = m(db)
-              var inter = 0L
-              var i = 0
-              while (i < wa.length) { inter += java.lang.Long.bitCount(wa(i) & wb(i)); i += 1 }
-              val j = inter.toDouble / (na + nb - inter)
-              if (j >= threshold) Some((da, db, j)) else None
+              // ids absent from the shingle set (doc shorter than the
+              // shingle width) drop the pair — inner-join semantics
+              (m.get(da), m.get(db)) match {
+                case (Some((na, wa)), Some((nb, wb))) =>
+                  var inter = 0L
+                  var i = 0
+                  while (i < wa.length) { inter += java.lang.Long.bitCount(wa(i) & wb(i)); i += 1 }
+                  val j = inter.toDouble / (na + nb - inter)
+                  if (j >= threshold) Some((da, db, j)) else None
+                case _ => None
+              }
             }
           }
           .toDF("da", "db", "jaccard")

@@ -30,20 +30,32 @@ object MinHashLSH {
     * replaced by a star through the bucket's min-doc representative. A
     * pathological corpus (thousands of boilerplate-identical documents)
     * puts K docs in one bucket and K^2 candidate rows into the refine —
-    * the one shape banding doesn't bound. Docs sharing an oversized
-    * bucket are by construction near-identical, so linking each to the
-    * bucket representative (K-1 pairs, each still exactly refined)
-    * keeps the downstream cluster connected at linear cost.
+    * the one shape banding doesn't bound. In practice oversized buckets
+    * are boilerplate-identical groups, but a band collision is
+    * probabilistic, NOT a similarity guarantee: star-linking (K-1
+    * pairs, each still exactly refined) preserves dup-GROUP
+    * connectivity for clustering while reducing pairwise recall inside
+    * the hot bucket — two docs whose only shared band is an over-cap
+    * bucket are only reached through the representative. Set the cap to
+    * Int.MaxValue where unconditional recall matters more than bounded
+    * cost.
     */
   val DefaultBucketCap = 1024
 
   /** Candidate pairs from banded rows (doc_id, band, bkey) with the
     * hot-bucket cap applied. Bucket statistics ride a window over the
     * same (band, bkey) shuffle the self-join needs; buckets over `cap`
-    * are logged and star-joined, the rest all-pairs'd bucket-locally.
-    * Shared by MinHash banding and SimHash pigeonhole banding.
+    * are star-joined, the rest all-pairs'd bucket-locally. Shared by
+    * MinHash banding and SimHash pigeonhole banding.
+    *
+    * `logOverflow` (default true) counts and warns about capped buckets
+    * — an EAGER statistic: it executes the banding pipeline into the
+    * cache at call time (the downstream joins then reuse it). Callers
+    * composing a plan for later execution should pass false to stay
+    * lazy.
     */
-  private[operators] def cappedBucketPairs(banded: DataFrame, cap: Int): DataFrame = {
+  private[operators] def cappedBucketPairs(
+      banded: DataFrame, cap: Int, logOverflow: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("band"), col("bkey"))
     // cached: the small-bucket self-join reads this twice and the
@@ -54,10 +66,12 @@ object MinHashLSH {
       .withColumn("__rep", min(col("doc_id")).over(w))
       .cache()
     val overflow = ann.filter(col("__cnt") > cap)
-    val overflowBuckets = overflow.select(col("band"), col("bkey")).distinct().count()
-    if (overflowBuckets > 0)
-      log.warn(s"capped $overflowBuckets hot LSH bucket(s) exceeding $cap docs: " +
-        "emitting representative-star pairs instead of all-pairs for those buckets")
+    if (logOverflow) {
+      val overflowBuckets = overflow.select(col("band"), col("bkey")).distinct().count()
+      if (overflowBuckets > 0)
+        log.warn(s"capped $overflowBuckets hot LSH bucket(s) exceeding $cap docs: " +
+          "emitting representative-star pairs instead of all-pairs for those buckets")
+    }
     val small = ann.filter(col("__cnt") <= cap)
     val a = small.select(col("band"), col("bkey"), col("doc_id").as("da"))
     val b = small.select(col("band"), col("bkey"), col("doc_id").as("db"))
@@ -107,18 +121,19 @@ object MinHashLSH {
   }
 
   /** Distinct candidate pairs (da < db) from banded signatures, hot
-    * buckets capped at `bucketCap` (see [[cappedBucketPairs]]).
+    * buckets capped at `bucketCap` (see [[cappedBucketPairs]], including
+    * the eager-statistic note on `logOverflow`).
     */
   def candidatePairs(
       signatures: DataFrame, bands: Int = 32, rowsPerBand: Int = 4,
-      bucketCap: Int = DefaultBucketCap): DataFrame = {
+      bucketCap: Int = DefaultBucketCap, logOverflow: Boolean = true): DataFrame = {
     val banded = signatures.select(
       col("doc_id"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
-    cappedBucketPairs(banded, bucketCap)
+    cappedBucketPairs(banded, bucketCap, logOverflow)
   }
 
   /** End-to-end near-dup pairs: LSH candidates refined by exact Jaccard.

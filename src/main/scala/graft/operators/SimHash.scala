@@ -97,9 +97,14 @@ object SimHash {
     * bucket-local joins, linear in bucket sizes at 100 TB, with the same
     * hot-bucket cap (boilerplate-identical corpora would otherwise put
     * K^2 rows through one bucket; see MinHashLSH.cappedBucketPairs).
+    * NOTE the cap bounds cost at the expense of the pigeonhole
+    * guarantee for pairs whose ONLY agreeing band is an over-cap
+    * bucket: those are reached only via the bucket representative. Pass
+    * bucketCap = Int.MaxValue for the unconditional guarantee.
     */
   def bandedCandidates(
-      packed: DataFrame, bucketCap: Int = MinHashLSH.DefaultBucketCap): DataFrame = {
+      packed: DataFrame, bucketCap: Int = MinHashLSH.DefaultBucketCap,
+      logOverflow: Boolean = true): DataFrame = {
     val mask = lit(0xffffL)
     val banded = packed.select(
       col("doc_id"),
@@ -109,23 +114,29 @@ object SimHash {
         col("hi").bitwiseAND(mask),
         shiftright(col("hi"), 16).bitwiseAND(mask))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
-    MinHashLSH.cappedBucketPairs(banded, bucketCap)
+    MinHashLSH.cappedBucketPairs(banded, bucketCap, logOverflow)
   }
 
   /** Production near-dup path: banded candidates refined by the exact
     * Hamming distance. Total recall for maxDist <= 3 (the pigeonhole
-    * bound); the all-pairs `hammingHistogram` stays an sf<=0.1 oracle.
-    * Returns (da, db, h) with h <= maxDist.
+    * bound) HOLDS UNCONDITIONALLY only with `bucketCap = Int.MaxValue`;
+    * under the default cap, a pair whose only agreeing band is an
+    * over-cap hot bucket is reached solely through that bucket's
+    * representative (group connectivity survives; the individual pair
+    * may not — see MinHashLSH.DefaultBucketCap). The all-pairs
+    * `hammingHistogram` stays an sf<=0.1 oracle. Returns (da, db, h)
+    * with h <= maxDist.
     */
   def nearDuplicates(
-      docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
+      bucketCap: Int = MinHashLSH.DefaultBucketCap): DataFrame = {
     require(maxDist <= 3, s"4x16-bit banding only guarantees recall for Hamming <= 3, got $maxDist")
     // signatures feed both the band keys and the refine join; materialize
     // once (cache-release contract: see Dedup.jaccardPairs)
     val p = packed(docs, idCol, textCol).cache()
     val a = p.select(col("doc_id").as("da"), col("lo").as("la"), col("hi").as("ha"))
     val b = p.select(col("doc_id").as("db"), col("lo").as("lb"), col("hi").as("hb"))
-    bandedCandidates(p)
+    bandedCandidates(p, bucketCap)
       .join(a, Seq("da")).join(b, Seq("db"))
       .select(col("da"), col("db"),
         (bit_count(col("la").bitwiseXOR(col("lb"))) +

@@ -66,6 +66,11 @@ object SimilaritySearch {
     * accidentally at scale — the same operator-level adaptive switch
     * Dedup applies between its bitmap and inverted strategies.
     */
+  /** Row bound for the exact-cosine broadcast kernel: 65536 x 64 dims =
+    * 33 MB of driver/broadcast footprint worst case.
+    */
+  val BroadcastKernelMaxRows = 65536L
+
   def nearDuplicates(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       maxExact: Long = 65536, mode: Mode = Mode.Auto): DataFrame = mode match {
@@ -83,12 +88,26 @@ object SimilaritySearch {
       } else nearDuplicatesExact(df, idCol, vecCol, threshold)
   }
 
-  /** The exact O(n^2) form — oracle / small-corpus path, as a broadcast
-    * kernel: the whole vector set is collected once (BOUNDED — this
-    * branch is only reachable under the maxExact cap, 65536 x 64 dims =
-    * 33 MB, the same metadata-scale broadcast contract as the shingle
-    * dictionary), broadcast, and each task scans its slice of row
-    * indices against the upper triangle. The all-pairs JOIN spelling
+  /** The exact O(n^2) form. Under [[BroadcastKernelMaxRows]] it runs as
+    * the broadcast kernel below; above it (e.g. `Mode.Exact` pinned on a
+    * large corpus) it stays the fully distributed join — slower, but it
+    * cannot OOM the driver the way an unbounded collect would.
+    */
+  private[operators] def nearDuplicatesExact(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame =
+    if (df.count() <= BroadcastKernelMaxRows)
+      nearDuplicatesExactKernel(df, idCol, vecCol, threshold)
+    else {
+      log.info(s"nearDuplicatesExact: corpus exceeds BroadcastKernelMaxRows=" +
+        s"$BroadcastKernelMaxRows — running the distributed join form")
+      nearDuplicatesExactJoin(df, idCol, vecCol, threshold)
+    }
+
+  /** Exact all-pairs cosine as a broadcast kernel: the whole vector set
+    * is collected once (BOUNDED by [[BroadcastKernelMaxRows]] — 33 MB
+    * worst case, the same metadata-scale broadcast contract as the
+    * shingle dictionary), broadcast, and each task scans its slice of
+    * row indices against the upper triangle. The all-pairs JOIN spelling
     * materializes BOTH embedding arrays per pair — n^2 * 2d doubles,
     * 12.8 GB of row traffic at sf0.1 against a 2.5 MB vector set — and
     * measured 2x slower than this kernel. Arithmetic matches the column
@@ -97,7 +116,7 @@ object SimilaritySearch {
     * round() (paid only near the threshold; anything below
     * threshold - 1e-4 cannot round up to pass).
     */
-  private[operators] def nearDuplicatesExact(
+  private def nearDuplicatesExactKernel(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

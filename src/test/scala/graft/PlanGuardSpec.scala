@@ -29,12 +29,20 @@ class PlanGuardSpec extends SparkSpec {
 
   test("q03: aggregation is partial (map-side combine) before the exchange") {
     val plan = planOf("q03_groupby_agg")
-    assert(plan.contains("partial_sum"), s"no partial aggregation in:\n$plan")
-    // the partial HashAggregate must appear before the first Exchange in
-    // plan order (operator ids grow bottom-up in formatted output)
-    val firstPartial = plan.indexOf("partial_sum")
-    val firstExchange = plan.indexOf("Exchange")
-    assert(firstExchange >= 0 && firstPartial >= 0)
+    // formatted-mode detail sections are "(N) Operator" with ids numbered
+    // bottom-up: the partial HashAggregate must carry a SMALLER id than
+    // every Exchange (i.e. sit below the shuffle), not merely exist
+    val secRe = """(?s)\((\d+)\) (\w+)(.*?)(?=\n\(\d+\) |\z)""".r
+    val secs = secRe.findAllMatchIn(plan)
+      .map(m => (m.group(1).toInt, m.group(2), m.group(3))).toSeq
+    val partialIds = secs.collect {
+      case (id, "HashAggregate", body) if body.contains("partial_") => id
+    }
+    val exchangeIds = secs.collect { case (id, "Exchange", _) => id }
+    assert(partialIds.nonEmpty, s"no partial HashAggregate section in:\n$plan")
+    assert(exchangeIds.nonEmpty, s"no Exchange section in:\n$plan")
+    assert(partialIds.min < exchangeIds.min,
+      s"partial agg (ids $partialIds) must sit below the first exchange (ids $exchangeIds)")
   }
 
   test("q07: dimension joins broadcast, and nothing degenerates to a cartesian product") {
