@@ -60,14 +60,49 @@ object Dedup {
     * that (HDFS/object-store) path, so a lost executor recomputes from
     * the checkpoint instead of killing the job; local single-JVM runs
     * keep the cheaper localCheckpoint.
+    *
+    * Adaptive small-graph path: a pair set under `maxDriverEdges` (with
+    * long ids) is collected and solved by union-find on the driver —
+    * near-dup pair graphs are usually tiny relative to the corpus
+    * (pairs are the OUTPUT of dedup detection, not the input data), and
+    * a million-edge graph is 16 MB, metadata-scale, while each
+    * distributed round costs several shuffles plus a checkpoint. The
+    * iterative plan engages past the bound, where it is the only shape
+    * that works.
     */
   def clusters(
       pairs: DataFrame, aCol: String = "da", bCol: String = "db", maxIter: Int = 25,
-      checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+      checkpointDir: Option[String] = None, maxDriverEdges: Long = 1L << 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val norm = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val longIds = norm.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (longIds && norm.count() <= maxDriverEdges) {
+      import spark.implicits._
+      val es = norm.as[(Long, Long)].collect()
+      // union-find with path halving; unions always keep the SMALLER root,
+      // so a component's root is its min vertex — exactly the distributed
+      // min-label result
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        parent.getOrElseUpdate(x, x)
+        while (parent(x) != x) {
+          parent(x) = parent(parent(x))
+          x = parent(x)
+        }
+        x
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return parent.keys.toSeq.map(v => (v, find(v))).toDF("doc_id", "cluster_id")
+    }
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val edges = materialize(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = materialize(norm
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct())
     var labels = materialize(edges.select(col("src").as("doc_id")).distinct()

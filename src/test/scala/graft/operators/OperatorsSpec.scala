@@ -57,10 +57,14 @@ class OperatorsSpec extends SparkSpec {
     // needs several propagation rounds end-to-end
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
       (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("da", "db")
-    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
     val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L)
-    assert(got == expected)
+    // driver union-find fast path and the distributed label-propagation
+    // loop (forced via maxDriverEdges = 0) must agree exactly
+    val viaDriver = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    val viaLoop = Dedup.clusters(pairs, maxDriverEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == expected && viaLoop == expected)
   }
 
   test("clusters with a reliable checkpoint dir matches the localCheckpoint variant") {
@@ -68,7 +72,9 @@ class OperatorsSpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
       (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("da", "db")
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    val got = Dedup.clusters(pairs, checkpointDir = Some(dir)).as[(Long, Long)].collect().toMap
+    // maxDriverEdges = 0 forces the iterative path the checkpoint serves
+    val got = Dedup.clusters(pairs, checkpointDir = Some(dir), maxDriverEdges = 0)
+      .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
     // reliable checkpoints actually landed under the configured dir
