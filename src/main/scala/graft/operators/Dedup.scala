@@ -237,6 +237,12 @@ object Dedup {
   }
 
   /** Exact Jaccard restricted to a candidate pair set (the LSH refine).
+    * `pairsDistinct = false` declares the input may contain duplicate
+    * (da, db) rows (e.g. one per matching LSH band): the broadcast
+    * kernel then dedups AFTER thresholding — repeated popcounts are
+    * cheaper than a distinct shuffle of the candidate multiset — while
+    * the join-shaped paths dedup upfront, where duplicates would
+    * multiply join traffic instead.
     * (A size-ratio preprune — J <= min/max set size — was tried here
     * and measured a net loss: banded candidates already share a band
     * key, so on a near-uniform-size corpus the extra joins cost more
@@ -244,10 +250,14 @@ object Dedup {
     */
   def jaccardForPairs(
       shingles: DataFrame, pairs: DataFrame, threshold: Double,
-      maxBroadcast: Long = BroadcastRefineMaxDocs): DataFrame =
+      maxBroadcast: Long = BroadcastRefineMaxDocs,
+      pairsDistinct: Boolean = true): DataFrame =
     shingleDict(shingles) match {
-      case Some(d) => jaccardBitmap(bitmaps(shingles, d), Some(pairs), threshold, maxBroadcast)
-      case None    => jaccardInvertedForPairs(shingles, pairs, threshold)
+      case Some(d) =>
+        jaccardBitmap(bitmaps(shingles, d), Some(pairs), threshold, maxBroadcast, pairsDistinct)
+      case None =>
+        jaccardInvertedForPairs(
+          shingles, if (pairsDistinct) pairs else pairs.distinct(), threshold)
     }
 
   // ---- bitmap strategy ---------------------------------------------------
@@ -309,7 +319,8 @@ object Dedup {
     */
   private def jaccardBitmap(
       bm0: DataFrame, pairs: Option[DataFrame], threshold: Double,
-      maxBroadcast: Long = BroadcastRefineMaxDocs): DataFrame = {
+      maxBroadcast: Long = BroadcastRefineMaxDocs,
+      pairsDistinct: Boolean = true): DataFrame = {
     // both join branches consume the same one-row-per-doc aggregate; cache
     // it so the bitmap build isn't executed once per branch (exchange reuse
     // does not reliably fire across differently-projected subtrees).
@@ -331,7 +342,7 @@ object Dedup {
           r.getLong(idIdx) -> (r.getLong(nIdx), wIdx.map(r.getLong))
         }.toMap
         val bc = spark.sparkContext.broadcast(table)
-        p.select(col("da").cast("long"), col("db").cast("long")).as[(Long, Long)]
+        val refined = p.select(col("da").cast("long"), col("db").cast("long")).as[(Long, Long)]
           .mapPartitions { it =>
             val m = bc.value
             it.flatMap { case (da, db) =>
@@ -349,8 +360,11 @@ object Dedup {
             }
           }
           .toDF("da", "db", "jaccard")
+        // duplicate input pairs produce identical refined rows; dedup the
+        // (tiny) post-threshold output instead of the candidate multiset
+        if (pairsDistinct) refined else refined.distinct()
       case Some(p) =>
-        refineJoin(p, bm, nWords, threshold)
+        refineJoin(if (pairsDistinct) p else p.distinct(), bm, nWords, threshold)
       case None =>
         val a = bm.select(col("doc_id").as("da") +: col("n").as("na") +:
           (0 until nWords).map(w => col(s"w$w").as(s"a$w")): _*)

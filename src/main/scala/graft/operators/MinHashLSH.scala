@@ -55,7 +55,8 @@ object MinHashLSH {
     * lazy.
     */
   private[operators] def cappedBucketPairs(
-      banded: DataFrame, cap: Int, logOverflow: Boolean = true): DataFrame = {
+      banded: DataFrame, cap: Int, logOverflow: Boolean = true,
+      dedup: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("band"), col("bkey"))
     // cached: the small-bucket self-join reads this twice and the
@@ -80,7 +81,11 @@ object MinHashLSH {
       .select(col("da"), col("db"))
     val starPairs = overflow.filter(col("doc_id") =!= col("__rep"))
       .select(col("__rep").as("da"), col("doc_id").as("db"))
-    smallPairs.union(starPairs).distinct()
+    val union = smallPairs.union(starPairs)
+    // dedup=false skips the cross-band distinct — a full shuffle of the
+    // candidate set — for consumers that dedup after a cheap per-row
+    // refine instead (see Dedup.jaccardForPairs pairsDistinct=false)
+    if (dedup) union.distinct() else union
   }
 
   /** Universal-hash permutation parameters, fixed seeds => deterministic. */
@@ -126,14 +131,30 @@ object MinHashLSH {
     */
   def candidatePairs(
       signatures: DataFrame, bands: Int = 32, rowsPerBand: Int = 4,
-      bucketCap: Int = DefaultBucketCap, logOverflow: Boolean = true): DataFrame = {
+      bucketCap: Int = DefaultBucketCap, logOverflow: Boolean = true): DataFrame =
+    bandedPairs(signatures, bands, rowsPerBand, bucketCap, logOverflow, dedup = true)
+
+  /** As [[candidatePairs]] but WITHOUT the final distinct — one pair row
+    * per matching (band, bucket), duplicates included. The refine dedups
+    * after thresholding, which is cheaper than shuffling the full
+    * candidate multiset when the per-pair refine is a broadcast-kernel
+    * popcount.
+    */
+  private[operators] def candidatePairsRaw(
+      signatures: DataFrame, bands: Int = 32, rowsPerBand: Int = 4,
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    bandedPairs(signatures, bands, rowsPerBand, bucketCap, logOverflow = true, dedup = false)
+
+  private def bandedPairs(
+      signatures: DataFrame, bands: Int, rowsPerBand: Int,
+      bucketCap: Int, logOverflow: Boolean, dedup: Boolean): DataFrame = {
     val banded = signatures.select(
       col("doc_id"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
-    cappedBucketPairs(banded, bucketCap, logOverflow)
+    cappedBucketPairs(banded, bucketCap, logOverflow, dedup)
   }
 
   /** End-to-end near-dup pairs: LSH candidates refined by exact Jaccard.
@@ -150,7 +171,10 @@ object MinHashLSH {
     // rather than re-deriving it from the source per action.
     // Cache-release contract: see Dedup.jaccardPairs.
     val sh = shingles.cache()
-    val cand = candidatePairs(signatures(sh, numPerms), bands, rowsPerBand)
-    Dedup.jaccardForPairs(sh, cand, threshold)
+    // raw (duplicated) candidates: the refine dedups AFTER thresholding,
+    // trading cheap repeated popcounts for the full candidate-multiset
+    // distinct shuffle
+    val cand = candidatePairsRaw(signatures(sh, numPerms), bands, rowsPerBand)
+    Dedup.jaccardForPairs(sh, cand, threshold, pairsDistinct = false)
   }
 }
