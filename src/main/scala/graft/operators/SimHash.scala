@@ -104,9 +104,13 @@ object SimHash {
     */
   def bandedCandidates(
       packed: DataFrame, bucketCap: Int = MinHashLSH.DefaultBucketCap,
-      logOverflow: Boolean = true): DataFrame = {
+      logOverflow: Boolean = true): DataFrame =
+    MinHashLSH.cappedBucketPairs(bandedRows(packed), bucketCap, logOverflow)
+
+  /** (doc_id, band, bkey): the 4x16-bit band keys, one row per band. */
+  private def bandedRows(packed: DataFrame): DataFrame = {
     val mask = lit(0xffffL)
-    val banded = packed.select(
+    packed.select(
       col("doc_id"),
       posexplode(array(
         col("lo").bitwiseAND(mask),
@@ -114,7 +118,6 @@ object SimHash {
         col("hi").bitwiseAND(mask),
         shiftright(col("hi"), 16).bitwiseAND(mask))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
-    MinHashLSH.cappedBucketPairs(banded, bucketCap, logOverflow)
   }
 
   /** Production near-dup path: banded candidates refined by the exact
@@ -136,11 +139,16 @@ object SimHash {
     val p = packed(docs, idCol, textCol).cache()
     val a = p.select(col("doc_id").as("da"), col("lo").as("la"), col("hi").as("ha"))
     val b = p.select(col("doc_id").as("db"), col("lo").as("lb"), col("hi").as("hb"))
-    bandedCandidates(p, bucketCap)
+    // raw (per-band) candidates: the Hamming refine is a cheap broadcast
+    // join + two popcounts, so duplicates (at most 4x, one per agreeing
+    // band) are scored and the small post-filter survivor set deduped —
+    // cheaper than a distinct shuffle of the candidate multiset
+    MinHashLSH.cappedBucketPairs(bandedRows(p), bucketCap, dedup = false)
       .join(a, Seq("da")).join(b, Seq("db"))
       .select(col("da"), col("db"),
         (bit_count(col("la").bitwiseXOR(col("lb"))) +
           bit_count(col("ha").bitwiseXOR(col("hb")))).as("h"))
       .filter(col("h") <= maxDist)
+      .distinct()
   }
 }
