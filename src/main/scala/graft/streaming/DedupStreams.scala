@@ -1,0 +1,136 @@
+package graft.streaming
+
+import graft.operators.{Dedup, MinHashLSH}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Online near-duplicate filtering over a document stream — the shape a
+  * 100 TB training-data pipeline actually runs: new data is deduped
+  * against an INDEX of everything already retained, never by
+  * re-scanning the historical corpus. Per micro-batch:
+  *
+  *  1. MinHash signatures for the batch docs (the same fused
+  *     aggregator the batch path uses);
+  *  2. banded candidate join of batch signatures against the persisted
+  *     signature index AND against the batch itself (earlier-id docs);
+  *  3. similarity estimated from the signatures alone — the fraction
+  *     of agreeing MinHash components is an unbiased estimator of
+  *     Jaccard (Broder 1997) — so the index stores 128 longs per doc,
+  *     never the original text or shingles;
+  *  4. greedy resolution in doc_id order: a doc is dropped iff it is
+  *     near a retained earlier doc (index hit, or an earlier retained
+  *     doc of the same batch); survivors append to the output table and
+  *     their signatures to the index.
+  *
+  * The greedy order makes the result INDEPENDENT OF BATCHING: replaying
+  * the same corpus in one batch or many yields identical survivors
+  * (asserted in spec), so backfills and incremental runs agree. The
+  * resolution step collects only the near-dup candidate PAIRS
+  * (metadata-scale — they are the near-dups themselves, not the
+  * corpus); the banded join and signature aggregation stay distributed.
+  * At warehouse scale the signature index would be bucketed by band key
+  * so the per-batch join prunes to matching buckets.
+  *
+  * Estimator note: with 128 permutations the estimate's std-dev is
+  * ~0.04 at J=0.7, so this trades exactness at the threshold boundary
+  * for an index 1000x smaller than the corpus — the standard online
+  * dedup contract. The batch operators (Dedup.jaccardPairs) remain the
+  * exact forms.
+  */
+object DedupStreams {
+
+  private val Bands = 32
+  private val RowsPerBand = 4
+  private val NumPerms = Bands * RowsPerBand
+
+  /** Start the checkpointed streaming ingest: retained docs land in
+    * `outDir` (parquet), their signatures in `indexDir`.
+    */
+  def ingest(
+      docs: DataFrame,
+      outDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      threshold: Double = 0.7,
+      availableNow: Boolean = true): StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        dedupBatch(batch.toDF(), outDir, indexDir, threshold)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** One micro-batch of the online dedup; package-private so the
+    * batching-invariance property is testable directly.
+    */
+  private[streaming] def dedupBatch(
+      batch: DataFrame, outDir: String, indexDir: String, threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    val sigs = MinHashLSH
+      .signatures(Dedup.charShingles(batch, "doc_id", "text"), NumPerms)
+      .cache()
+    val indexExists =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "_SUCCESS"))
+    val index = if (indexExists) spark.read.parquet(indexDir) else
+      Seq.empty[(Long, Array[Long])].toDF("doc_id", "sig")
+
+    def banded(df: DataFrame): DataFrame = df.select(
+      col("doc_id"), col("sig"),
+      posexplode(
+        transform(sequence(lit(0), lit(Bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bkey"))
+
+    // signature-estimated Jaccard: fraction of agreeing components
+    def est(sa: org.apache.spark.sql.Column, sb: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(sa, sb, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, m) => acc + m).cast("double") / lit(NumPerms)
+
+    val newBanded = banded(sigs)
+    val oldBanded = banded(index)
+    // batch vs index: any estimated hit drops the new doc (every index
+    // doc is by construction retained)
+    val indexHits = newBanded.alias("n")
+      .join(oldBanded.alias("o"), Seq("band", "bkey"))
+      .select(col("n.doc_id").as("id"), col("n.sig").as("sa"), col("o.sig").as("sb"))
+      .filter(est(col("sa"), col("sb")) >= threshold)
+      .select(col("id")).distinct()
+      .as[Long].collect().toSet
+
+    // batch vs earlier batch docs (da < db): candidate near-dup pairs
+    val withinPairs = newBanded.alias("a")
+      .join(newBanded.alias("b"), Seq("band", "bkey"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .filter(est(col("sa"), col("sb")) >= threshold)
+      .select(col("da"), col("db")).distinct()
+      .as[(Long, Long)].collect()
+
+    // greedy resolution in id order — metadata-scale (only near-dup pairs).
+    // Ids come from the BATCH, not the signature set: docs shorter than
+    // the shingle width have no signature, can never collide, and pass
+    // through retained (they just contribute nothing to the index).
+    val nearOf = withinPairs.groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).toSet }
+    val ids = batch.select(col("doc_id")).as[Long].collect().sorted
+    val retained = scala.collection.mutable.LinkedHashSet.empty[Long]
+    ids.foreach { id =>
+      val dupOfRetained = indexHits.contains(id) ||
+        nearOf.getOrElse(id, Set.empty).exists(retained.contains)
+      if (!dupOfRetained) retained += id
+    }
+
+    // join (not a giant isin literal) against the retained-id set
+    val retainedDf = broadcast(retained.toSeq.toDF("doc_id"))
+    batch.join(retainedDf, Seq("doc_id")).write.mode("append").parquet(outDir)
+    sigs.join(retainedDf, Seq("doc_id")).write.mode("append").parquet(indexDir)
+    sigs.unpersist()
+    ()
+  }
+}
