@@ -34,6 +34,9 @@ object Profile {
     val candC = cand.cache(); candC.count()
     t("refine-bitmap")(Dedup.jaccardForPairs(sh, candC, 0.7).count())
     t("exact-bitmap-all")(Dedup.jaccardPairs(sh, 0.7).count())
+    // release the near-dup stage caches before the 837 section (the same
+    // cache-release contract Bench/Verify follow between queries)
+    spark.catalog.clearCache()
 
     // 837 parse+map throughput: synthesize a large corpus in memory (no
     // committed fixture needed) and push it through the full parse+mapping.

@@ -57,27 +57,47 @@ object DedupStreams {
     val writer = docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        dedupBatch(batch.toDF(), outDir, indexDir, threshold)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        dedupBatch(batch.toDF(), outDir, indexDir, threshold, id)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
   /** One micro-batch of the online dedup; package-private so the
-    * batching-invariance property is testable directly.
+    * batching-invariance and replay-idempotence properties are testable
+    * directly.
+    *
+    * Exactly-once: survivors and signatures land in per-batch partition
+    * directories (`batch=<id>`) written with overwrite — foreachBatch
+    * replays a failed batch with the SAME id, so a crash between the two
+    * writes (or mid-write) is healed by the rerun overwriting its own
+    * partition instead of appending duplicates.
     */
   private[streaming] def dedupBatch(
-      batch: DataFrame, outDir: String, indexDir: String, threshold: Double): Unit = {
+      batch: DataFrame, outDir: String, indexDir: String, threshold: Double,
+      batchId: Long = 0L): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
     val sigs = MinHashLSH
       .signatures(Dedup.charShingles(batch, "doc_id", "text"), NumPerms)
       .cache()
-    val indexExists =
-      java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "_SUCCESS"))
-    val index = if (indexExists) spark.read.parquet(indexDir) else
-      Seq.empty[(Long, Array[Long])].toDF("doc_id", "sig")
+    // the index is a partitioned table of batch=<id> subdirs; earlier
+    // batches only (an interrupted write of THIS batch id is about to be
+    // overwritten and must not feed its own dedup pass)
+    import scala.jdk.CollectionConverters._
+    val indexPath = java.nio.file.Paths.get(indexDir)
+    val priorBatches = if (java.nio.file.Files.isDirectory(indexPath)) {
+      val s = java.nio.file.Files.list(indexPath)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("batch=")).toSeq
+        .filter(_.stripPrefix("batch=").toLong != batchId)
+      finally s.close()
+    } else Seq.empty
+    val index = if (priorBatches.nonEmpty)
+      spark.read.parquet(priorBatches.map(b => s"$indexDir/$b"): _*)
+        .select(col("doc_id"), col("sig"))
+    else Seq.empty[(Long, Array[Long])].toDF("doc_id", "sig")
 
     def banded(df: DataFrame): DataFrame = df.select(
       col("doc_id"), col("sig"),
@@ -126,10 +146,13 @@ object DedupStreams {
       if (!dupOfRetained) retained += id
     }
 
-    // join (not a giant isin literal) against the retained-id set
+    // join (not a giant isin literal) against the retained-id set;
+    // per-batch overwrite partitions make a foreachBatch replay idempotent
     val retainedDf = broadcast(retained.toSeq.toDF("doc_id"))
-    batch.join(retainedDf, Seq("doc_id")).write.mode("append").parquet(outDir)
-    sigs.join(retainedDf, Seq("doc_id")).write.mode("append").parquet(indexDir)
+    batch.join(retainedDf, Seq("doc_id"))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    sigs.join(retainedDf, Seq("doc_id"))
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
     sigs.unpersist()
     ()
   }

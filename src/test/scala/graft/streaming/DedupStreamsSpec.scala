@@ -29,9 +29,9 @@ class DedupStreamsSpec extends SparkSpec {
   private def runBatched(slices: Seq[Seq[Long]]): Set[Long] = {
     val root = Files.createTempDirectory("dedup_stream").toString
     val out = s"$root/out"; val idx = s"$root/index"
-    slices.foreach { ids =>
+    slices.zipWithIndex.foreach { case (ids, i) =>
       DedupStreams.dedupBatch(
-        corpus.filter(col("doc_id").isin(ids: _*)), out, idx, threshold = 0.7)
+        corpus.filter(col("doc_id").isin(ids: _*)), out, idx, threshold = 0.7, batchId = i)
     }
     spark.read.parquet(out).select(col("doc_id")).as[Long].collect().toSet
   }
@@ -48,6 +48,18 @@ class DedupStreamsSpec extends SparkSpec {
     val threeBatches = runBatched(Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(5L, 6L, 7L)))
     val perDoc = runBatched((1L to 7L).map(Seq(_)))
     assert(oneBatch == threeBatches && threeBatches == perDoc)
+  }
+
+  test("a replayed batch (same id) is idempotent - no duplicate survivors") {
+    val root = Files.createTempDirectory("dedup_stream_replay").toString
+    val out = s"$root/out"; val idx = s"$root/index"
+    DedupStreams.dedupBatch(
+      corpus.filter(col("doc_id") <= 2), out, idx, threshold = 0.7, batchId = 0)
+    // simulate foreachBatch redelivery after a crash: same batch, same id
+    DedupStreams.dedupBatch(
+      corpus.filter(col("doc_id") <= 2), out, idx, threshold = 0.7, batchId = 0)
+    val rows = spark.read.parquet(out).select(col("doc_id")).as[Long].collect().toSeq
+    assert(rows.sorted == Seq(1L, 2L), s"replay must overwrite, not append: $rows")
   }
 
   test("streaming ingest end-to-end drains a replay directory with dedup applied") {
