@@ -77,9 +77,19 @@ object Dedup {
     val norm = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val longIds = norm.schema.fields.forall(_.dataType ==
       org.apache.spark.sql.types.LongType)
-    if (longIds && norm.count() <= maxDriverEdges) {
+    // single bounded action decides the path AND fetches the edges: a
+    // limit of maxDriverEdges+1 rows either returns the whole graph (fast
+    // path) or proves it oversized — no separate count() pass re-executing
+    // the (often expensive) pair pipeline, and driver memory stays bounded
+    // either way
+    val probe: Array[(Long, Long)] = if (longIds) {
       import spark.implicits._
-      val es = norm.as[(Long, Long)].collect()
+      val cap = math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt
+      if (maxDriverEdges >= 0) norm.limit(cap).as[(Long, Long)].collect() else Array.empty
+    } else Array.empty
+    if (longIds && maxDriverEdges >= 0 && probe.length <= maxDriverEdges) {
+      import spark.implicits._
+      val es = probe
       // union-find with path halving; unions always keep the SMALLER root,
       // so a component's root is its min vertex — exactly the distributed
       // min-label result

@@ -54,7 +54,7 @@ object MinHashLSH {
     * composing a plan for later execution should pass false to stay
     * lazy.
     */
-  private[operators] def cappedBucketPairs(
+  private[graft] def cappedBucketPairs(
       banded: DataFrame, cap: Int, logOverflow: Boolean = true,
       dedup: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -145,15 +145,26 @@ object MinHashLSH {
       bucketCap: Int = DefaultBucketCap): DataFrame =
     bandedPairs(signatures, bands, rowsPerBand, bucketCap, logOverflow = true, dedup = false)
 
-  private def bandedPairs(
-      signatures: DataFrame, bands: Int, rowsPerBand: Int,
-      bucketCap: Int, logOverflow: Boolean, dedup: Boolean): DataFrame = {
-    val banded = signatures.select(
-      col("doc_id"),
+  /** Adds (band, bkey) rows to a signature frame — one row per band,
+    * all other columns carried through. THE band-key definition: every
+    * consumer (batch candidate generation, the streaming index join)
+    * must derive keys through here so they can never drift apart.
+    */
+  private[graft] def bandKeys(
+      signatures: DataFrame, bands: Int = 32, rowsPerBand: Int = 4): DataFrame =
+    signatures.select(
+      col("*"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkey")
+
+  private def bandedPairs(
+      signatures: DataFrame, bands: Int, rowsPerBand: Int,
+      bucketCap: Int, logOverflow: Boolean, dedup: Boolean): DataFrame = {
+    val banded = bandKeys(signatures, bands, rowsPerBand)
+      .select(col("doc_id"), col("band"), col("bkey"))
     cappedBucketPairs(banded, bucketCap, logOverflow, dedup)
   }
 

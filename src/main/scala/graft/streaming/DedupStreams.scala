@@ -1,7 +1,8 @@
 package graft.streaming
 
 import graft.operators.{Dedup, MinHashLSH}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
@@ -13,24 +14,27 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   *  1. MinHash signatures for the batch docs (the same fused
   *     aggregator the batch path uses);
   *  2. banded candidate join of batch signatures against the persisted
-  *     signature index AND against the batch itself (earlier-id docs);
+  *     signature index AND against the batch itself (earlier-id docs),
+  *     both derived through MinHashLSH.bandKeys so the banding can
+  *     never drift from the batch operators, and both bounded by the
+  *     same hot-bucket discipline (within-batch pairs via
+  *     cappedBucketPairs; index buckets truncated to the cap);
   *  3. similarity estimated from the signatures alone — the fraction
   *     of agreeing MinHash components is an unbiased estimator of
   *     Jaccard (Broder 1997) — so the index stores 128 longs per doc,
   *     never the original text or shingles;
-  *  4. greedy resolution in doc_id order: a doc is dropped iff it is
-  *     near a retained earlier doc (index hit, or an earlier retained
-  *     doc of the same batch); survivors append to the output table and
-  *     their signatures to the index.
+  *  4. greedy resolution in doc_id order over ONLY the docs involved in
+  *     a candidate pair or index hit (metadata-scale: they are the
+  *     near-dups themselves, not the corpus); everything else is
+  *     retained by an anti-join against the small dropped set.
   *
-  * The greedy order makes the result INDEPENDENT OF BATCHING: replaying
-  * the same corpus in one batch or many yields identical survivors
-  * (asserted in spec), so backfills and incremental runs agree. The
-  * resolution step collects only the near-dup candidate PAIRS
-  * (metadata-scale — they are the near-dups themselves, not the
-  * corpus); the banded join and signature aggregation stay distributed.
-  * At warehouse scale the signature index would be bucketed by band key
-  * so the per-batch join prunes to matching buckets.
+  * PRECONDITION for cross-run agreement: doc ids must arrive
+  * monotonically non-decreasing across batches (ingest-time-assigned
+  * ids, file order, etc.). Under that contract, replaying the same
+  * corpus in one batch or many yields identical survivors (asserted in
+  * spec). With out-of-order ids the stream still dedups correctly
+  * against what it has RETAINED so far, but a later full-corpus batch
+  * replay may keep a different (lower-id) member of each dup group.
   *
   * Estimator note: with 128 permutations the estimate's std-dev is
   * ~0.04 at J=0.7, so this trades exactness at the threshold boundary
@@ -39,6 +43,8 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * exact forms.
   */
 object DedupStreams {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private val Bands = 32
   private val RowsPerBand = 4
@@ -75,85 +81,100 @@ object DedupStreams {
     */
   private[streaming] def dedupBatch(
       batch: DataFrame, outDir: String, indexDir: String, threshold: Double,
-      batchId: Long = 0L): Unit = {
+      batchId: Long = 0L,
+      bucketCap: Int = MinHashLSH.DefaultBucketCap): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
     val sigs = MinHashLSH
       .signatures(Dedup.charShingles(batch, "doc_id", "text"), NumPerms)
       .cache()
-    // the index is a partitioned table of batch=<id> subdirs; earlier
-    // batches only (an interrupted write of THIS batch id is about to be
-    // overwritten and must not feed its own dedup pass)
-    import scala.jdk.CollectionConverters._
-    val indexPath = java.nio.file.Paths.get(indexDir)
-    val priorBatches = if (java.nio.file.Files.isDirectory(indexPath)) {
-      val s = java.nio.file.Files.list(indexPath)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("batch=")).toSeq
-        .filter(_.stripPrefix("batch=").toLong != batchId)
-      finally s.close()
-    } else Seq.empty
-    val index = if (priorBatches.nonEmpty)
-      spark.read.parquet(priorBatches.map(b => s"$indexDir/$b"): _*)
-        .select(col("doc_id"), col("sig"))
-    else Seq.empty[(Long, Array[Long])].toDF("doc_id", "sig")
+    try {
+      // prior-batch partitions via the Hadoop FileSystem API — java.nio
+      // would silently see nothing on hdfs:///s3a:// paths and disable
+      // cross-batch dedup without an error. The CURRENT batch id is
+      // excluded: an interrupted write of this id is about to be
+      // overwritten and must not feed its own dedup pass. Non-numeric
+      // strays are ignored rather than fatal.
+      val hPath = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val priorBatches =
+        if (fs.exists(hPath))
+          fs.listStatus(hPath).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("batch="))
+            .filter(n => scala.util.Try(n.stripPrefix("batch=").toLong)
+              .toOption.exists(_ != batchId))
+        else Seq.empty
+      val index = if (priorBatches.nonEmpty)
+        spark.read.parquet(priorBatches.map(b => s"$indexDir/$b"): _*)
+          .select(col("doc_id"), col("sig"))
+      else Seq.empty[(Long, Array[Long])].toDF("doc_id", "sig")
 
-    def banded(df: DataFrame): DataFrame = df.select(
-      col("doc_id"), col("sig"),
-      posexplode(
-        transform(sequence(lit(0), lit(Bands - 1)),
-          b => xxhash64(b, slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
-      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bkey"))
+      // signature-estimated Jaccard: fraction of agreeing components
+      def est(sa: Column, sb: Column): Column =
+        aggregate(
+          zip_with(sa, sb, (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, m) => acc + m).cast("double") / lit(NumPerms)
 
-    // signature-estimated Jaccard: fraction of agreeing components
-    def est(sa: org.apache.spark.sql.Column, sb: org.apache.spark.sql.Column) =
-      aggregate(
-        zip_with(sa, sb, (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, m) => acc + m).cast("double") / lit(NumPerms)
+      val newBanded = MinHashLSH.bandKeys(sigs, Bands, RowsPerBand)
+      // index side truncated to `bucketCap` docs per (band, key): a new
+      // doc in a hot bucket is checked against the cap lowest-id index
+      // members instead of all K — the streaming analog of the batch
+      // star-cap (recall inside a hot bucket degrades, cost stays
+      // bounded); min-id-first keeps the truncation deterministic
+      val wBucket = Window.partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))
+      val oldBanded = MinHashLSH.bandKeys(index, Bands, RowsPerBand)
+        .withColumn("__rn", row_number().over(wBucket))
+        .filter(col("__rn") <= bucketCap)
+        .drop("__rn")
+      // batch vs index: any estimated hit drops the new doc (every index
+      // doc is by construction retained); output is the hit ids — the
+      // actual near-dups, metadata-scale
+      val indexHits = newBanded.alias("n")
+        .join(oldBanded.alias("o"), Seq("band", "bkey"))
+        .select(col("n.doc_id").as("id"), col("n.sig").as("sa"), col("o.sig").as("sb"))
+        .filter(est(col("sa"), col("sb")) >= threshold)
+        .select(col("id")).distinct()
+        .as[Long].collect().toSet
 
-    val newBanded = banded(sigs)
-    val oldBanded = banded(index)
-    // batch vs index: any estimated hit drops the new doc (every index
-    // doc is by construction retained)
-    val indexHits = newBanded.alias("n")
-      .join(oldBanded.alias("o"), Seq("band", "bkey"))
-      .select(col("n.doc_id").as("id"), col("n.sig").as("sa"), col("o.sig").as("sb"))
-      .filter(est(col("sa"), col("sb")) >= threshold)
-      .select(col("id")).distinct()
-      .as[Long].collect().toSet
+      // batch vs earlier batch docs (da < db): candidate pairs through the
+      // SAME hot-bucket cap as the batch operators (a batch of K
+      // boilerplate-identical docs must produce K-1 star pairs, not K^2),
+      // refined by the signature estimate
+      val candidates = MinHashLSH.cappedBucketPairs(
+        newBanded.select(col("doc_id"), col("band"), col("bkey")),
+        bucketCap, logOverflow = false, dedup = false)
+      val sa = sigs.select(col("doc_id").as("da"), col("sig").as("sa"))
+      val sb = sigs.select(col("doc_id").as("db"), col("sig").as("sb"))
+      val withinPairs = candidates
+        .join(sa, Seq("da")).join(sb, Seq("db"))
+        .filter(est(col("sa"), col("sb")) >= threshold)
+        .select(col("da"), col("db")).distinct()
+        .as[(Long, Long)].collect()
 
-    // batch vs earlier batch docs (da < db): candidate near-dup pairs
-    val withinPairs = newBanded.alias("a")
-      .join(newBanded.alias("b"), Seq("band", "bkey"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.sig").as("sa"), col("b.sig").as("sb"))
-      .filter(est(col("sa"), col("sb")) >= threshold)
-      .select(col("da"), col("db")).distinct()
-      .as[(Long, Long)].collect()
+      // greedy resolution in id order over only the pair-involved ids —
+      // a doc in no pair and no index hit is retained unconditionally,
+      // and every potential dropper of a pair endpoint is itself a pair
+      // endpoint, so resolving the candidate set alone is complete
+      val nearOf = withinPairs.groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).toSet }
+      val contested = (indexHits ++ withinPairs.flatMap(p => Seq(p._1, p._2))).toSeq.sorted
+      val dropped = scala.collection.mutable.HashSet.empty[Long]
+      contested.foreach { id =>
+        val dupOfRetained = indexHits.contains(id) ||
+          nearOf.getOrElse(id, Set.empty).exists(a => !dropped.contains(a))
+        if (dupOfRetained) dropped += id
+      }
+      if (dropped.nonEmpty)
+        log.info(s"dedupBatch($batchId): dropped ${dropped.size} near-duplicate doc(s)")
 
-    // greedy resolution in id order — metadata-scale (only near-dup pairs).
-    // Ids come from the BATCH, not the signature set: docs shorter than
-    // the shingle width have no signature, can never collide, and pass
-    // through retained (they just contribute nothing to the index).
-    val nearOf = withinPairs.groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).toSet }
-    val ids = batch.select(col("doc_id")).as[Long].collect().sorted
-    val retained = scala.collection.mutable.LinkedHashSet.empty[Long]
-    ids.foreach { id =>
-      val dupOfRetained = indexHits.contains(id) ||
-        nearOf.getOrElse(id, Set.empty).exists(retained.contains)
-      if (!dupOfRetained) retained += id
-    }
-
-    // join (not a giant isin literal) against the retained-id set;
-    // per-batch overwrite partitions make a foreachBatch replay idempotent
-    val retainedDf = broadcast(retained.toSeq.toDF("doc_id"))
-    batch.join(retainedDf, Seq("doc_id"))
-      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-    sigs.join(retainedDf, Seq("doc_id"))
-      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
-    sigs.unpersist()
+      // anti-join against the (small) dropped set; per-batch overwrite
+      // partitions make a foreachBatch replay idempotent
+      val droppedDf = broadcast(dropped.toSeq.toDF("doc_id"))
+      batch.join(droppedDf, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      sigs.join(droppedDf, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    } finally sigs.unpersist()
     ()
   }
 }
