@@ -179,17 +179,21 @@ object SimilaritySearch {
   /** Scale path: hyperplane-bucket candidate pairs (bucket equi-join, never
     * all-pairs) refined by the exact cosine. Recall per pair at angle t is
     * 1-(1-(1-t/pi)^numBits)^numTables — 32 tables x 4 bits gives ~0.999 at
-    * cos 0.45; raise numTables for tighter guarantees.
+    * cos 0.45; raise numTables for tighter guarantees. Hot buckets (a
+    * corpus of near-identical embeddings collapsing into one sign
+    * pattern) go through the same star-cap discipline as the
+    * MinHash/SimHash banding — K-1 representative pairs instead of K^2 —
+    * and duplicates across tables are deduped after the cheap refine
+    * rather than with a candidate-multiset distinct.
     */
   def nearDuplicatesBucketed(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      numBits: Int = 4, numTables: Int = 32): DataFrame = {
+      numBits: Int = 4, numTables: Int = 32,
+      bucketCap: Int = MinHashLSH.DefaultBucketCap): DataFrame = {
     val keyed = hyperplaneBuckets(df, vecCol, numBits, numTables)
-      .select(col(idCol).as("id"), col("bucket"))
-    val cand = keyed.select(col("id").as("ka"), col("bucket"))
-      .join(keyed.select(col("id").as("kb"), col("bucket")), Seq("bucket"))
-      .filter(col("ka") < col("kb"))
-      .select(col("ka"), col("kb")).distinct()
+      .select(col(idCol).as("doc_id"), lit(0).as("band"), col("bucket").as("bkey"))
+    val cand = MinHashLSH.cappedBucketPairs(keyed, bucketCap, dedup = false)
+      .select(col("da").as("ka"), col("db").as("kb"))
     val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
     cand
@@ -198,6 +202,7 @@ object SimilaritySearch {
       .select(col("ka"), col("kb"),
         round(cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
+      .distinct()
   }
 
   /** Multi-table random-hyperplane LSH keys (Charikar 2002): `numTables`

@@ -134,6 +134,18 @@ class OperatorsSpec extends SparkSpec {
     assert(k.count() > 0, "threshold should admit some pairs on the fixture embeddings")
   }
 
+  test("hyperplane-bucketed near-dup pairs are a high-recall subset of exact") {
+    val e = tables.embeddings
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("ka"), col("kb")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SimilaritySearch.nearDuplicatesExact(e, "vec_id", "embedding", 0.45))
+    val bucketed = pairs(SimilaritySearch.nearDuplicatesBucketed(e, "vec_id", "embedding", 0.45))
+    assert(exact.nonEmpty)
+    assert(bucketed.subsetOf(exact), "refine must keep bucketed pairs exact")
+    val recall = bucketed.size.toDouble / exact.size
+    assert(recall >= 0.8, s"deterministic hyperplane recall regressed: $recall")
+  }
+
   test("IVF (k-means cells + nProbe search) reaches >=60% top-5 recall vs exact") {
     val e = tables.embeddings
     val probes = (0L until 20L).toSeq
