@@ -835,5 +835,61 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy($"k")
     },
+
+    // ---- q65: A5 approx distinct, driver-gated — HLL sketches differ
+    // between engines, so the gated row is the exact distinct (computed by
+    // both) plus an INT flag asserting Spark's HLL landed within its
+    // declared 5% envelope; a sketch regression flips the flag and fails
+    // the hash gate, same pattern as the q50 recall summary. -----------------
+    QueryDef(
+      "q65_approx_distinct",
+      """SELECT count(DISTINCT o_custkey)::BIGINT AS exact_custkeys,
+        |       1 AS hll_within_5pct
+        |FROM orders""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val row = Tables(spark, dir).orders
+        .agg(countDistinct($"o_custkey").as("exact"),
+          // rsd is one sigma, not a bound: at 0.05 the estimate strays past
+          // 5% roughly a third of the time. 0.01 keeps the 5% gate ~5 sigma
+          // out, and HLL is deterministic per input, so the gate is stable.
+          approx_count_distinct($"o_custkey", 0.01).as("approx"))
+        .head()
+      val (exact, approx) = (row.getLong(0), row.getLong(1))
+      val ok = math.abs(approx - exact).toDouble / exact <= 0.05
+      Seq((exact, if (ok) 1 else 0)).toDF("exact_custkeys", "hll_within_5pct")
+    },
+
+    // ---- q66: S4 CSV/JSON sources, driver-gated — the engine writes the
+    // nation table out as CSV and JSON, reads both back with explicit
+    // schemas, and aggregates; the oracle computes the same aggregate from
+    // the parquet source, so any row/value corruption in either format's
+    // round trip breaks the hash match. -------------------------------------
+    QueryDef(
+      "q66_csv_json_roundtrip",
+      """SELECT fmt, count(*)::BIGINT AS n,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS key_checksum,
+        |       min(n_name) AS min_name, max(n_name) AS max_name
+        |FROM (SELECT 'csv' AS fmt, * FROM nation
+        |      UNION ALL SELECT 'json' AS fmt, * FROM nation)
+        |GROUP BY fmt ORDER BY fmt""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val nation = Tables(spark, dir).nation
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s4").toString
+      nation.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+      nation.write.mode("overwrite").json(s"$tmp/json")
+      val schema = nation.schema
+      val csv = spark.read.schema(schema).option("header", "true").csv(s"$tmp/csv")
+        .withColumn("fmt", lit("csv"))
+      val json = spark.read.schema(schema).json(s"$tmp/json")
+        .withColumn("fmt", lit("json"))
+      csv.unionByName(json)
+        .groupBy($"fmt")
+        .agg(count(lit(1)).as("n"),
+          sum($"n_nationkey").cast("long").as("key_checksum"),
+          min($"n_name").as("min_name"), max($"n_name").as("max_name"))
+        .orderBy($"fmt")
+    },
   )
 }
