@@ -20,8 +20,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object ClaimStreams {
 
-  /** Unbounded claims DataFrame over a watched EDI directory. */
-  def claims(spark: SparkSession, inDir: String, filesPerTrigger: Int = 64): DataFrame = {
+  /** Unbounded claims DataFrame over a watched EDI directory.
+    *
+    * `filesPerTrigger` trades latency against per-batch overhead: each
+    * micro-batch pays a fixed planning + checkpoint-fsync + sink-commit
+    * cost (~0.5 s), so a catch-up over a large backlog wants batches big
+    * enough to amortize it (claim files are KB-scale — thousands per
+    * batch is cheap), while a latency-sensitive tail wants small ones.
+    */
+  def claims(spark: SparkSession, inDir: String, filesPerTrigger: Int = 1024): DataFrame = {
     import spark.implicits._
     val raw = spark.readStream
       .option("wholetext", "true")
@@ -39,8 +46,9 @@ object ClaimStreams {
       inDir: String,
       outDir: String,
       checkpointDir: String,
-      availableNow: Boolean = true): StreamingQuery = {
-    val writer = claims(spark, inDir).writeStream
+      availableNow: Boolean = true,
+      filesPerTrigger: Int = 1024): StreamingQuery = {
+    val writer = claims(spark, inDir, filesPerTrigger).writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
