@@ -73,6 +73,38 @@ object TextFunctions {
     round(lengthOk * (lit(0.5) + lit(0.5) * distinctRatio) * alphaRatio, 4)
   }
 
+  /** Word n-grams as space-joined strings, row-local (no explode): the
+    * unit of the repetition quality signals (Rae et al. 2021 "Gopher"
+    * §A1.1 duplicate/top n-gram fractions) and of n-gram overlap
+    * decontamination (Brown et al. 2020 §C). Empty array when the doc has
+    * fewer than n tokens.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** PII patterns, deliberately lookahead-free so the identical pattern
+    * runs on both Java regex (Spark codegen) and RE2-based engines (the
+    * DuckDB oracle): the same cross-engine differential q44c uses.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern: String = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Redact emails, IPv4 addresses, and phone-like numbers with typed
+    * placeholder tags. Email first: its local/domain parts could otherwise
+    * be nibbled by the narrower patterns. Row-local, codegen'd.
+    */
+  def scrubPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    regexp_replace(noIp, PhonePattern, "<PHONE>")
+  }
+
   /** 64-bit document fingerprint: order-sensitive xxhash64 rolling
     * combination of tokens (SURVEY.md L4 "document fingerprinting").
     * Identical token sequences => identical fingerprint.

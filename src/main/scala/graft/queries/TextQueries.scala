@@ -629,5 +629,131 @@ object TextQueries {
           sum($"doc_id").cast("long").as("id_checksum"))
         .orderBy($"lang")
     },
+
+    // ---- q67: repetition quality signals (Gopher §A1.1) — per-language
+    // duplicate-2-gram fraction and top-2-gram share, the standard "is this
+    // document self-repeating boilerplate" pretraining filters. Explode +
+    // two-level aggregation (per-doc gram counts, then per-doc stats, then
+    // per-lang averages): codegen'd, map-side combinable, no row-local
+    // quadratic work — the formulation that survives 100 TB. ----------------
+    QueryDef(
+      "q67_repetition_signals",
+      """WITH tok AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS gram
+        |  FROM tok WHERE len(ts) >= 2
+        |), pc AS (
+        |  SELECT doc_id, lang, gram, count(*) AS c FROM g GROUP BY 1, 2, 3
+        |), pd AS (
+        |  SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n, count(*) AS nd, max(c) AS mx
+        |  FROM pc GROUP BY 1, 2
+        |)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |       CAST(CAST(round(avg(1 - nd * 1.0 / n), 4) AS DECIMAL(18,4)) AS DOUBLE) AS dup_2gram_frac,
+        |       CAST(CAST(round(avg(mx * 1.0 / n), 4) AS DECIMAL(18,4)) AS DOUBLE) AS top_2gram_share,
+        |       CAST(max(mx) AS BIGINT) AS max_repeat
+        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).documents
+        .select($"doc_id", $"lang",
+          explode(TextFunctions.wordNgrams($"text", 2)).as("gram"))
+        .groupBy($"doc_id", $"lang", $"gram").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id", $"lang")
+        .agg(sum($"c").cast("long").as("n"), count(lit(1)).as("nd"), max($"c").as("mx"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          dec(avg(lit(1) - $"nd" * lit(1.0) / $"n"), 4).as("dup_2gram_frac"),
+          dec(avg($"mx" * lit(1.0) / $"n"), 4).as("top_2gram_share"),
+          max($"mx").cast("long").as("max_repeat"))
+        .orderBy($"lang")
+    },
+
+    // ---- q68: benchmark decontamination (GPT-3 appendix C) — flag training
+    // docs sharing any word 4-gram with the "benchmark" slice (doc_id % 11,
+    // a stand-in eval corpus). The eval gram set is metadata-scale and
+    // broadcast; the corpus side is a narrow explode + broadcast semi join,
+    // so nothing shuffles the 100 TB side. ----------------------------------
+    QueryDef(
+      "q68_decontamination",
+      """WITH tok AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_transform(range(1, len(ts) - 2),
+        |                i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] || ' ' || ts[i + 3])) AS gram
+        |  FROM tok WHERE len(ts) >= 4
+        |), ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 11 = 0),
+        |cont AS (
+        |  SELECT DISTINCT g.doc_id, g.lang
+        |  FROM g JOIN ev USING (gram) WHERE g.doc_id % 11 <> 0
+        |)
+        |SELECT lang, count(*)::BIGINT AS n_contaminated,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM cont GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val ids = graft.operators.Decontamination
+        .contaminatedIds(docs, "doc_id", "text", $"doc_id" % 11 === 0, n = 4)
+      docs.join(ids, Seq("doc_id"), "left_semi")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_contaminated"),
+          sum($"doc_id").cast("long").as("id_checksum"))
+        .orderBy($"lang")
+    },
+
+    // ---- q69: PII scrubbing — deterministic synthetic PII is injected by
+    // BOTH engines (emails/IPs/phones derived from doc_id; the corpus has
+    // none), then detection counts and the redacted-text md5 are hash-gated.
+    // Same Java-regex-vs-RE2 differential as q44c: the patterns are
+    // lookahead-free so the identical pattern string runs on both engines.
+    // Row-local, codegen'd — scales as a narrow map. -------------------------
+    QueryDef(
+      "q69_pii_scrub",
+      s"""WITH aug AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 1 THEN ' node 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 2 THEN ' tel 555-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(t, '${TextFunctions.EmailPattern}'))::INT AS n_email,
+         |       len(regexp_extract_all(t, '${TextFunctions.Ipv4Pattern}'))::INT AS n_ip,
+         |       len(regexp_extract_all(t, '${TextFunctions.PhonePattern}'))::INT AS n_phone,
+         |       md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |         '${TextFunctions.EmailPattern}', '<EMAIL>', 'g'),
+         |         '${TextFunctions.Ipv4Pattern}', '<IP>', 'g'),
+         |         '${TextFunctions.PhonePattern}', '<PHONE>', 'g')) AS scrub_hash
+         |FROM aug ORDER BY doc_id""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val id = $"doc_id"
+      val aug = concat(
+        $"text",
+        when(id % 3 === 0,
+          concat(lit(" contact user"), id.cast("string"), lit("@mail.example.com")))
+          .otherwise(lit("")),
+        when(id % 4 === 1,
+          concat(lit(" node 10."), (id % 200).cast("string"), lit(".0."),
+            (id % 250).cast("string")))
+          .otherwise(lit("")),
+        when(id % 5 === 2,
+          concat(lit(" tel 555-"), lpad((id * 7 % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      Tables(spark, dir).documents
+        .select(id, aug.as("t"))
+        .select(id,
+          regexp_count($"t", lit(TextFunctions.EmailPattern)).cast("int").as("n_email"),
+          regexp_count($"t", lit(TextFunctions.Ipv4Pattern)).cast("int").as("n_ip"),
+          regexp_count($"t", lit(TextFunctions.PhonePattern)).cast("int").as("n_phone"),
+          md5(TextFunctions.scrubPii($"t")).as("scrub_hash"))
+        .orderBy(id)
+    },
   )
 }
