@@ -755,5 +755,127 @@ object TextQueries {
           md5(TextFunctions.scrubPii($"t")).as("scrub_hash"))
         .orderBy(id)
     },
+
+    // ---- q70: BM25 keyword retrieval — top-10 docs per head term. Corpus
+    // stats are one 2-scalar aggregate; the term set is metadata-scale and
+    // pushed into a pre-shuffle isin filter, so scoring never shuffles the
+    // full token stream (Bm25 scaladoc). Both engines rank on the UNROUNDED
+    // double score with a doc_id tie-break. --------------------------------
+    QueryDef(
+      "q70_bm25",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, unnest(ts) AS tok, len(ts) AS dl FROM tok
+        |), terms AS (
+        |  SELECT tok FROM t GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT 5
+        |), stats AS (
+        |  SELECT count(*)::DOUBLE AS n, avg(len(ts))::DOUBLE AS avgdl FROM tok
+        |), tf AS (
+        |  SELECT t.tok AS term, doc_id, count(*)::DOUBLE AS tf, min(dl)::DOUBLE AS dl
+        |  FROM t JOIN terms ON t.tok = terms.tok GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.term, tf.doc_id,
+        |         ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+        |           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS score
+        |  FROM tf CROSS JOIN stats JOIN df ON tf.term = df.term
+        |)
+        |SELECT term, row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rnk,
+        |       doc_id, CAST(CAST(round(score, 4) AS DECIMAL(18,4)) AS DOUBLE) AS score
+        |FROM scored QUALIFY rnk <= 10 ORDER BY term, rnk""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val terms = graft.operators.Bm25.topTerms(docs, "text", 5)
+      graft.operators.Bm25.topK(docs, "doc_id", "text", terms, 10)
+        .select($"term", $"rnk", $"doc_id", dec($"score", 4).as("score"))
+        .orderBy($"term", $"rnk")
+    },
+
+    // ---- q71: int8 scalar quantization of the embedding corpus — per-label
+    // reconstruction-quality summary (MSE ppm, cosine, exact code checksum).
+    // Row-local quantize/reconstruct/score, one narrow rollup; floor(x/s+0.5)
+    // because floor's half-case is engine-identical where round()'s is not
+    // (Quantization scaladoc). ---------------------------------------------
+    QueryDef(
+      "q71_int8_quant",
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+        |  FROM embeddings
+        |), r AS (
+        |  SELECT vec_id, label, v, s,
+        |         list_transform(v, x -> floor(x / s + 0.5) * s) AS rec,
+        |         list_transform(v, x -> floor(x / s + 0.5)) AS qv
+        |  FROM q WHERE s > 0
+        |), m AS (
+        |  SELECT vec_id, label,
+        |         list_sum(list_transform(list_zip(v, rec), p -> (p[1] - p[2]) * (p[1] - p[2]))) / len(v) AS mse,
+        |         list_sum(list_transform(list_zip(v, rec), p -> p[1] * p[2]))
+        |           / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |              * sqrt(list_sum(list_transform(rec, x -> x * x)))) AS cos,
+        |         list_sum(qv) AS qsum
+        |  FROM r
+        |)
+        |SELECT label, count(*)::BIGINT AS n,
+        |       CAST(CAST(round(avg(mse) * 1e6, 4) AS DECIMAL(18,4)) AS DOUBLE) AS avg_mse_ppm,
+        |       CAST(CAST(round(avg(cos), 6) AS DECIMAL(18,6)) AS DOUBLE) AS avg_cos,
+        |       CAST(sum(qsum) AS BIGINT) AS q_checksum
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.Quantization
+        .int8SummaryByLabel(Tables(spark, dir).embeddings, "embedding", "label")
+        .select($"label", $"n",
+          dec($"avg_mse_ppm", 4).as("avg_mse_ppm"),
+          dec($"avg_cos", 6).as("avg_cos"),
+          $"q_checksum".cast("long").as("q_checksum"))
+        .orderBy($"label")
+    },
+
+    // ---- q72: bigram-LM cross-entropy scoring (CCNet-style quality
+    // filter): train the MLE bigram LM on the corpus (one gram groupBy ->
+    // vocabulary²-bounded model table), score each doc by its average
+    // -ln p(w2|w1) via one stream⋈model join, roll up per language.
+    // NgramLm scaladoc has the 100 TB shape. --------------------------------
+    QueryDef(
+      "q72_ngram_lm",
+      """WITH tok AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS gram
+        |  FROM tok WHERE len(ts) >= 2
+        |), lm AS (
+        |  SELECT gram, count(*)::DOUBLE AS cb FROM g GROUP BY 1
+        |), uni AS (
+        |  SELECT split_part(gram, ' ', 1) AS w1, sum(cb) AS cu FROM lm GROUP BY 1
+        |), doc AS (
+        |  SELECT g.doc_id, g.lang, avg(-ln(lm.cb / uni.cu)) AS ce
+        |  FROM g JOIN lm USING (gram) JOIN uni ON split_part(g.gram, ' ', 1) = uni.w1
+        |  GROUP BY 1, 2
+        |)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |       CAST(CAST(round(avg(ce), 4) AS DECIMAL(18,4)) AS DOUBLE) AS avg_ce,
+        |       CAST(CAST(round(min(ce), 4) AS DECIMAL(18,4)) AS DOUBLE) AS min_ce,
+        |       CAST(CAST(round(max(ce), 4) AS DECIMAL(18,4)) AS DOUBLE) AS max_ce
+        |FROM doc GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val lm = graft.operators.NgramLm.bigramLm(docs, "text")
+      graft.operators.NgramLm.crossEntropy(docs, "text", lm, "doc_id", "lang")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          dec(avg($"ce"), 4).as("avg_ce"),
+          dec(min($"ce"), 4).as("min_ce"),
+          dec(max($"ce"), 4).as("max_ce"))
+        .orderBy($"lang")
+    },
   )
 }
