@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally routes through sbt's logger, which prefixes
+// every stdout line with "[info] " — that prefix breaks any consumer doing
+// json.loads on Bench's final summary line. StdoutOutput makes the forked
+// JVM inherit the real stdout: raw, unprefixed, unbuffered-by-sbt.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -85,23 +85,40 @@ object Bench {
       System.err.println(s"[bench:stream] ingest FAILED: ${e.getMessage}")
       "null"
     }
-    // Per-query times rounded to ms keep the summary line compact (~2.5 KB
-    // for 70 queries): the driver captures only a bounded tail of stdout, so
-    // the LAST line must carry the headline numbers and parse on its own.
-    // Cold per-query detail goes on its own earlier line — informative when
-    // captured, expendable when not. Locale.ROOT: the f interpolator is
-    // locale-sensitive and a comma-decimal JVM locale would emit invalid
-    // JSON (same class of bug as the PDF sink's operand formatting).
+    // The driver captures only the LAST 2000 chars of stdout (measured from
+    // BENCH_r03.json: tail len 2000, and sbt's own "[success] ..." line eats
+    // ~72 of them). Round 3's final line carried 81 full query names and ran
+    // ~2.9 KB, so the capture started mid-line and the artifact recorded
+    // parsed:null — the warm total was unprovable. Emission contract now:
+    //   line 1: cold per-query detail, full names  (expendable if cut)
+    //   line 2: warm per-query detail, full names  (expendable if cut)
+    //   line 3 (LAST): compact summary that must fit the capture window with
+    //     sbt's epilogue — short query keys (the unique "qNN" prefix before
+    //     the first underscore), 2-decimal seconds, and a hard size guard
+    //     that drops the per-query dict entirely rather than risk truncation.
+    // Locale.ROOT everywhere: the f interpolator is locale-sensitive and a
+    // comma-decimal JVM locale would emit invalid JSON (same class of bug as
+    // the PDF sink's operand formatting).
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def cs(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def obj(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     def tot(rs: Seq[(String, Double)]) = ms(rs.map(_._2).sum)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"cold_detail","cold_total":${tot(cold)},"unit":"sec","cold_queries":${obj(cold)}}""")
-    println(s"""{"metric":"total","value":${tot(warm)},"unit":"sec","queries":${obj(warm)},""" +
-      s""""cold_total":${tot(cold)},"stream_ingest":$streamJson,""" +
-      s""""failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"warm_detail","warm_total":${tot(warm)},"unit":"sec","warm_queries":${obj(warm)}}""")
+    val shortQueries = warm
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + cs(v) }
+      .mkString("{", ",", "}")
+    def summary(queriesJson: String) =
+      s"""{"metric":"total","value":${tot(warm)},"unit":"sec","queries":$queriesJson,""" +
+        s""""cold_total":${tot(cold)},"stream_ingest":$streamJson,""" +
+        s""""failed":$failedJson,"sf":"$sfDir"}"""
+    val full = summary(shortQueries)
+    // 2000-char window minus sbt epilogue (~80) minus safety margin
+    println(if (full.length <= 1500) full else summary("\"truncated\""))
     spark.stop()
   }
 }
