@@ -40,4 +40,54 @@ object Decontamination {
       .select(col(idCol))
       .distinct()
   }
+
+  /** Fuzzy decontamination: ids of non-eval documents whose exact shingle
+    * Jaccard against SOME eval document reaches `threshold` — the
+    * near-duplicate complement of [[contaminatedIds]]'s exact n-gram
+    * overlap (verbatim-copy detection catches quotes; this catches
+    * lightly-edited restatements of benchmark items).
+    *
+    * Bipartite MinHash-LSH: both sides share one shingle/signature/band
+    * derivation (MinHashLSH.bandKeys — the key contract), then the
+    * TRAIN-banded stream joins the EVAL-banded side on (band, bkey). The
+    * eval corpus is benchmark-sized, so its banded frame is metadata-scale
+    * and **broadcast**: candidate generation is one narrow pass over the
+    * 100 TB side — never a train x train bucket blow-up, because only
+    * cross-corpus collisions produce candidates. Candidates then go
+    * through the standard exact-Jaccard refine (Dedup.jaccardForPairs),
+    * so the result is exact-thresholded; LSH affects recall only
+    * (P ≈ 0.9998 at J = 0.7 under the default banding — MinHashLSH
+    * scaladoc).
+    */
+  def fuzzyContaminatedIds(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isEval: Column,
+      threshold: Double,
+      shingleN: Int = 3,
+      numPerms: Int = 128,
+      bands: Int = 32,
+      rowsPerBand: Int = 4): DataFrame = {
+    // one shingle derivation for both sides: signature agg + the refine
+    // re-read it, and a per-side re-derivation could never drift.
+    // Cache-release contract: see Dedup.jaccardPairs.
+    val sh = Dedup.charShingles(docs, idCol, textCol, shingleN).cache()
+    val flags = docs.select(col(idCol).as("doc_id"), isEval.as("__eval"))
+    val banded = MinHashLSH.bandKeys(
+      MinHashLSH.signatures(sh, numPerms), bands, rowsPerBand)
+      .select(col("doc_id"), col("band"), col("bkey"))
+      .join(flags, Seq("doc_id"))
+    val train = banded.filter(!col("__eval"))
+      .select(col("doc_id").as("da"), col("band"), col("bkey"))
+    val eval_ = banded.filter(col("__eval"))
+      .select(col("doc_id").as("db"), col("band"), col("bkey"))
+    val cand = train.join(broadcast(eval_), Seq("band", "bkey"))
+      .select(col("da"), col("db"))
+    // raw (per-band duplicated) candidates: the refine dedups after
+    // thresholding, same trade as MinHashLSH.nearDuplicatePairs
+    Dedup.jaccardForPairs(sh, cand, threshold, pairsDistinct = false)
+      .select(col("da").as(idCol))
+      .distinct()
+  }
 }

@@ -437,6 +437,42 @@ object Dedup {
   private def shingleSizes(shingles: DataFrame): DataFrame =
     shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
+  /** Cross-document duplication signal (the MassiveText/Gopher "fraction
+    * of the document that also appears elsewhere" family, at n-gram
+    * granularity): for each document, the fraction of its DISTINCT word
+    * n-grams that occur in at least one OTHER document. 1.0 means every
+    * gram is shared (boilerplate / near-copy); 0.0 means fully unique
+    * prose. Complements the within-doc repetition stats (WordNgramStats)
+    * and the pairwise Jaccard family: this is a per-document score, no
+    * pair enumeration at all.
+    *
+    * Output: (doc_id, n_grams, n_shared, shared_frac).
+    *
+    * Scale shape: one groupBy over (gram -> distinct-doc count) — the
+    * gram vocabulary is corpus-sublinear and the aggregate partial —
+    * then one shuffle join of the per-doc distinct gram stream against
+    * it and a per-doc rollup. No all-pairs anywhere, so it survives
+    * corpora where even LSH candidate generation gets expensive.
+    */
+  def crossDocGramStats(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import graft.functions.TextFunctions
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        explode_outer(array_distinct(TextFunctions.wordNgrams(col(textCol), n))).as("gram"))
+    val df = grams.filter(col("gram").isNotNull)
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("gdf"))
+    grams
+      .join(df, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("gram")).as("n_grams"),
+        count(when(col("gdf") >= 2, 1)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        when(col("n_grams") > 0, col("n_shared") / col("n_grams"))
+          .otherwise(lit(0.0)).as("shared_frac"))
+  }
+
   private def withJaccard(inter: DataFrame, sizes: DataFrame, threshold: Double): DataFrame = {
     val na = sizes.select(col("doc_id").as("da"), col("n").as("na"))
     val nb = sizes.select(col("doc_id").as("db"), col("n").as("nb"))

@@ -877,5 +877,181 @@ object TextQueries {
           dec(max($"ce"), 4).as("max_ce"))
         .orderBy($"lang")
     },
+
+    // ---- q73: perplexity FILTER (the step after q72's scoring): per
+    // source, keep the lower-cross-entropy half of the scored documents —
+    // deterministic (ce, doc_id) rank, the q64 quota idiom, so both
+    // engines select the identical survivor set (q70 precedent for
+    // ranking on unrounded doubles). Per-source windows distribute; at
+    // 100 TB the rank threshold becomes a per-domain quantile computed
+    // once (metadata) and broadcast. -------------------------------------
+    QueryDef(
+      "q73_perplexity_filter",
+      """WITH tok AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS gram
+        |  FROM tok WHERE len(ts) >= 2
+        |), lm AS (
+        |  SELECT gram, count(*)::DOUBLE AS cb FROM g GROUP BY 1
+        |), uni AS (
+        |  SELECT split_part(gram, ' ', 1) AS w1, sum(cb) AS cu FROM lm GROUP BY 1
+        |), doc AS (
+        |  SELECT g.doc_id, g.source, avg(-ln(lm.cb / uni.cu)) AS ce
+        |  FROM g JOIN lm USING (gram) JOIN uni ON split_part(g.gram, ' ', 1) = uni.w1
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY ce, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM doc
+        |)
+        |SELECT source, count(*)::BIGINT AS n_kept, CAST(min(n_src) AS BIGINT) AS n_scored,
+        |       CAST(CAST(round(avg(ce), 4) AS DECIMAL(18,4)) AS DOUBLE) AS avg_ce_kept,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM ranked WHERE rn <= CAST(ceil(n_src * 0.5) AS BIGINT)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val lm = graft.operators.NgramLm.bigramLm(docs, "text")
+      val ce = graft.operators.NgramLm.crossEntropy(docs, "text", lm, "doc_id", "source")
+      val w = Window.partitionBy($"source").orderBy($"ce", $"doc_id")
+      val wAll = Window.partitionBy($"source")
+      ce.withColumn("rn", row_number().over(w))
+        .withColumn("n_src", count(lit(1)).over(wAll))
+        .filter($"rn" <= ceil($"n_src" * 0.5).cast("long"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"),
+          min($"n_src").cast("long").as("n_scored"),
+          dec(avg($"ce"), 4).as("avg_ce_kept"),
+          sum($"doc_id").cast("long").as("id_checksum"))
+        .orderBy($"source")
+    },
+
+    // ---- q74: temperature-weighted domain mixture (DomainMixture
+    // scaladoc: integer-exact largest-remainder quotas over w ∝ √n, md5
+    // rank selection). The domain key merges src1* into one 275-doc
+    // domain so the flattening is visible: 55% of the corpus -> 26.5% of
+    // the sample. Σ quota == 200 exactly. --------------------------------
+    QueryDef(
+      "q74_domain_mixture",
+      """WITH c AS (
+        |  SELECT substr(source, 1, 4) AS domain, count(*)::BIGINT AS n_docs,
+        |         CAST(floor(sqrt(count(*))) AS BIGINT) AS weight
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT *, CAST(sum(weight) OVER () AS BIGINT) AS s_total FROM c
+        |), q0 AS (
+        |  SELECT *, (200 * weight) // s_total AS quota0, (200 * weight) % s_total AS rem FROM w
+        |), q AS (
+        |  SELECT domain, n_docs, weight,
+        |         CAST(quota0 + CASE WHEN row_number() OVER (ORDER BY rem DESC, domain)
+        |           <= 200 - (SELECT CAST(sum(quota0) AS BIGINT) FROM q0) THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |  FROM q0
+        |), ranked AS (
+        |  SELECT doc_id, substr(source, 1, 4) AS domain,
+        |         row_number() OVER (PARTITION BY substr(source, 1, 4)
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT q.domain, q.n_docs, q.weight, q.quota,
+        |       count(*)::BIGINT AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM ranked JOIN q USING (domain) WHERE rn <= quota
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+        .withColumn("domain", substring($"source", 1, 4))
+      graft.operators.DomainMixture.sample(docs, "doc_id", "domain", 200L)
+        .groupBy($"domain", $"n_docs", $"weight", $"quota")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum($"doc_id").cast("long").as("id_checksum"))
+        .orderBy($"domain")
+    },
+
+    // ---- q75: cross-document shared-gram fraction (Dedup
+    // .crossDocGramStats scaladoc) — the per-document "how much of me
+    // exists elsewhere" score: distinct-3-gram document frequency join,
+    // no pair enumeration, so it scales past where even LSH candidate
+    // generation hurts. frac > 0.5 is an exact integer-ratio comparison
+    // (engine-portable bit-exactly). ------------------------------------
+    QueryDef(
+      "q75_shared_grams",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+        |         i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS gram
+        |  FROM tok WHERE len(ts) >= 3
+        |), gdf AS (
+        |  SELECT gram, count(*) AS gdf FROM g GROUP BY 1
+        |), per AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_grams,
+        |         count(*) FILTER (WHERE gdf >= 2)::BIGINT AS n_shared
+        |  FROM g JOIN gdf USING (gram) GROUP BY 1
+        |), perdoc AS (
+        |  SELECT d.doc_id, d.source, coalesce(per.n_grams, 0) AS n_grams,
+        |         coalesce(per.n_shared, 0) AS n_shared,
+        |         CASE WHEN coalesce(per.n_grams, 0) > 0
+        |              THEN per.n_shared * 1.0 / per.n_grams ELSE 0.0 END AS frac
+        |  FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |       CAST(CAST(round(avg(frac), 4) AS DECIMAL(18,4)) AS DOUBLE) AS avg_shared_frac,
+        |       count(*) FILTER (WHERE frac > 0.5)::BIGINT AS n_mostly_shared,
+        |       CAST(sum(n_shared) AS BIGINT) AS shared_checksum
+        |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val stats = graft.operators.Dedup.crossDocGramStats(docs, "doc_id", "text", 3)
+      docs.select($"doc_id", $"source").join(stats, Seq("doc_id"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          dec(avg($"shared_frac"), 4).as("avg_shared_frac"),
+          count(when($"shared_frac" > 0.5, 1)).as("n_mostly_shared"),
+          sum($"n_shared").cast("long").as("shared_checksum"))
+        .orderBy($"source")
+    },
+
+    // ---- q76: FUZZY decontamination — near-duplicate (exact shingle
+    // Jaccard >= 0.7) overlap with the eval slice, vs q68's verbatim
+    // n-gram overlap. Bipartite MinHash-LSH candidates (eval side
+    // broadcast — Decontamination.fuzzyContaminatedIds scaladoc), exact
+    // refine, so the oracle is the exact bipartite all-pairs form. -------
+    QueryDef(
+      "q76_fuzzy_decontam",
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, substr(lower(text), g.i::INT, 3) AS s
+        |  FROM documents, generate_series(1, 100000) g(i)
+        |  WHERE g.i <= length(text) - 2
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id % 11 <> 0 AND b.doc_id % 11 = 0
+        |  GROUP BY 1, 2
+        |), cont AS (
+        |  SELECT DISTINCT da AS doc_id
+        |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+        |)
+        |SELECT d.lang, count(*)::BIGINT AS n_contaminated,
+        |       CAST(sum(d.doc_id) AS BIGINT) AS id_checksum
+        |FROM documents d JOIN cont USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val ids = graft.operators.Decontamination.fuzzyContaminatedIds(
+        docs, "doc_id", "text", $"doc_id" % 11 === 0, 0.7)
+      docs.join(ids, Seq("doc_id"), "left_semi")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_contaminated"),
+          sum($"doc_id").cast("long").as("id_checksum"))
+        .orderBy($"lang")
+    },
   )
 }
