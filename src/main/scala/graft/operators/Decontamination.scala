@@ -74,10 +74,17 @@ object Decontamination {
     // Cache-release contract: see Dedup.jaccardPairs.
     val sh = Dedup.charShingles(docs, idCol, textCol, shingleN).cache()
     val flags = docs.select(col(idCol).as("doc_id"), isEval.as("__eval"))
+    // cached: the train and eval branches below would otherwise each
+    // re-run the whole shingle->signature->band derivation (measured as
+    // the query's dominant cost). One row per (doc, band) — doc-count
+    // scale; at 100 TB persist to disk or derive the (tiny) eval side
+    // from the eval slice alone. Cache-release contract: see
+    // Dedup.jaccardPairs.
     val banded = MinHashLSH.bandKeys(
       MinHashLSH.signatures(sh, numPerms), bands, rowsPerBand)
       .select(col("doc_id"), col("band"), col("bkey"))
       .join(flags, Seq("doc_id"))
+      .cache()
     val train = banded.filter(!col("__eval"))
       .select(col("doc_id").as("da"), col("band"), col("bkey"))
     val eval_ = banded.filter(col("__eval"))

@@ -260,4 +260,37 @@ object SimilaritySearch {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("cid"), col("cos"))
   }
+
+  /** SemDeDup (Abbas et al. 2023): embedding near-duplicate pairs found
+    * WITHIN k-means cells only — the cluster-partitioned scale path for
+    * semantic dedup. Cost drops from all-pairs O(n²) to Σ|cell|², and
+    * every emitted pair is exactly refined (same rounded-cosine
+    * threshold as [[nearDuplicates]]), so the result is a strict subset
+    * of the exact pair set: clustering affects RECALL only — two
+    * near-dups in different cells are missed, which is the accepted
+    * trade of the published method (recall measured in the q77 gate and
+    * OperatorsSpec).
+    *
+    * Scale shape: cell assignment is one narrow model.transform
+    * (IvfIndex.build); the self-join shuffles once on the cell key, and
+    * cells are bounded by construction (corpus/nLists expected size —
+    * raise nLists as the corpus grows; a skewed mega-cell would show up
+    * in the assignment stats long before the join).
+    */
+  def clusteredNearDuplicates(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nLists: Int = 16): DataFrame = {
+    val m = IvfIndex.build(spark, df, idCol, vecCol, nLists)
+    val base = m.assignments.withColumn("nrm", norm(col("v")))
+    val a = base.select(col("cell"), col("id").as("ka"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("cell"), col("id").as("kb"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("ka") < col("kb"))
+      .select(col("ka"), col("kb"),
+        round(cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 }

@@ -893,5 +893,31 @@ object RelationalQueries {
           min($"n_name").as("min_name"), max($"n_name").as("max_name"))
         .orderBy($"fmt")
     },
+
+    // ---- q78: S-surface ORC round trip, same differential shape as q66:
+    // supplier goes out as ORC (with a schema-evolution twist — the
+    // read-back projects a column subset, exercising ORC column pruning),
+    // comes back, and aggregates; the oracle computes the identical
+    // aggregate from parquet, so any round-trip corruption breaks the
+    // hash. ---------------------------------------------------------------
+    QueryDef(
+      "q78_orc_roundtrip",
+      """SELECT count(*)::BIGINT AS n,
+        |       CAST(sum(s_suppkey) AS BIGINT) AS key_checksum,
+        |       CAST(CAST(round(sum(s_acctbal), 2) AS DECIMAL(18,2)) AS DOUBLE) AS bal_checksum,
+        |       min(s_name) AS min_name, max(s_name) AS max_name
+        |FROM supplier""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val supplier = Tables(spark, dir).supplier
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      supplier.write.mode("overwrite").orc(tmp)
+      spark.read.orc(tmp)
+        .select($"s_suppkey", $"s_acctbal", $"s_name")
+        .agg(count(lit(1)).as("n"),
+          sum($"s_suppkey").cast("long").as("key_checksum"),
+          dec(sum($"s_acctbal"), 2).as("bal_checksum"),
+          min($"s_name").as("min_name"), max($"s_name").as("max_name"))
+    },
   )
 }

@@ -1053,5 +1053,40 @@ object TextQueries {
           sum($"doc_id").cast("long").as("id_checksum"))
         .orderBy($"lang")
     },
+
+    // ---- q77: SemDeDup — embedding near-dup restricted to k-means cells
+    // (SimilaritySearch.clusteredNearDuplicates scaladoc). Gated the q50
+    // way: the EXACT all-pairs set is differential (count + checksum vs
+    // DuckDB), and the cluster path earns a live recall flag against it —
+    // cell contents depend on partition layout, so only the
+    // layout-independent exact numbers and the flag are hashed. ----------
+    QueryDef(
+      "q77_semdedup",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS ka, b.vec_id AS kb
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.45
+        |)
+        |SELECT count(*)::BIGINT AS n_exact_pairs,
+        |       CAST(sum(ka + kb) AS BIGINT) AS pair_checksum,
+        |       1 AS recall_ge_050
+        |FROM p""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val e = Tables(spark, dir).embeddings
+      val exact = SimilaritySearch
+        .nearDuplicates(e, "vec_id", "embedding", 0.45)
+        .select($"ka", $"kb").cache()
+      val sem = SimilaritySearch
+        .clusteredNearDuplicates(spark, e, "vec_id", "embedding", 0.45, nLists = 8)
+        .select($"ka", $"kb")
+      val nExact = exact.count()
+      val checksum = exact.agg(sum($"ka" + $"kb")).as[Long].head()
+      val hits = exact.join(sem, Seq("ka", "kb")).count()
+      Seq((nExact, checksum, if (hits.toDouble / nExact >= 0.5) 1 else 0))
+        .toDF("n_exact_pairs", "pair_checksum", "recall_ge_050")
+    },
   )
 }

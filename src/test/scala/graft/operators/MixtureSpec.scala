@@ -76,6 +76,25 @@ class MixtureSpec extends SparkSpec {
     assert(got == Set(3L))
   }
 
+  test("clusteredNearDuplicates ⊆ exact pairs, recall above the gate floor") {
+    val e = tables.embeddings
+    val exact = SimilaritySearch
+      .nearDuplicates(e, "vec_id", "embedding", 0.45)
+      .select($"ka", $"kb")
+    val sem = SimilaritySearch
+      .clusteredNearDuplicates(spark, e, "vec_id", "embedding", 0.45, nLists = 8)
+      .select($"ka", $"kb")
+    assert(sem.exceptAll(exact).isEmpty,
+      "cell-local pairs must be a subset of the exact pair set (exact refine)")
+    val nExact = exact.count()
+    val hits = exact.join(sem, Seq("ka", "kb")).count()
+    assert(nExact > 0, "fixture corpus must contain near-dup pairs at 0.45")
+    // q77 gates >= 0.5; assert the same floor here so a recall regression
+    // fails fast in the suite, not first at the driver
+    assert(hits.toDouble / nExact >= 0.5,
+      s"SemDeDup recall $hits/$nExact fell below the q77 gate floor")
+  }
+
   test("fuzzyContaminatedIds ≡ exact bipartite Jaccard on the corpus") {
     val docs = tables.documents
     val isEval = $"doc_id" % 11 === 0
