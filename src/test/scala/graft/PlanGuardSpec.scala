@@ -66,4 +66,31 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"nested-loop join in the LSH refine path:\n$plan")
   }
+
+  test("q74: the quota frame broadcasts into the rank-filtered corpus") {
+    val plan = planOf("q74_domain_mixture")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"quota join must broadcast the metadata-scale quota frame:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+  }
+
+  test("q76: bipartite decontamination broadcasts the eval side, no cartesian") {
+    val plan = planOf("q76_fuzzy_decontam")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval-side banded frame must broadcast into the train stream:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+  }
+
+  test("q78: the ORC read-back scan prunes to the projected columns") {
+    val plan = planOf("q78_orc_roundtrip")
+    val read = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
+      .map(_.group(1)).toList
+    assert(read.nonEmpty, s"no ReadSchema in:\n$plan")
+    // the aggregate consumes 3 of supplier's 7 columns; the ORC scan must
+    // read only those
+    val orcSchema = read.find(s => s.contains("s_suppkey")).getOrElse(
+      fail(s"no supplier ReadSchema in:\n$plan"))
+    assert(orcSchema.split(",").length == 3,
+      s"ORC scan reads more than the projected columns: $orcSchema")
+  }
 }
