@@ -919,5 +919,36 @@ object RelationalQueries {
           dec(sum($"s_acctbal"), 2).as("bal_checksum"),
           min($"s_name").as("min_name"), max($"s_name").as("max_name"))
     },
+
+    // ---- q80: Bloom-filter semi-join prefilter (Sketches scaladoc) —
+    // the exact member-key count stays differential, and the sketch earns
+    // two flags per the q65 pattern: every true member found (Bloom's
+    // hard no-false-negative guarantee) and the measured false-positive
+    // rate on 20k certainly-absent keys within 3x the declared fpp.
+    // Deterministic: the bit array merges by OR (layout-independent) and
+    // both probe sets are fixed. -----------------------------------------
+    QueryDef(
+      "q80_bloom_prefilter",
+      """SELECT count(DISTINCT o_custkey)::BIGINT AS n_member_keys,
+        |       1 AS no_false_negatives, 1 AS fpr_within_envelope
+        |FROM orders""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val orders = Tables(spark, dir).orders
+      val members = orders.select($"o_custkey").distinct().cache()
+      val n = members.count()
+      val bf = graft.operators.Sketches.bloom(orders, $"o_custkey", n, 0.01)
+      val missed = graft.operators.Sketches
+        .mightContain(members, "o_custkey", bf)
+        .filter(!$"might_contain").count()
+      // custkeys are positive, so the negative range is certainly absent
+      val absent = spark.range(-20000L, 0L).toDF("k")
+      val fp = graft.operators.Sketches.mightContain(absent, "k", bf)
+        .filter($"might_contain").count()
+      Seq((n,
+        if (missed == 0) 1 else 0,
+        if (fp.toDouble / 20000 <= 0.03) 1 else 0))
+        .toDF("n_member_keys", "no_false_negatives", "fpr_within_envelope")
+    },
   )
 }

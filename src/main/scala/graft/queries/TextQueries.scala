@@ -1088,5 +1088,38 @@ object TextQueries {
       Seq((nExact, checksum, if (hits.toDouble / nExact >= 0.5) 1 else 0))
         .toDF("n_exact_pairs", "pair_checksum", "recall_ge_050")
     },
+
+    // ---- q79: count-min heavy hitters (Sketches scaladoc) — the exact
+    // top-20 token counts stay differential (both engines), and Spark's
+    // CMS earns two envelope flags per the q65 pattern: est >= exact
+    // (the sketch's hard one-sided guarantee) and est - exact <= eps·N
+    // (the probabilistic bound — deterministic per dataset+seed since
+    // counter merges commute, so the flag is stable once it clears). ----
+    QueryDef(
+      "q79_cms_heavy_hitters",
+      """WITH tok AS (
+        |  SELECT t.tok FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) t(tok)
+        |  WHERE t.tok <> ''
+        |)
+        |SELECT tok, count(*)::BIGINT AS n, 1 AS cms_ok
+        |FROM tok GROUP BY tok
+        |ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val toks = Tables(spark, dir).documents
+        .select(explode(TextFunctions.alphaTokens($"text")).as("tok"))
+      val top = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"tok").limit(20).cache()
+      val eps = 1e-4
+      val totalN = toks.count()
+      val cms = graft.operators.Sketches.countMin(toks, $"tok", eps, 0.999)
+      val est = graft.operators.Sketches.estimateAll(top.select($"tok"), "tok", cms)
+      val slack = math.max(1L, math.ceil(eps * totalN).toLong)
+      val bad = top.join(est, Seq("tok"))
+        .filter($"est" < $"n" || $"est" - $"n" > slack)
+        .count()
+      top.withColumn("cms_ok", lit(if (bad == 0) 1 else 0))
+        .orderBy($"n".desc, $"tok")
+    },
   )
 }
