@@ -950,5 +950,39 @@ object RelationalQueries {
         if (fp.toDouble / 20000 <= 0.03) 1 else 0))
         .toDF("n_member_keys", "no_false_negatives", "fpr_within_envelope")
     },
+
+    // ---- q81: approximate quantiles — completes the sketch battery
+    // (HLL q65, CMS q79, Bloom q80). Exact quantiles stay differential
+    // (integer-valued column: quantile_cont interpolation is exact in
+    // double on both engines — the q54 contract); percentile_approx's
+    // KLL-style sketch earns a rank-error envelope flag: each approx
+    // value must land between the exact quantiles at p ± 0.02.
+    // Deterministic per dataset (Greenwald-Khanna-family merges), so the
+    // flag is stable once it clears. -------------------------------------
+    QueryDef(
+      "q81_approx_quantiles",
+      """SELECT quantile_cont(l_quantity, 0.25) AS p25,
+        |       quantile_cont(l_quantity, 0.50) AS p50,
+        |       quantile_cont(l_quantity, 0.75) AS p75,
+        |       quantile_cont(l_quantity, 0.95) AS p95,
+        |       1 AS approx_within_envelope
+        |FROM lineitem""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val q = $"l_quantity".cast("double")
+      val ps = Seq(0.25, 0.50, 0.75, 0.95)
+      val lo = ps.map(p => math.max(0.0, p - 0.02))
+      val hi = ps.map(p => math.min(1.0, p + 0.02))
+      val row = Tables(spark, dir).lineitem.agg(
+        percentile(q, typedLit(ps)).as("exact"),
+        percentile(q, typedLit(lo)).as("lo"),
+        percentile(q, typedLit(hi)).as("hi"),
+        percentile_approx(q, typedLit(ps), lit(10000)).as("approx"))
+        .as[(Seq[Double], Seq[Double], Seq[Double], Seq[Double])].head()
+      val (exact, loV, hiV, approx) = row
+      val ok = approx.indices.forall(i => approx(i) >= loV(i) && approx(i) <= hiV(i))
+      Seq((exact(0), exact(1), exact(2), exact(3), if (ok) 1 else 0))
+        .toDF("p25", "p50", "p75", "p95", "approx_within_envelope")
+    },
   )
 }
