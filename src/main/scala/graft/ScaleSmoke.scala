@@ -47,18 +47,29 @@ object ScaleSmoke {
     val docs = t.documents.crossJoin(broadcast(reps0))
       .select(($"doc_id" * reps + $"rep").as("doc_id"),
         concat($"text", lit(" v"), $"rep").as("text"))
+    // dimension-agnostic perturbation: bump the LAST slot, whatever the
+    // fixture's embedding width is (a hardcoded width would silently
+    // truncate a regenerated higher-dim fixture)
     val embs = t.embeddings.crossJoin(broadcast(reps0))
       .select(($"vec_id" * reps + $"rep").as("vec_id"),
-        concat(slice($"embedding", 1, 63),
+        concat(slice($"embedding", lit(1), size($"embedding") - 1),
           array(element_at($"embedding", -1) + $"rep".cast("float") * lit(0.01f)))
           .as("embedding"))
 
+    // The corpus caches must SURVIVE across steps (the timings attribute
+    // operator cost, not corpus re-derivation), while each operator's
+    // internal caches must NOT leak into the next step. So: time the step,
+    // then drop everything and re-pin the corpus outside the timed region.
+    def rewarm(): Unit = {
+      spark.catalog.clearCache()
+      docs.cache().count(); embs.cache().count()
+    }
     def timed[A](tag: String)(f: => A): (A, Double) = {
       val t0 = System.nanoTime()
       val r = f
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[scale] $tag%-28s $dt%8.1f s")
-      spark.catalog.clearCache()
+      rewarm()
       (r, dt)
     }
 

@@ -69,6 +69,7 @@ object Decontamination {
       numPerms: Int = 128,
       bands: Int = 32,
       rowsPerBand: Int = 4): DataFrame = {
+    MinHashLSH.requireBandsFit(numPerms, bands, rowsPerBand)
     // one shingle derivation for both sides: signature agg + the refine
     // re-read it, and a per-side re-derivation could never drift.
     // Cache-release contract: see Dedup.jaccardPairs.

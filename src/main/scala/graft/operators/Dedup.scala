@@ -456,9 +456,13 @@ object Dedup {
     */
   def crossDocGramStats(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     import graft.functions.TextFunctions
+    // cached: the df aggregate and the join back both consume this frame,
+    // and the tokenize+ngram explode is the operator's dominant cost.
+    // Cache-release contract: see jaccardPairs.
     val grams = docs
       .select(col(idCol).as("doc_id"),
         explode_outer(array_distinct(TextFunctions.wordNgrams(col(textCol), n))).as("gram"))
+      .cache()
     val df = grams.filter(col("gram").isNotNull)
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("gdf"))

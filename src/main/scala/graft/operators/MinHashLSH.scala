@@ -150,6 +150,15 @@ object MinHashLSH {
     * consumer (batch candidate generation, the streaming index join)
     * must derive keys through here so they can never drift apart.
     */
+  /** Guard for every (numPerms, bands, rowsPerBand) entry point: an
+    * over-long banding slices past the signature — the trailing bands
+    * hash empty slices, EVERY document collides in them, and candidate
+    * generation silently degenerates to per-band all-pairs.
+    */
+  private[graft] def requireBandsFit(numPerms: Int, bands: Int, rowsPerBand: Int): Unit =
+    require(bands * rowsPerBand <= numPerms,
+      s"bands ($bands) x rowsPerBand ($rowsPerBand) exceeds the $numPerms-perm signature")
+
   private[graft] def bandKeys(
       signatures: DataFrame, bands: Int = 32, rowsPerBand: Int = 4): DataFrame =
     signatures.select(
@@ -177,6 +186,7 @@ object MinHashLSH {
       numPerms: Int = 128,
       bands: Int = 32,
       rowsPerBand: Int = 4): DataFrame = {
+    requireBandsFit(numPerms, bands, rowsPerBand)
     // The pipeline scans the shingle set several times (signature agg, the
     // dictionary statistic, the refine join) — cache the exploded form once
     // rather than re-deriving it from the source per action.

@@ -1083,9 +1083,13 @@ object TextQueries {
         .clusteredNearDuplicates(spark, e, "vec_id", "embedding", 0.45, nLists = 8)
         .select($"ka", $"kb")
       val nExact = exact.count()
-      val checksum = exact.agg(sum($"ka" + $"kb")).as[Long].head()
+      // empty-corpus guard: sum over zero rows is NULL (mirrored by the
+      // oracle's sum), and recall over an empty exact set is vacuously met
+      val checksum: Option[Long] =
+        if (nExact == 0) None else Some(exact.agg(sum($"ka" + $"kb")).as[Long].head())
       val hits = exact.join(sem, Seq("ka", "kb")).count()
-      Seq((nExact, checksum, if (hits.toDouble / nExact >= 0.5) 1 else 0))
+      val recallOk = nExact == 0 || hits.toDouble / nExact >= 0.5
+      Seq((nExact, checksum, if (recallOk) 1 else 0))
         .toDF("n_exact_pairs", "pair_checksum", "recall_ge_050")
     },
 
@@ -1106,8 +1110,12 @@ object TextQueries {
         |ORDER BY n DESC, tok LIMIT 20""".stripMargin,
     ) { (spark, dir) =>
       import spark.implicits._
+      // cached: three actions consume the token stream (total count, the
+      // CMS treeAggregate, the exact top-20) and the explode dominates.
+      // Cache-release contract: see Dedup.jaccardPairs.
       val toks = Tables(spark, dir).documents
         .select(explode(TextFunctions.alphaTokens($"text")).as("tok"))
+        .cache()
       val top = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"tok").limit(20).cache()
       val eps = 1e-4

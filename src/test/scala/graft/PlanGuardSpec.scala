@@ -86,11 +86,14 @@ class PlanGuardSpec extends SparkSpec {
     val read = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
       .map(_.group(1)).toList
     assert(read.nonEmpty, s"no ReadSchema in:\n$plan")
-    // the aggregate consumes 3 of supplier's 7 columns; the ORC scan must
-    // read only those
+    // the aggregate consumes 3 of supplier's 4 columns; the ORC scan must
+    // read those and NOT the unprojected one (name-based, so a type with
+    // commas — decimal(12,2) — can't break the check)
     val orcSchema = read.find(s => s.contains("s_suppkey")).getOrElse(
       fail(s"no supplier ReadSchema in:\n$plan"))
-    assert(orcSchema.split(",").length == 3,
-      s"ORC scan reads more than the projected columns: $orcSchema")
+    Seq("s_suppkey", "s_acctbal", "s_name").foreach(c =>
+      assert(orcSchema.contains(c), s"projected column $c missing from: $orcSchema"))
+    assert(!orcSchema.contains("s_nationkey"),
+      s"ORC scan reads the unprojected column: $orcSchema")
   }
 }
