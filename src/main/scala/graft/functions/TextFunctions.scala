@@ -125,6 +125,30 @@ object TextFunctions {
     regexp_replace(noIp, PhonePattern, "<PHONE>")
   }
 
+  /** Markup-strip patterns — lookahead-free and non-greedy only, so the
+    * identical strings run on Java regex and RE2 (the q69/q44c contract).
+    * Container blocks go first WITH their content (script/style payloads
+    * are code, not prose); then bare tags; then the entity escapes.
+    */
+  val ScriptBlockPattern: String = "<(script|style)[^>]*>.*?</(script|style)>"
+  val TagPattern: String = "<[^>]+>"
+
+  /** HTML/markup boilerplate removal — the extraction step every
+    * pretraining pipeline runs before quality scoring: drop script/style
+    * blocks with their payload, strip remaining tags to spaces, unescape
+    * the common entities, collapse whitespace. Row-local, codegen'd —
+    * scales as a narrow map.
+    */
+  def stripMarkup(text: Column): Column = {
+    val noBlocks = regexp_replace(text, ScriptBlockPattern, " ")
+    val noTags = regexp_replace(noBlocks, TagPattern, " ")
+    // &amp; LAST, so "&amp;lt;" unescapes to the literal "&lt;" instead of
+    // being double-unescaped to "<"
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => regexp_replace(c, from, to) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** 64-bit document fingerprint: order-sensitive xxhash64 rolling
     * combination of tokens (SURVEY.md L4 "document fingerprinting").
     * Identical token sequences => identical fingerprint.

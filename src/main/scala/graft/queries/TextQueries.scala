@@ -1129,5 +1129,49 @@ object TextQueries {
       top.withColumn("cms_ok", lit(if (bad == 0) 1 else 0))
         .orderBy($"n".desc, $"tok")
     },
+
+    // ---- q82: markup/boilerplate stripping — the extraction step before
+    // any quality scoring. Deterministic synthetic HTML is injected by
+    // BOTH engines (the corpus has none — q69's injection idiom), then
+    // tag counts and the md5 of the cleaned text are hash-gated. Patterns
+    // are lookahead-free with non-greedy blocks, so the identical strings
+    // run on Java regex and RE2. Row-local, codegen'd. -------------------
+    QueryDef(
+      "q82_markup_strip",
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN '<div class="a"><p>' || text || '</p></div>' ELSE text END
+         |      || CASE WHEN doc_id % 4 = 1 THEN ' <script type="text/javascript">var x = 1 < 2;</script>' ELSE '' END
+         |      || CASE WHEN doc_id % 5 = 2 THEN ' A&amp;B &lt;tag&gt; &quot;q&quot; &amp;lt;raw' ELSE '' END AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(t, '${TextFunctions.TagPattern}'))::INT AS n_tags,
+         |       md5(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |         '${TextFunctions.ScriptBlockPattern}', ' ', 'g'),
+         |         '${TextFunctions.TagPattern}', ' ', 'g'),
+         |         '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&amp;', '&', 'g'),
+         |         '\\s+', ' ', 'g'))) AS clean_hash
+         |FROM aug ORDER BY doc_id""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val id = $"doc_id"
+      val aug = concat(
+        when(id % 3 === 0,
+          concat(lit("<div class=\"a\"><p>"), $"text", lit("</p></div>")))
+          .otherwise($"text"),
+        when(id % 4 === 1,
+          lit(" <script type=\"text/javascript\">var x = 1 < 2;</script>"))
+          .otherwise(lit("")),
+        when(id % 5 === 2,
+          lit(" A&amp;B &lt;tag&gt; &quot;q&quot; &amp;lt;raw"))
+          .otherwise(lit("")))
+      Tables(spark, dir).documents
+        .select(id, aug.as("t"))
+        .select(id,
+          regexp_count($"t", lit(TextFunctions.TagPattern)).cast("int").as("n_tags"),
+          md5(TextFunctions.stripMarkup($"t")).as("clean_hash"))
+        .orderBy(id)
+    },
   )
 }

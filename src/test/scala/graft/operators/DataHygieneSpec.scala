@@ -70,6 +70,23 @@ class DataHygieneSpec extends SparkSpec {
     assert(tricky == "<EMAIL> and <IP>")
   }
 
+  test("stripMarkup drops blocks with payload, tags to spaces, entities last") {
+    val got = Seq(
+      "<div class=\"a\"><p>hello</p> world</div>",
+      "keep <script>var x = 1 < 2;</script> this",
+      "A&amp;B &lt;tag&gt; &quot;q&quot;",
+      // &amp;lt; must unescape ONCE to the literal "&lt;", never to "<"
+      "&amp;lt;raw",
+      "plain text untouched",
+    ).toDF("t").select(TextFunctions.stripMarkup($"t")).as[String].collect().toSeq
+    assert(got == Seq(
+      "hello world",
+      "keep this",
+      "A&B <tag> \"q\"",
+      "&lt;raw",
+      "plain text untouched"))
+  }
+
   test("contaminatedIds flags only train docs overlapping the eval set") {
     val docs = Seq(
       (0L, "alpha beta gamma delta tail"),    // eval (id % 2 == 0)
