@@ -1173,5 +1173,70 @@ object TextQueries {
           md5(TextFunctions.stripMarkup($"t")).as("clean_hash"))
         .orderBy(id)
     },
+
+    // ---- q83: prefix-filtering similarity join (PrefixFilterJoin
+    // scaladoc) — the third physical strategy for the near-dup logical
+    // operator: scalable like LSH but EXACT, so the oracle is the plain
+    // all-pairs form over the same token space. Runs on word 3-grams
+    // (order-sensitive, selective: the space where prefix filtering
+    // prunes — on bounded-alphabet char shingles it degenerates, see
+    // scaladoc), candidates only from each doc's rarest-gram prefix. ----
+    QueryDef(
+      "q83_prefix_join",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+        |         i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS s
+        |  FROM tok WHERE len(ts) >= 3
+        |), sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT da, db,
+        |       CAST(CAST(round(i * 1.0 / (sa.n + sb.n - i), 4) AS DECIMAL(18,4)) AS DOUBLE) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+        |ORDER BY da, db""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val grams = Tables(spark, dir).documents
+        .select($"doc_id",
+          explode(array_distinct(TextFunctions.wordNgrams($"text", 3))).as("s"))
+      graft.operators.PrefixFilterJoin.nearDuplicatePairs(grams, 0.5)
+        .select($"da", $"db", dec($"jaccard", 4).as("jaccard"))
+        .orderBy($"da", $"db")
+    },
+
+    // ---- q84: overlapping token-window chunking (Chunking scaladoc) —
+    // the RAG/context-prep step: 64-token windows every 48 tokens with
+    // provenance offsets, trailing partial kept. Entirely row-local (one
+    // sequence + slice generator, no shuffle); chunk text is md5'd so the
+    // gate pins content, boundaries, and overlap bit-exactly. -----------
+    QueryDef(
+      "q84_chunking",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents WHERE doc_id < 100
+        |), st AS (
+        |  SELECT doc_id, ts, unnest(range(1, len(ts) + 1, 48)) AS s
+        |  FROM tok WHERE len(ts) > 0
+        |)
+        |SELECT doc_id, ((s - 1) // 48)::INT AS chunk_idx, s::INT AS start_tok,
+        |       len(ts[s:least(s + 63, len(ts))])::INT AS n_tokens,
+        |       md5(array_to_string(ts[s:least(s + 63, len(ts))], ' ')) AS chunk_hash
+        |FROM st ORDER BY doc_id, chunk_idx""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.Chunking.tokenChunks(
+          Tables(spark, dir).documents.filter($"doc_id" < 100),
+          "doc_id", "text", size = 64, stride = 48)
+        .select($"doc_id", $"chunk_idx", $"start_tok", $"n_tokens",
+          md5($"chunk_text").as("chunk_hash"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
   )
 }

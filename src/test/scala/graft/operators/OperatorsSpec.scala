@@ -41,6 +41,66 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("prefix-filter join pairs equal the exact Jaccard pairs (exactness, not recall)") {
+    val sh = Dedup.charShingles(tables.documents, "doc_id", "text").cache()
+    val exact = Dedup.jaccardPairs(sh, 0.7).select("da", "db", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pfj = PrefixFilterJoin.nearDuplicatePairs(sh, 0.7).select("da", "db", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture corpus should contain near-dups")
+    assert(pfj == exact)
+    sh.unpersist()
+  }
+
+  test("prefix-filter candidates are a superset of true pairs and a fraction of all-pairs") {
+    import graft.functions.TextFunctions
+    // word 3-grams: the selective token space where prefix filtering earns
+    // its keep (on bounded-alphabet char shingles it degenerates — scaladoc)
+    val grams = tables.documents
+      .select(col("doc_id"),
+        explode(array_distinct(TextFunctions.wordNgrams(col("text"), 3))).as("s"))
+      .cache()
+    val truePairs = Dedup.jaccardPairs(grams, 0.5).select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = PrefixFilterJoin.candidatePairs(grams, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.nonEmpty && truePairs.subsetOf(cand))
+    val nDocs = grams.select("doc_id").distinct().count()
+    val allPairs = nDocs * (nDocs - 1) / 2
+    assert(cand.size < allPairs / 20,
+      s"prefix filter should prune most of the ${allPairs} pair space, kept ${cand.size}")
+    grams.unpersist()
+  }
+
+  test("Chunking covers every token, overlaps by size-stride, reconstructs the doc") {
+    import spark.implicits._
+    val docs = tables.documents.limit(50).cache()
+    val chunks = Chunking.tokenChunks(docs, "doc_id", "text", size = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val byDoc = chunks.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val tokenCounts = docs.select($"doc_id",
+      size(graft.functions.TextFunctions.tokens($"text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    byDoc.foreach { case (id, cs) =>
+      val n = tokenCounts(id)
+      // starts step by stride from 1; last chunk reaches the final token
+      assert(cs.map(_._3).toSeq == (1 to n by 48).toSeq)
+      assert(cs.last._3 + cs.last._4 - 1 == n, "trailing tokens must be covered")
+      cs.foreach { case (_, _, s, len, text) =>
+        assert(len == math.min(64, n - s + 1) && text.split(" ").length == len)
+      }
+      // stride-prefix concatenation reconstructs the token stream exactly:
+      // consecutive starts differ by 48, and the final chunk is always
+      // <= 48 tokens (a longer tail would have spawned one more start)
+      val rebuilt = cs.flatMap(_._5.split(" ").take(48))
+      val original = docs.filter($"doc_id" === id).select($"text")
+        .as[String].head().split(" ").filter(_.nonEmpty).toSeq
+      assert(rebuilt.toSeq == original)
+    }
+    assert(byDoc.nonEmpty)
+    docs.unpersist()
+  }
+
   test("broadcast bitmap refine equals the join-shaped refine") {
     val sh = Dedup.charShingles(tables.documents, "doc_id", "text").cache()
     val cand = MinHashLSH.candidatePairs(MinHashLSH.signatures(sh))
