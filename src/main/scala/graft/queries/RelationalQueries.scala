@@ -984,5 +984,49 @@ object RelationalQueries {
       Seq((exact(0), exact(1), exact(2), exact(3), if (ok) 1 else 0))
         .toDF("p25", "p50", "p75", "p95", "approx_within_envelope")
     },
+
+    // ---- q86: Z-order layout clustering (ZOrder scaladoc) — Morton
+    // interleave of (custkey, order day) into one sort key; per-z-bucket
+    // min/max of BOTH dims are hash-gated, pinning the bit math and the
+    // multi-column boundedness that file skipping relies on. The bit
+    // spread is identical integer arithmetic in both engines. ------------
+    QueryDef(
+      "q86_zorder",
+      """WITH b AS (
+        |  SELECT min(o_custkey) AS c0, max(o_custkey) AS c1,
+        |         min(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)) AS d0,
+        |         max(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)) AS d1
+        |  FROM orders
+        |), n AS (
+        |  SELECT o_custkey, date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day,
+        |         ((o_custkey - c0) * 65535) // (c1 - c0) AS xn,
+        |         ((date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) - d0) * 65535) // (d1 - d0) AS yn
+        |  FROM orders, b
+        |), s1 AS (
+        |  SELECT *, (xn | (xn << 8)) & 16711935 AS xa, (yn | (yn << 8)) & 16711935 AS ya FROM n
+        |), s2 AS (
+        |  SELECT *, (xa | (xa << 4)) & 252645135 AS xb, (ya | (ya << 4)) & 252645135 AS yb FROM s1
+        |), s3 AS (
+        |  SELECT *, (xb | (xb << 2)) & 858993459 AS xc, (yb | (yb << 2)) & 858993459 AS yc FROM s2
+        |), s4 AS (
+        |  SELECT *, (xc | (xc << 1)) & 1431655765 AS xs, (yc | (yc << 1)) & 1431655765 AS ys FROM s3
+        |)
+        |SELECT ((xs | (ys << 1)) >> 26)::INT AS bucket, count(*)::BIGINT AS n,
+        |       min(o_custkey)::BIGINT AS c_min, max(o_custkey)::BIGINT AS c_max,
+        |       min(day)::BIGINT AS d_min, max(day)::BIGINT AS d_max
+        |FROM s4 GROUP BY 1 ORDER BY 1""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val o = Tables(spark, dir).orders
+        .withColumn("day", expr("datediff(o_orderdate, date'1970-01-01')").cast("long"))
+      graft.operators.ZOrder.withZKey(o, $"o_custkey", $"day")
+        .groupBy(shiftright($"__z", 26).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min($"o_custkey").cast("long").as("c_min"),
+          max($"o_custkey").cast("long").as("c_max"),
+          min($"day").cast("long").as("d_min"),
+          max($"day").cast("long").as("d_max"))
+        .orderBy($"bucket")
+    },
   )
 }

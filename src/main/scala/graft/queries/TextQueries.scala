@@ -1238,5 +1238,33 @@ object TextQueries {
           md5($"chunk_text").as("chunk_hash"))
         .orderBy($"doc_id", $"chunk_idx")
     },
+
+    // ---- q85: JL random projection (RandomProjection scaladoc) — 64->16
+    // dims with a ±1 sign matrix DERIVED from md5 of the dimension
+    // indices, so both engines re-create the identical matrix from
+    // nothing but (d, j). Row-local (signs folded into the expression
+    // tree as literals); both sides inner-product left-to-right. ---------
+    QueryDef(
+      "q85_random_projection",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+        |jj AS (SELECT unnest(range(0, 16)) AS j),
+        |s AS (
+        |  SELECT jj.j, list_transform(range(1, 65), d ->
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |                      substr(md5(d::VARCHAR || '_' || jj.j::VARCHAR), 1, 1)) - 1) % 2 = 0
+        |         THEN 1.0 ELSE -1.0 END) AS signs
+        |  FROM jj
+        |)
+        |SELECT vec_id, j::INT AS j,
+        |       CAST(CAST(round(list_inner_product(v, signs) / 4.0, 4) AS DECIMAL(18,4)) AS DOUBLE) AS y
+        |FROM e, s ORDER BY vec_id, j""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.RandomProjection.projected(
+          Tables(spark, dir).embeddings.filter($"vec_id" < 10),
+          "vec_id", "embedding", dIn = 64, dOut = 16)
+        .select($"vec_id", $"j", dec($"y", 4).as("y"))
+        .orderBy($"vec_id", $"j")
+    },
   )
 }

@@ -101,6 +101,55 @@ class OperatorsSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("RandomProjection preserves norms and pairwise distances in expectation") {
+    import spark.implicits._
+    val e = tables.embeddings
+    val proj = RandomProjection.project(col("embedding"), 64, 16)
+    val ratio = e.select(
+        (graft.functions.VectorFunctions.dot(proj, proj) /
+          graft.functions.VectorFunctions.dot(
+            graft.functions.VectorFunctions.toDouble(col("embedding")),
+            graft.functions.VectorFunctions.toDouble(col("embedding"))))
+          .as("r"))
+      .agg(avg($"r"), min($"r"), max($"r")).as[(Double, Double, Double)].head()
+    // E[||proj||^2 / ||v||^2] = 1 for a JL sign matrix; corpus mean should
+    // sit tight around it even though individual vectors wander
+    assert(ratio._1 > 0.8 && ratio._1 < 1.2, s"mean norm ratio $ratio")
+    assert(ratio._2 > 0.1 && ratio._3 < 4.0, s"per-vector ratio out of envelope $ratio")
+    // deterministic: the sign matrix depends only on the indices
+    assert(RandomProjection.sign(1, 0) == RandomProjection.sign(1, 0))
+    val signs = for (d <- 1 to 64; j <- 0 until 16) yield RandomProjection.sign(d, j)
+    val plus = signs.count(_ == 1)
+    assert(plus > 400 && plus < 624, s"sign balance $plus/1024")
+  }
+
+  test("ZOrder buckets bound BOTH dimensions; a single-dim sort bounds only its own") {
+    import spark.implicits._
+    val o = tables.orders
+      .withColumn("day", expr("datediff(o_orderdate, date'1970-01-01')").cast("long"))
+    // fraction of each dim's global range covered per bucket, averaged
+    def spread(bucketed: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val (c0, c1, d0, d1) = o.agg(min($"o_custkey"), max($"o_custkey"),
+        min($"day"), max($"day")).as[(Long, Long, Long, Long)].head()
+      val r = bucketed.groupBy($"bucket")
+        .agg(((max($"o_custkey") - min($"o_custkey")) / (c1 - c0).toDouble).as("cs"),
+          ((max($"day") - min($"day")) / (d1 - d0).toDouble).as("ds"))
+        .agg(avg($"cs"), avg($"ds")).as[(Double, Double)].head()
+      r
+    }
+    val z = ZOrder.withZKey(o, $"o_custkey", $"day")
+      .withColumn("bucket", shiftright($"__z", 26))
+    val (zc, zd) = spread(z)
+    val byDay = o.withColumn("bucket", ntile(64).over(
+      org.apache.spark.sql.expressions.Window.orderBy($"day")))
+    val (sc, sd) = spread(byDay)
+    // z-order: both dims tightly bounded per bucket; day sort: day tight
+    // but custkey spans nearly the whole range in every bucket
+    assert(zc < 0.35 && zd < 0.35, s"z-order spreads: custkey=$zc day=$zd")
+    assert(sc > 0.8, s"single-dim sort should leave custkey unbounded, got $sc")
+    assert(zc < sc / 2, s"z-order custkey spread $zc should beat day-sorted $sc")
+  }
+
   test("broadcast bitmap refine equals the join-shaped refine") {
     val sh = Dedup.charShingles(tables.documents, "doc_id", "text").cache()
     val cand = MinHashLSH.candidatePairs(MinHashLSH.signatures(sh))
