@@ -1028,5 +1028,47 @@ object RelationalQueries {
           max($"day").cast("long").as("d_max"))
         .orderBy($"bucket")
     },
+
+    // ---- q87: PageRank over the customer<->supplier trade graph
+    // (PageRank scaladoc) — the iterative-graph operator family's
+    // authority score. Bidirectional bipartite edges (supplier nodes
+    // offset) so no node dangles; 10 fixed rounds, alpha 0.85; oracle is
+    // DuckDB's recursive CTE of the identical recurrence. Top-20 by
+    // rounded rank, ties by node id. -------------------------------------
+    QueryDef(
+      "q87_pagerank",
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |), e(src, dst) AS (
+        |  SELECT c, s + 100000 FROM pairs UNION ALL SELECT s + 100000, c FROM pairs
+        |), deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS v FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |pr(it, v, r) AS (
+        |  SELECT 0, v, 1.0 / n FROM nodes, nn
+        |  UNION ALL
+        |  SELECT it + 1, e.dst,
+        |         0.15 / (SELECT n FROM nn) + 0.85 * sum(pr.r / deg.d)
+        |  FROM pr JOIN e ON e.src = pr.v JOIN deg ON deg.src = e.src
+        |  WHERE it < 10
+        |  GROUP BY it + 1, e.dst
+        |)
+        |SELECT v,
+        |       CAST(CAST(round(r, 4) AS DECIMAL(18,4)) AS DOUBLE) AS r
+        |FROM pr WHERE it = 10
+        |ORDER BY round(r, 4) DESC, v LIMIT 20""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      val pairs = t.orders.join(t.lineitem, $"l_orderkey" === $"o_orderkey")
+        .select($"o_custkey".as("c"), $"l_suppkey".as("s")).distinct()
+      val edges = pairs.select($"c".as("src"), ($"s" + 100000L).as("dst"))
+        .union(pairs.select(($"s" + 100000L).as("src"), $"c".as("dst")))
+      graft.operators.PageRank.ranks(edges, iterations = 10)
+        .select($"v", dec($"r", 4).as("r"))
+        .orderBy($"r".desc, $"v")
+        .limit(20)
+    },
   )
 }

@@ -81,6 +81,31 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
   }
 
+  test("q83: the prefix join is all equi-joins — no cartesian, no nested loop") {
+    val plan = planOf("q83_prefix_join")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in the prefix-filter path:\n$plan")
+  }
+
+  test("q84: chunking is shuffle-free until its final ORDER BY") {
+    val plan = planOf("q84_chunking")
+    val exchanges = "Exchange (hash|range|single)partitioning".r.findAllIn(plan).toList
+    assert(exchanges.size <= 1,
+      s"expected at most the ORDER BY range exchange, found $exchanges in:\n$plan")
+    exchanges.foreach(e => assert(e.contains("rangepartitioning"),
+      s"unexpected non-ORDER-BY shuffle: $e"))
+    assert(plan.contains("PushedFilters: ["), s"doc_id filter must push down:\n$plan")
+  }
+
+  test("q85: projection is row-local — no joins, no shuffle before the ORDER BY") {
+    val plan = planOf("q85_random_projection")
+    assert(!plan.contains("Join"), s"the sign matrix must fold into literals, not a join:\n$plan")
+    val exchanges = "Exchange (hash|range|single)partitioning".r.findAllIn(plan).toList
+    assert(exchanges.size <= 1 && exchanges.forall(_.contains("rangepartitioning")),
+      s"unexpected shuffle in the row-local projection: $exchanges")
+  }
+
   test("q78: the ORC read-back scan prunes to the projected columns") {
     val plan = planOf("q78_orc_roundtrip")
     val read = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)

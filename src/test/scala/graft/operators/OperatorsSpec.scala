@@ -150,6 +150,21 @@ class OperatorsSpec extends SparkSpec {
     assert(zc < sc / 2, s"z-order custkey spread $zc should beat day-sorted $sc")
   }
 
+  test("PageRank matches the hand-computed recurrence, conserves mass, checkpoints identically") {
+    import spark.implicits._
+    // 1 <-> 2 <-> 3: center node accumulates authority
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val r = PageRank.ranks(edges, iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1) - 0.2097) < 5e-5 && math.abs(r(3) - 0.2097) < 5e-5)
+    assert(math.abs(r(2) - 0.5805) < 5e-5)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, s"mass not conserved: ${r.values.sum}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr_ckpt").toString
+    val ckpt = PageRank.ranks(edges, iterations = 3, checkpointDir = Some(dir))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(ckpt == r)
+  }
+
   test("broadcast bitmap refine equals the join-shaped refine") {
     val sh = Dedup.charShingles(tables.documents, "doc_id", "text").cache()
     val cand = MinHashLSH.candidatePairs(MinHashLSH.signatures(sh))
