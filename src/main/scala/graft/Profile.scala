@@ -34,6 +34,15 @@ object Profile {
     val candC = cand.cache(); candC.count()
     t("refine-bitmap")(Dedup.jaccardForPairs(sh, candC, 0.7).count())
     t("exact-bitmap-all")(Dedup.jaccardPairs(sh, 0.7).count())
+    spark.catalog.clearCache()
+    // prefix-filter join stages (q83): word-3-gram space
+    import org.apache.spark.sql.functions.{array_distinct, col, explode}
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(graft.functions.TextFunctions.wordNgrams(col("text"), 3))).as("s"))
+      .cache()
+    t("wordgrams+cache")(grams.count())
+    t("pfj-candidates")(graft.operators.PrefixFilterJoin.candidatePairs(grams, 0.5).count())
+    t("pfj-full")(graft.operators.PrefixFilterJoin.nearDuplicatePairs(grams, 0.5).count())
     // release the near-dup stage caches before the 837 section (the same
     // cache-release contract Bench/Verify follow between queries)
     spark.catalog.clearCache()
