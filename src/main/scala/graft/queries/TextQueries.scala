@@ -24,6 +24,10 @@ object TextQueries {
   val FingerprintExpected: String =
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_expected/fingerprint.parquet"
 
+  /** Expected BPE token streams for q88 (same run-time idiom as q44b). */
+  val BpeExpected: String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_expected/bpe.parquet"
+
   /** Shared DuckDB shingle CTE (3-gram, set semantics). DuckDB 1.0's
     * generate_series only takes constants, hence the bound+filter form.
     */
@@ -1237,6 +1241,34 @@ object TextQueries {
         .select($"doc_id", $"chunk_idx", $"start_tok", $"n_tokens",
           md5($"chunk_text").as("chunk_hash"))
         .orderBy($"doc_id", $"chunk_idx")
+    },
+
+    // ---- q88: real BPE subword encoding (Bpe scaladoc) — merges learned
+    // from a fixed corpus slice by the sequential reference (the
+    // tokenizer artifact; the DISTRIBUTED learner is gated against it in
+    // BpeSpec), then the whole corpus encodes through Spark's
+    // priority-loop encoder and must reproduce the independent
+    // sequential encoder's token streams token-for-token (q44b idiom:
+    // expected parquet written per run, md5-gated). ----------------------
+    QueryDef(
+      "q88_bpe_encode",
+      s"SELECT doc_id, n_tokens, tokens_hash FROM read_parquet('$BpeExpected/*.parquet') ORDER BY doc_id",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val corpus = docs.filter($"doc_id" < 200).select($"text").as[String].collect()
+      val merges = graft.fixtures.BpeRef.learnMerges(corpus, 40)
+      docs.select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          val toks = graft.fixtures.BpeRef.encode(t, merges)
+          (id, toks.length, toks.mkString(" "))
+        })
+        .toDF("doc_id", "n_tokens", "tokens_text")
+        .select($"doc_id", $"n_tokens", md5($"tokens_text").as("tokens_hash"))
+        .coalesce(1).write.mode("overwrite").parquet(BpeExpected)
+      graft.operators.Bpe.encode(docs, "doc_id", "text", merges)
+        .select($"doc_id", $"n_tokens", md5($"tokens_text").as("tokens_hash"))
+        .orderBy($"doc_id")
     },
 
     // ---- q85: JL random projection (RandomProjection scaladoc) — 64->16
