@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Canon, QueryDef, Tables}
 import graft.Canon._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, MinHashLSH, SimHash, SimilaritySearch}
+import graft.operators.{Dedup, LineDedup, MinHashLSH, SimHash, SimilaritySearch}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1297,6 +1297,51 @@ object TextQueries {
           "vec_id", "embedding", dIn = 64, dOut = 16)
         .select($"vec_id", $"j", dec($"y", 4).as("y"))
         .orderBy($"vec_id", $"j")
+    },
+
+    // ---- q89: cross-document boilerplate line removal (LineDedup
+    // scaladoc) — the CCNet/RefinedWeb line-dedup step: lines recurring in
+    // >= 3 distinct docs (injected copyright header per source + a footer
+    // on even ids, per the q69/q82 deterministic-injection idiom) are
+    // stripped from every doc; surviving prose re-joined in order and
+    // hash-gated. Linear in total line count — no pair enumeration. ------
+    QueryDef(
+      "q89_line_dedup",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         '© example corp ' || source || chr(10) || text ||
+        |         CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END AS t
+        |  FROM documents
+        |), ls AS (
+        |  SELECT doc_id, string_split(t, chr(10)) AS a FROM aug
+        |), f AS (
+        |  SELECT doc_id, r['pos'] AS pos, r['line'] AS line
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(a) + 1),
+        |                 i -> {'pos': i, 'line': a[i]})) AS r
+        |        FROM ls)
+        |), freq AS (
+        |  SELECT line, count(DISTINCT doc_id) AS df FROM f GROUP BY 1
+        |), flagged AS (
+        |  SELECT f.doc_id, f.pos, f.line, (freq.df >= 3) AS bp
+        |  FROM f JOIN freq USING (line)
+        |)
+        |SELECT doc_id,
+        |       count(*)::BIGINT AS n_lines,
+        |       CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |       md5(coalesce(string_agg(CASE WHEN NOT bp THEN line END, chr(10) ORDER BY pos), '')) AS clean_hash
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val aug = concat(
+        lit("© example corp "), $"source", lit("\n"), $"text",
+        when($"doc_id" % 2 === 0, lit("\nall rights reserved")).otherwise(lit("")))
+      LineDedup.strip(
+          Tables(spark, dir).documents.select($"doc_id", aug.as("t")),
+          "doc_id", "t", minDocs = 3)
+        .select($"doc_id", $"n_lines", $"n_removed",
+          md5($"clean_text").as("clean_hash"))
+        .orderBy($"doc_id")
     },
   )
 }
