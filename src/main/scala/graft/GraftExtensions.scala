@@ -60,6 +60,7 @@ object GraftExtensions {
     ("quality_score", 1, cs => TextFunctions.qualityScore(cs.head)),
     ("language_id", 1, cs => TextFunctions.languageId(cs.head)),
     ("doc_fingerprint", 1, cs => TextFunctions.fingerprint(cs.head)),
+    ("nfc_normalize", 1, cs => TextFunctions.nfc(cs.head)),
     ("graft_dot", 2, cs => DotProduct.column(cs(0), cs(1))))
 
   /** Register into an already-built session (same set as the injected

@@ -149,6 +149,14 @@ object TextFunctions {
     trim(regexp_replace(unescaped, "\\s+", " "))
   }
 
+  /** Unicode NFC canonical composition — the pre-hash/pre-dedup cleanup
+    * step (decomposed e+U+0301 vs precomposed U+00E9 must hash alike).
+    * Codegen'd custom expression; see
+    * [[org.apache.spark.sql.graft.NormalizeUnicode]].
+    */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.graft.NormalizeUnicode.column(text, "NFC")
+
   /** 64-bit document fingerprint: order-sensitive xxhash64 rolling
     * combination of tokens (SURVEY.md L4 "document fingerprinting").
     * Identical token sequences => identical fingerprint.

@@ -1343,5 +1343,43 @@ object TextQueries {
           md5($"clean_text").as("clean_hash"))
         .orderBy($"doc_id")
     },
+
+    // ---- q90: Unicode NFC normalization (NormalizeUnicode scaladoc) —
+    // the custom codegen'd expression vs DuckDB's built-in nfc_normalize.
+    // Injection: one third of docs get the DECOMPOSED spelling
+    // (e + combining acute U+0301), one third the precomposed U+00E9 —
+    // after NFC both spell café identically, so the two cohorts' hashes
+    // converge and `changed` flags exactly the decomposed cohort. -------
+    QueryDef(
+      "q90_unicode_nfc",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769)
+        |                      WHEN doc_id % 3 = 1 THEN ' caf' || chr(233)
+        |                      ELSE '' END AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       length(t)::BIGINT AS len_raw,
+        |       length(nfc_normalize(t))::BIGINT AS len_nfc,
+        |       (nfc_normalize(t) <> t) AS changed,
+        |       md5(nfc_normalize(t)) AS nfc_hash
+        |FROM aug ORDER BY doc_id""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val aug = concat($"text",
+        when($"doc_id" % 3 === 0, lit(" café"))
+          .when($"doc_id" % 3 === 1, lit(" café"))
+          .otherwise(lit("")))
+      val nfc = TextFunctions.nfc($"t")
+      Tables(spark, dir).documents
+        .select($"doc_id", aug.as("t"))
+        .select($"doc_id",
+          length($"t").cast("long").as("len_raw"),
+          length(nfc).cast("long").as("len_nfc"),
+          (nfc =!= $"t").as("changed"),
+          md5(nfc).as("nfc_hash"))
+        .orderBy($"doc_id")
+    },
   )
 }
