@@ -1381,5 +1381,30 @@ object TextQueries {
           md5(nfc).as("nfc_hash"))
         .orderBy($"doc_id")
     },
+
+    // ---- q91: deterministic weighted sampling (WeightedSample scaladoc)
+    // — Efraimidis–Spirakis exponential race keyed on an md5-derived
+    // uniform, so both engines re-draw the identical sample from nothing
+    // but the seed. Selection is TakeOrderedAndProject (per-partition
+    // top-k heaps, no global sort). -------------------------------------
+    QueryDef(
+      "q91_weighted_sample",
+      """WITH kk AS (
+        |  SELECT doc_id, n_chars,
+        |         -ln((('0x' || substr(md5('42_' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+        |             / 4294967296.0) / n_chars AS k
+        |  FROM documents WHERE n_chars > 0
+        |)
+        |SELECT doc_id, n_chars::BIGINT AS w,
+        |       CAST(CAST(round(k, 8) AS DECIMAL(18,8)) AS DOUBLE) AS sample_key
+        |FROM kk ORDER BY k LIMIT 50""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+        .filter($"n_chars" > 0).select($"doc_id", $"n_chars")
+      graft.operators.WeightedSample.take(docs, "doc_id", "n_chars", 50, "42")
+        .select($"doc_id", $"n_chars".cast("long").as("w"),
+          dec($"sample_key", 8).as("sample_key"))
+    },
   )
 }
