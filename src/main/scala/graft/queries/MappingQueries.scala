@@ -140,5 +140,36 @@ object MappingQueries {
           round(aggregate(col("features"), lit(0.0d), (a, x) => a + x), 4).as("feature_sum"))
         .orderBy(col("file_name"))
     },
+    // L5 frame sampling: the video-pipeline explode shape (one media item
+    // -> n evenly spaced frames) with the stub byte-window "decoder"; the
+    // oracle recomputes the identical windows from the same files via
+    // DuckDB's read_text (the corpus is ASCII, so char slices == byte
+    // slices) — schema, spacing arithmetic, and per-frame digests are all
+    // what a codec-backed sampler would ship.
+    QueryDef(
+      "q92_media_frames",
+      s"""WITH f AS (
+         |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, content
+         |  FROM read_text('${ClaimFixtures.EdiDir}/*.txt')
+         |), fr AS (
+         |  SELECT file_name, i AS frame_no,
+         |         substr(content,
+         |           CAST(floor(i * greatest(length(content) - 64, 0) / 4.0) AS INT) + 1,
+         |           64) AS fb
+         |  FROM f, range(0, 5) t(i)
+         |)
+         |SELECT file_name, frame_no::INT AS frame_no,
+         |       length(fb)::BIGINT AS n_bytes, md5(fb) AS frame_hash
+         |FROM fr ORDER BY file_name, frame_no""".stripMargin,
+    ) { (spark, _) =>
+      import org.apache.spark.sql.functions.{length, md5}
+      ensure(spark)
+      graft.operators.Multimodal.sampleFrames(spark,
+        graft.operators.Multimodal.readBinaryDir(spark, ClaimFixtures.EdiDir, "*.txt"), 5)
+        .select(col("file_name"), col("frame_no"),
+          length(col("frame_bytes")).cast("long").as("n_bytes"),
+          md5(col("frame_bytes")).as("frame_hash"))
+        .orderBy(col("file_name"), col("frame_no"))
+    },
   )
 }
