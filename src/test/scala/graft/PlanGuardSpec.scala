@@ -106,6 +106,37 @@ class PlanGuardSpec extends SparkSpec {
       s"unexpected shuffle in the row-local projection: $exchanges")
   }
 
+  test("q89: the boilerplate set broadcasts back into the line stream") {
+    val plan = planOf("q89_line_dedup")
+    // the >= minDocs filter shrinks the frequency table to metadata scale;
+    // AQE must turn the join back into a broadcast, not a shuffle join
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("broadcast"),
+      s"boilerplate join should broadcast the filtered side:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+  }
+
+  test("q90: NFC normalization is row-local and stays in codegen") {
+    val plan = planOf("q90_unicode_nfc")
+    val exchanges = "Exchange (hash|range|single)partitioning".r.findAllIn(plan).toList
+    assert(exchanges.size <= 1 && exchanges.forall(_.contains("rangepartitioning")),
+      s"unexpected shuffle in a row-local map: $exchanges")
+    // codegen capability is asserted structurally: the expression must not
+    // be a CodegenFallback (formatted AQE plans don't print codegen spans)
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val expr = org.apache.spark.sql.graft.NormalizeUnicode(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), "NFC")
+    assert(!expr.isInstanceOf[CodegenFallback],
+      "NormalizeUnicode must implement doGenCode, not fall back")
+  }
+
+  test("q91: weighted sampling plans as top-k, not a global sort") {
+    val plan = planOf("q91_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must plan as TakeOrderedAndProject:\n$plan")
+    assert(!"Exchange rangepartitioning".r.findFirstIn(plan).isDefined,
+      s"global range sort in the sampling path:\n$plan")
+  }
+
   test("q78: the ORC read-back scan prunes to the projected columns") {
     val plan = planOf("q78_orc_roundtrip")
     val read = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
