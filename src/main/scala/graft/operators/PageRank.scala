@@ -27,10 +27,22 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** (v, r) rows after `iterations` rounds, Σr = 1. */
+  /** (v, r) rows after `iterations` rounds, Σr = 1.
+    *
+    * `broadcastNodeCap`: the rank frame and the per-round contribution
+    * frame are both exactly one row per node; when the node count is at
+    * or under the cap they get explicit broadcast hints, making each
+    * round a map-side join + ONE shuffle (the contribution sum) + a
+    * map-side apply — instead of three shuffle joins. Checkpointed rank
+    * frames carry no catalog statistics, so without the hint AQE can't
+    * discover this on its own. Above the cap (a genuinely large graph)
+    * every join stays key-partitioned — the same adaptive-switch idiom
+    * as `Dedup.jaccardPairs`.
+    */
   def ranks(
       edges: DataFrame, iterations: Int = 10, alpha: Double = 0.85,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      broadcastNodeCap: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def materialize(df: DataFrame): DataFrame =
@@ -42,14 +54,19 @@ object PageRank {
     val nodes = edges.select(col("src").as("v")).distinct().cache()
     val n = nodes.count()
     require(n > 0, "PageRank over an empty edge list")
+    def hint(df: DataFrame): DataFrame =
+      if (n <= broadcastNodeCap) broadcast(df) else df
     val teleport = (1.0 - alpha) / n
     var r = materialize(nodes.withColumn("r", lit(1.0 / n)))
     for (_ <- 1 to iterations) {
-      val contrib = weighted.join(r, weighted("src") === r("v"))
+      val contrib = weighted.join(hint(r), weighted("src") === r("v"))
         .select(col("dst"), (col("r") / col("__d")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_r"))
+      // materialize every round: deferring it makes the next round's
+      // broadcast build re-execute the whole unmaterialized chain —
+      // measured no cheaper and the lineage contract gets murkier
       r = materialize(nodes
-        .join(contrib, nodes("v") === contrib("dst"), "left")
+        .join(hint(contrib), nodes("v") === contrib("dst"), "left")
         .select(col("v"),
           (lit(teleport) + lit(alpha) * coalesce(col("in_r"), lit(0.0))).as("r")))
     }
