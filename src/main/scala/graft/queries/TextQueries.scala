@@ -1406,5 +1406,44 @@ object TextQueries {
         .select($"doc_id", $"n_chars".cast("long").as("w"),
           dec($"sample_key", 8).as("sample_key"))
     },
+
+    // ---- q93: deterministic corpus shuffle into size-balanced training
+    // shards — the write-shuffled-shards step: a seeded md5 sort key
+    // pseudo-randomizes document order reproducibly, and the
+    // SequencePacking distributed prefix sum (range partition + local
+    // cumsum + broadcast offsets — no single-task global window) cuts the
+    // shuffled stream into ~100k-char shards. Oracle = the textbook
+    // one-window form. -------------------------------------------------
+    QueryDef(
+      "q93_shuffle_shards",
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |         md5('7_' || doc_id::VARCHAR) || '_' || doc_id::VARCHAR AS skey
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, n_chars,
+        |         coalesce(sum(n_chars) OVER (ORDER BY skey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb
+        |  FROM k
+        |)
+        |SELECT (tb // 100000)::BIGINT AS shard_id,
+        |       count(*)::BIGINT AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM p GROUP BY 1 ORDER BY 1""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val keyed = Tables(spark, dir).documents
+        .select($"doc_id", $"n_chars",
+          concat(md5(concat(lit("7_"), $"doc_id".cast("string"))),
+            lit("_"), $"doc_id".cast("string")).as("skey"))
+      graft.operators.SequencePacking
+        .withChunkIds(keyed, "skey", $"n_chars", capacity = 100000L)
+        .groupBy($"chunk_id".as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").cast("long").as("sum_chars"),
+          sum($"doc_id").cast("long").as("id_checksum"))
+        .orderBy($"shard_id")
+    },
   )
 }
