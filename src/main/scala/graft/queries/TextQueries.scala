@@ -1445,5 +1445,56 @@ object TextQueries {
           sum($"doc_id").cast("long").as("id_checksum"))
         .orderBy($"shard_id")
     },
+
+    // ---- q94: T5 span corruption (SpanCorruption scaladoc) — seeded
+    // deterministic 15% masking, runs collapsed to <extra_id_K>
+    // sentinels, dropped spans emitted as the target sequence; both
+    // sequences hash-gated against DuckDB's window-function spelling of
+    // the identical corruption. ------------------------------------------
+    QueryDef(
+      "q94_span_corruption",
+      """WITH tok0 AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, r['pos'] AS pos, r['tok'] AS tok
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+        |               i -> {'pos': i - 1, 'tok': ts[i]})) AS r
+        |        FROM tok0 WHERE len(ts) > 0)
+        |), m0 AS (
+        |  SELECT doc_id, pos, tok,
+        |         ((('0x' || substr(md5('9_' || doc_id::VARCHAR || '_' || pos::VARCHAR), 1, 8))::BIGINT + 1)
+        |          / 4294967296.0) < 0.15 AS m
+        |  FROM tok
+        |), runs AS (
+        |  SELECT doc_id, pos, tok, m,
+        |         m AND NOT coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS rs
+        |  FROM m0
+        |), isl AS (
+        |  SELECT doc_id, pos, tok, m, rs,
+        |         sum(CASE WHEN rs THEN 1 ELSE 0 END) OVER
+        |           (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM runs
+        |)
+        |SELECT doc_id,
+        |       count(*)::BIGINT AS n_tokens,
+        |       CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |       CAST(max(island) AS BIGINT) AS n_spans,
+        |       md5(coalesce(string_agg(CASE WHEN NOT m THEN tok
+        |                WHEN rs THEN '<extra_id_' || (island - 1)::VARCHAR || '>' END,
+        |              ' ' ORDER BY pos), '')) AS masked_hash,
+        |       md5(coalesce(string_agg(CASE WHEN m THEN
+        |                CASE WHEN rs THEN '<extra_id_' || (island - 1)::VARCHAR || '> ' || tok
+        |                     ELSE tok END END, ' ' ORDER BY pos), '')) AS target_hash
+        |FROM isl GROUP BY doc_id ORDER BY doc_id""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.SpanCorruption.denoise(
+          Tables(spark, dir).documents, "doc_id", "text", seed = "9")
+        .select($"doc_id", $"n_tokens", $"n_masked", $"n_spans",
+          md5($"masked_text").as("masked_hash"),
+          md5($"target_text").as("target_hash"))
+        .orderBy($"doc_id")
+    },
   )
 }
