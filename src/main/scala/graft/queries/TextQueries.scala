@@ -1496,5 +1496,32 @@ object TextQueries {
           md5($"target_text").as("target_hash"))
         .orderBy($"doc_id")
     },
+
+    // ---- q95: fill-in-the-middle (FimTransform scaladoc) — two seeded
+    // cut points, PSM re-ordering, entirely row-local (three substrings,
+    // no shuffle). Reconstruction invariant + hash gated. ----------------
+    QueryDef(
+      "q95_fim_transform",
+      """WITH c AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |         CAST(floor(((('0x' || substr(md5('11_a_' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+        |           / 4294967296.0) * length(text)) AS INT) AS c1,
+        |         CAST(floor(((('0x' || substr(md5('11_b_' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+        |           / 4294967296.0) * length(text)) AS INT) AS c2
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, text, n, least(c1, c2) AS a, greatest(c1, c2) AS b FROM c
+        |)
+        |SELECT doc_id, a AS cut_a, b AS cut_b,
+        |       md5('<PRE>' || substr(text, 1, a) || '<SUF>' || substr(text, b + 1, n - b)
+        |           || '<MID>' || substr(text, a + 1, b - a)) AS fim_hash
+        |FROM s ORDER BY doc_id""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.FimTransform.psm(
+          Tables(spark, dir).documents, "doc_id", "text", seed = "11")
+        .select($"doc_id", $"cut_a", $"cut_b", md5($"fim_text").as("fim_hash"))
+        .orderBy($"doc_id")
+    },
   )
 }
