@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashed linear quality classifier — the "model-based quality filter"
+  * step of a training-data pipeline (fastText-style scoring as used by
+  * the public CCNet/DCLM recipes): each token hashes into a weight, a
+  * document's score is the mean token weight, and documents scoring
+  * above the decision threshold are kept.
+  *
+  * The weights here are derived from md5 of the token itself (a fixed,
+  * engine-independent pseudo-model) rather than learned — the point of
+  * the operator is the SCORING dataflow, which is what has to survive
+  * 100 TB:
+  *
+  *  - entirely ROW-LOCAL: tokens -> weights -> sum happens inside one
+  *    projection via `transform` + `aggregate` higher-order functions,
+  *    so the token stream is never exploded and nothing shuffles. A
+  *    learned model would replace [[tokenWeight]] with a broadcast
+  *    map lookup (`typedlit(weights)(token)`) — same shape, still
+  *    row-local.
+  *  - exact integer arithmetic: weights are integers in [-1000, 1000]
+  *    and the per-doc accumulator is a BIGINT sum, so the score is
+  *    independent of token traversal order (a double sum would not be)
+  *    and both engines compute bit-identical results.
+  *
+  * The explode + groupBy spelling of the same score (one full shuffle
+  * of the token stream) is the spec cross-check, not the production
+  * path.
+  */
+object QualityClassifier {
+
+  /** Pseudo-model weight for one token: md5-derived integer in
+    * [-1000, 1000]. Portable: DuckDB spells the identical arithmetic as
+    * `('0x' || substr(md5('w_' || tok), 1, 8))::BIGINT % 2001 - 1000`.
+    */
+  def tokenWeight(tok: Column): Column =
+    conv(substring(md5(concat(lit("w_"), tok)), 1, 8), 16, 10)
+      .cast("long") % 2001 - 1000
+
+  /** Per-document classifier score over lowercased alpha tokens.
+    * Output: (idCol, n_tokens, weight_sum, score, keep) for docs with at
+    * least one token; score = weight_sum / (1000 * n_tokens) in [-1, 1],
+    * keep = weight_sum > 0 (the integer spelling of score > 0).
+    */
+  def score(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFunctions.alphaTokens(col(textCol))
+    df.select(col(idCol), toks.as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(
+        col(idCol),
+        size(col("ts")).cast("long").as("n_tokens"),
+        aggregate(col("ts"), lit(0L), (acc, t) => acc + tokenWeight(t))
+          .as("weight_sum"))
+      .withColumn("score", col("weight_sum") / (lit(1000.0) * col("n_tokens")))
+      .withColumn("keep", col("weight_sum") > 0)
+  }
+
+  /** The explode + groupBy spelling of [[score]] — shuffles the whole
+    * token stream; spec cross-check only. */
+  private[graft] def scoreExploded(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(TextFunctions.alphaTokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(tokenWeight(col("tok"))).as("weight_sum"))
+      .withColumn("score", col("weight_sum") / (lit(1000.0) * col("n_tokens")))
+      .withColumn("keep", col("weight_sum") > 0)
+}

@@ -58,6 +58,41 @@ object SimilaritySearch {
       .select(col("qid"), col("rn"), col("cid"), col("cos"))
   }
 
+  /** Contrastive hard-negative mining — the training-pair assembly step
+    * for embedding models: for each probe, the top-k most similar
+    * candidates carrying a DIFFERENT label, restricted to cosine >=
+    * `minCos` (below that a negative is "easy" and carries no training
+    * signal). Same physical shape as [[topK]] — probes broadcast, one
+    * embarrassingly-parallel scan over candidates, the per-probe window
+    * only sees rows that cleared the band filter — so the label
+    * predicate and band are evaluated BEFORE anything shuffles.
+    * Output: (qid, rn, cid, neg_label, cos), ties by cid.
+    */
+  def hardNegatives(
+      probes: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      minCos: Double): DataFrame = {
+    val q = probes.select(
+      col(idCol).as("qid"), col(labelCol).as("qlabel"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val c = candidates.select(
+      col(idCol).as("cid"), col(labelCol).as("neg_label"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val scored = broadcast(q).join(c, col("qlabel") =!= col("neg_label"))
+      .select(col("qid"), col("cid"), col("neg_label"),
+        round(cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")), 4).as("cos"))
+      .filter(col("cos") >= minCos)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("cid"), col("neg_label"), col("cos"))
+  }
+
   /** All pairs (a < b) with cosine >= threshold — embedding near-dup.
     * The exact all-pairs form runs only while the corpus fits under
     * `maxExact` rows; past that the operator auto-switches to the

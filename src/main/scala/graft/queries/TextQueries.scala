@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Canon, QueryDef, Tables}
 import graft.Canon._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, LineDedup, MinHashLSH, SimHash, SimilaritySearch}
+import graft.operators.{Dedup, DomainCaps, LineDedup, MinHashLSH, QualityClassifier, SimHash, SimilaritySearch}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1522,6 +1522,155 @@ object TextQueries {
           Tables(spark, dir).documents, "doc_id", "text", seed = "11")
         .select($"doc_id", $"cut_a", $"cut_b", md5($"fim_text").as("fim_hash"))
         .orderBy($"doc_id")
+    },
+
+    // ---- q96: hashed linear quality classifier (QualityClassifier
+    // scaladoc) — the fastText/model-based quality-filter step: token ->
+    // md5-derived integer weight, doc score = mean weight, keep = score
+    // > 0. Entirely row-local (transform + aggregate HOFs, BIGINT
+    // accumulator — no token explode, no shuffle, order-independent
+    // exact arithmetic). -------------------------------------------------
+    QueryDef(
+      "q96_quality_classifier",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ts
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+        |         CAST(coalesce(list_sum(list_transform(ts, tok ->
+        |           ('0x' || substr(md5('w_' || tok), 1, 8))::BIGINT % 2001 - 1000)), 0) AS BIGINT)
+        |           AS weight_sum
+        |  FROM t WHERE len(ts) > 0
+        |)
+        |SELECT doc_id, n_tokens, weight_sum,
+        |       CAST(CAST(round(weight_sum / (1000.0 * n_tokens), 6) AS DECIMAL(18,6)) AS DOUBLE)
+        |         AS score,
+        |       (weight_sum > 0) AS keep
+        |FROM s ORDER BY doc_id""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      QualityClassifier.score(Tables(spark, dir).documents, "doc_id", "text")
+        .select($"doc_id", $"n_tokens", $"weight_sum",
+          dec($"score", 6).as("score"), $"keep")
+        .orderBy($"doc_id")
+    },
+
+    // ---- q97: per-domain document caps (DomainCaps scaladoc) — URLs
+    // synthesized deterministically from (doc_id, source) per the q69
+    // injection idiom, registered domain extracted by regexp, then the
+    // salted two-stage top-20-per-domain cap (exactly result-preserving;
+    // the oracle is the single-window spelling). -------------------------
+    QueryDef(
+      "q97_domain_caps",
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |         CASE doc_id % 7
+        |           WHEN 0 THEN 'www.example.com'  WHEN 1 THEN 'blog.example.com'
+        |           WHEN 2 THEN 'news.sample.org'  WHEN 3 THEN 'docs.sample.org'
+        |           WHEN 4 THEN 'example.net'      WHEN 5 THEN 'cdn.media.example.net'
+        |           ELSE 'wiki.demo.io' END AS host
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, n_chars,
+        |         regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM u
+        |), r AS (
+        |  SELECT doc_id, n_chars, domain,
+        |         row_number() OVER (PARTITION BY domain
+        |                            ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM d
+        |)
+        |SELECT domain, count(*)::BIGINT AS n_docs,
+        |       count(*) FILTER (WHERE rn <= 20)::BIGINT AS n_kept,
+        |       CAST(sum(doc_id) FILTER (WHERE rn <= 20) AS BIGINT) AS kept_checksum
+        |FROM r GROUP BY domain ORDER BY domain""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val hosts = array(
+        lit("www.example.com"), lit("blog.example.com"), lit("news.sample.org"),
+        lit("docs.sample.org"), lit("example.net"), lit("cdn.media.example.net"),
+        lit("wiki.demo.io"))
+      val withUrl = Tables(spark, dir).documents
+        .select($"doc_id", $"n_chars",
+          concat(lit("https://"), element_at(hosts, ($"doc_id" % 7).cast("int") + 1),
+            lit("/"), $"source", lit("/doc"), $"doc_id".cast("string")).as("url"))
+      DomainCaps.cap(withUrl, "doc_id", "url", "n_chars", maxPerDomain = 20)
+        .groupBy($"domain")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when($"kept", 1)).as("n_kept"),
+          sum(when($"kept", $"doc_id")).cast("long").as("kept_checksum"))
+        .orderBy($"domain")
+    },
+
+    // ---- q98: contrastive hard-negative mining (SimilaritySearch
+    // .hardNegatives scaladoc) — per probe, the top-3 highest-cosine
+    // candidates with a DIFFERENT label at cosine >= 0.1: the training-
+    // pair assembly step for embedding models. Probes broadcast; label
+    // predicate and band filter run before the tiny per-probe window. ----
+    QueryDef(
+      "q98_hard_negatives",
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid, c.label AS neg_label,
+        |         round(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos
+        |  FROM n q JOIN n c ON q.vec_id < 10 AND c.label <> q.label
+        |), r AS (
+        |  SELECT qid, cid, neg_label, cos,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+        |  FROM p WHERE cos >= 0.1
+        |)
+        |SELECT qid, rn, cid, neg_label,
+        |       CAST(CAST(cos AS DECIMAL(18,4)) AS DOUBLE) AS cos
+        |FROM r WHERE rn <= 3 ORDER BY qid, rn""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val e = Tables(spark, dir).embeddings
+      SimilaritySearch.hardNegatives(
+          e.filter($"vec_id" < 10), e, "vec_id", "embedding", "label",
+          k = 3, minCos = 0.1)
+        .select($"qid", $"rn", $"cid", $"neg_label", dec($"cos", 4).as("cos"))
+        .orderBy($"qid", $"rn")
+    },
+
+    // ---- q99: sharded JSONL training export — the terminal sink of the
+    // pipeline: documents routed to md5-derived shards, written as
+    // JSON-lines partitioned by shard directory, read BACK with an
+    // explicit schema, and summarized per shard with an order-independent
+    // content checksum (BIGINT sum of md5 prefixes), so any row loss or
+    // text corruption through the JSON round trip breaks the hash; the
+    // oracle computes the same summary straight from parquet (q66's
+    // differential shape, aimed at the export layout). -------------------
+    QueryDef(
+      "q99_jsonl_export",
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |         ('0x' || substr(md5('s_' || doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard
+        |  FROM documents
+        |)
+        |SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        |       CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS text_checksum
+        |FROM s GROUP BY 1 ORDER BY 1""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+        .select($"doc_id", $"text",
+          (conv(substring(md5(concat(lit("s_"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 8).as("shard"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      docs.repartition($"shard")
+        .write.mode("overwrite").partitionBy("shard").json(tmp)
+      spark.read
+        .schema("doc_id LONG, text STRING, shard LONG")
+        .json(tmp)
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"doc_id").cast("long").as("id_checksum"),
+          sum(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long"))
+            .cast("long").as("text_checksum"))
+        .orderBy($"shard")
     },
   )
 }
