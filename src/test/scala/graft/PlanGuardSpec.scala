@@ -137,6 +137,34 @@ class PlanGuardSpec extends SparkSpec {
       s"global range sort in the sampling path:\n$plan")
   }
 
+  test("q96: classifier scoring is row-local — no joins, no shuffle before the ORDER BY") {
+    val plan = planOf("q96_quality_classifier")
+    assert(!plan.contains("Join"), s"classifier scoring must not join:\n$plan")
+    val exchanges = "Exchange (hash|range|single)partitioning".r.findAllIn(plan).toList
+    assert(exchanges.size <= 1 && exchanges.forall(_.contains("rangepartitioning")),
+      s"unexpected shuffle in the row-local scoring path: $exchanges")
+  }
+
+  test("q97: the salted cap never plans a cartesian product; kept-flag join broadcasts") {
+    val plan = planOf("q97_domain_caps")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+    // the pass-2 survivor set is <= cap * nSalts rows per domain —
+    // metadata scale — so the audit join back must broadcast it
+    assert(plan.contains("BroadcastHashJoin"),
+      s"kept-flag audit join should broadcast the capped survivor set:\n$plan")
+  }
+
+  test("q98: hard negatives broadcast the probe side; the candidate scan is one pass") {
+    val plan = planOf("q98_hard_negatives")
+    // the label predicate is non-equi by design, so the join is a
+    // nested-loop over a TINY broadcast probe set — what must NOT happen
+    // is a cartesian (neither side broadcast) or a shuffle of the
+    // candidate stream before the band filter
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"probes must broadcast into the candidate scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+  }
+
   test("q78: the ORC read-back scan prunes to the projected columns") {
     val plan = planOf("q78_orc_roundtrip")
     val read = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
