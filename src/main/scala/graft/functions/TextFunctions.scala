@@ -187,4 +187,31 @@ object TextFunctions {
     // argmax by (score, lang) — deterministic tie-break on the lang code.
     array_max(array(scores: _*)).getField("lang")
   }
+
+  /** Per-script character counts (Unicode script property classes — the
+    * script-detection half of language ID, needed before any per-language
+    * processing of a mixed web crawl). Java regex spells the class
+    * `\p{IsCyrillic}`; an RE2-based engine (the DuckDB oracle) spells the
+    * same property `\p{Cyrillic}` — same Unicode data underneath.
+    * Returns a struct of counts; row-local, codegen'd.
+    */
+  def scriptCounts(text: Column): Column = struct(
+    regexp_count(text, lit("\\p{IsLatin}")).as("latin"),
+    regexp_count(text, lit("\\p{IsCyrillic}")).as("cyrillic"),
+    regexp_count(text, lit("\\p{IsHan}")).as("han"),
+    regexp_count(text, lit("\\p{IsGreek}")).as("greek"))
+
+  /** Dominant script label: the script with the highest character count,
+    * ties broken by the fixed order latin > cyrillic > han > greek (the
+    * argmax idiom of [[languageId]]).
+    */
+  def dominantScript(text: Column): Column = {
+    val c = scriptCounts(text)
+    // array_max on (count, 4-k) structs: earlier scripts win ties via the
+    // descending priority rank
+    val ranked = Seq("latin", "cyrillic", "han", "greek").zipWithIndex.map {
+      case (s, k) => struct(c.getField(s).as("n"), lit(3 - k).as("prio"), lit(s).as("script"))
+    }
+    array_max(array(ranked: _*)).getField("script")
+  }
 }

@@ -1672,5 +1672,106 @@ object TextQueries {
             .cast("long").as("text_checksum"))
         .orderBy($"shard")
     },
+
+    // ---- q100: per-language perplexity buckets — the CCNet head/middle/
+    // tail step after q72's scoring: docs tercile-bucketed per language by
+    // (ce, doc_id) ntile. Deterministic because the tie order is pinned
+    // (q73's precedent for ranking on unrounded doubles). At 100 TB the
+    // bucket boundary becomes two per-language quantiles computed once
+    // (metadata scale) and broadcast, replacing the full-partition window.
+    QueryDef(
+      "q100_ce_buckets",
+      """WITH tok AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS gram
+        |  FROM tok WHERE len(ts) >= 2
+        |), lm AS (
+        |  SELECT gram, count(*)::DOUBLE AS cb FROM g GROUP BY 1
+        |), uni AS (
+        |  SELECT split_part(gram, ' ', 1) AS w1, sum(cb) AS cu FROM lm GROUP BY 1
+        |), doc AS (
+        |  SELECT g.doc_id, g.lang, avg(-ln(lm.cb / uni.cu)) AS ce
+        |  FROM g JOIN lm USING (gram) JOIN uni ON split_part(g.gram, ' ', 1) = uni.w1
+        |  GROUP BY 1, 2
+        |), b AS (
+        |  SELECT doc_id, lang, ce,
+        |         ntile(3) OVER (PARTITION BY lang ORDER BY ce, doc_id) AS bucket
+        |  FROM doc
+        |)
+        |SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+        |       CAST(CAST(round(avg(ce), 4) AS DECIMAL(18,4)) AS DOUBLE) AS avg_ce,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val lm = graft.operators.NgramLm.bigramLm(docs, "text")
+      val ce = graft.operators.NgramLm.crossEntropy(docs, "text", lm, "doc_id", "lang")
+      val w = Window.partitionBy($"lang").orderBy($"ce", $"doc_id")
+      ce.withColumn("bucket", ntile(3).over(w))
+        .groupBy($"lang", $"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          dec(avg($"ce"), 4).as("avg_ce"),
+          sum($"doc_id").cast("long").as("id_checksum"))
+        .orderBy($"lang", $"bucket")
+    },
+
+    // ---- q101: Unicode script detection (TextFunctions.scriptCounts /
+    // dominantScript) — the script-ID half of language ID for a mixed
+    // crawl. Injection per the q69/q90 idiom: every 10th doc is replaced
+    // by a fully Cyrillic / Han / Greek line so dominance genuinely
+    // varies. Java spells the property class \p{IsCyrillic}, the RE2
+    // oracle \p{Cyrillic} — same Unicode tables. Row-local counts, one
+    // 4-row rollup. -----------------------------------------------------
+    QueryDef(
+      "q101_script_detect",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 0 THEN 'привет мир кот'
+        |              WHEN doc_id % 10 = 1 THEN '你好世界猫'
+        |              WHEN doc_id % 10 = 2 THEN 'γεια σου κόσμε'
+        |              ELSE text END AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(t, '\p{Latin}'))::BIGINT AS lat,
+        |         len(regexp_extract_all(t, '\p{Cyrillic}'))::BIGINT AS cyr,
+        |         len(regexp_extract_all(t, '\p{Han}'))::BIGINT AS han,
+        |         len(regexp_extract_all(t, '\p{Greek}'))::BIGINT AS grk
+        |  FROM aug
+        |), s AS (
+        |  SELECT *, CASE WHEN lat >= cyr AND lat >= han AND lat >= grk THEN 'latin'
+        |                 WHEN cyr >= han AND cyr >= grk THEN 'cyrillic'
+        |                 WHEN han >= grk THEN 'han' ELSE 'greek' END AS script
+        |  FROM c
+        |)
+        |SELECT script, count(*)::BIGINT AS n_docs,
+        |       CAST(sum(lat) AS BIGINT) AS latin_chars,
+        |       CAST(sum(cyr) AS BIGINT) AS cyrillic_chars,
+        |       CAST(sum(han) AS BIGINT) AS han_chars,
+        |       CAST(sum(grk) AS BIGINT) AS greek_chars,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM s GROUP BY script ORDER BY script""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val t = when($"doc_id" % 10 === 0, lit("привет мир кот"))
+        .when($"doc_id" % 10 === 1, lit("你好世界猫"))
+        .when($"doc_id" % 10 === 2, lit("γεια σου κόσμε"))
+        .otherwise($"text")
+      Tables(spark, dir).documents
+        .select($"doc_id", TextFunctions.scriptCounts(t).as("sc"),
+          TextFunctions.dominantScript(t).as("script"))
+        .groupBy($"script")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"sc.latin").cast("long").as("latin_chars"),
+          sum($"sc.cyrillic").cast("long").as("cyrillic_chars"),
+          sum($"sc.han").cast("long").as("han_chars"),
+          sum($"sc.greek").cast("long").as("greek_chars"),
+          sum($"doc_id").cast("long").as("id_checksum"))
+        .orderBy($"script")
+    },
   )
 }

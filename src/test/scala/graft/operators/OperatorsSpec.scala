@@ -163,6 +163,12 @@ class OperatorsSpec extends SparkSpec {
     val ckpt = PageRank.ranks(edges, iterations = 3, checkpointDir = Some(dir))
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert(ckpt == r)
+    // the distributed path (forced via a zero broadcast cap) must agree
+    // with the driver-resident fast path to double precision
+    val dist = PageRank.ranks(edges, iterations = 3, broadcastNodeCap = 0L)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(dist.keySet == r.keySet)
+    dist.foreach { case (v, d) => assert(math.abs(d - r(v)) < 1e-12, s"node $v: $d vs ${r(v)}") }
   }
 
   test("broadcast bitmap refine equals the join-shaped refine") {
