@@ -246,6 +246,44 @@ object Dedup {
     }
   }
 
+  /** Directional near-containment pairs: (inner_doc, outer_doc,
+    * containment) where containment = |inner ∩ outer| / |inner| >=
+    * threshold — the asymmetric complement of Jaccard that catches a
+    * short document quoted wholesale inside a long one (Jaccard stays
+    * low because the union is dominated by the long side). One
+    * intersection count per unordered pair, then both directions tested.
+    *
+    * Exact all-pairs via the inverted index; pass `candidates` (e.g.
+    * from `MinHashLSH.candidatePairs` or `PrefixFilterJoin`) to restrict
+    * the pair space at scale — NOTE MinHash banding recalls by JACCARD,
+    * which under-recalls high-containment/low-Jaccard pairs; prefix
+    * filtering on the inner side's rarest shingles is the
+    * containment-faithful candidate generator.
+    */
+  def containmentPairs(
+      shingles: DataFrame, threshold: Double,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val a = shingles.select(col("doc_id").as("da"), col("s").as("sa"))
+    val b = shingles.select(col("doc_id").as("db"), col("s").as("sb"))
+    // with candidates the pair space is restricted BEFORE the shingle
+    // join (the jaccardInvertedForPairs shape); without, the inverted
+    // index enumerates exactly the pairs sharing >= 1 shingle
+    val inter = (candidates match {
+      case Some(c) => c.select(col("da"), col("db")).distinct()
+        .join(a, Seq("da")).join(b, Seq("db")).filter(col("sa") === col("sb"))
+      case None => a.join(b, col("sa") === col("sb") && col("da") < col("db"))
+    }).groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+    val sizes = shingleSizes(shingles)
+    val sized = inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+    val aInB = sized.select(col("da").as("inner_doc"), col("db").as("outer_doc"),
+      (col("i") / col("na")).as("containment"))
+    val bInA = sized.select(col("db").as("inner_doc"), col("da").as("outer_doc"),
+      (col("i") / col("nb")).as("containment"))
+    aInB.unionAll(bInA).filter(col("containment") >= threshold)
+  }
+
   /** Exact Jaccard restricted to a candidate pair set (the LSH refine).
     * `pairsDistinct = false` declares the input may contain duplicate
     * (da, db) rows (e.g. one per matching LSH band): the broadcast

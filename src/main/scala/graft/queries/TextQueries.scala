@@ -1773,5 +1773,82 @@ object TextQueries {
           sum($"doc_id").cast("long").as("id_checksum"))
         .orderBy($"script")
     },
+
+    // ---- q102: exact substring-dedup spans (SubstringDedup scaladoc —
+    // the Lee et al. 2021 signal): per doc, the maximal spans whose
+    // 20-char windows all recur in >= 2 docs, via window explode ->
+    // xxhash64 8-byte keys -> frequency join -> gaps-and-islands merge.
+    // The hash is intermediate-only, so the DuckDB oracle groups the raw
+    // window strings and reaches identical span boundaries. -------------
+    QueryDef(
+      "q102_substring_dedup",
+      """WITH w AS (
+        |  SELECT doc_id, length(text) AS len, g.i AS pos, substr(text, g.i::INT, 20) AS win
+        |  FROM documents, generate_series(1, 100000) g(i)
+        |  WHERE g.i <= length(text) - 19
+        |), freq AS (
+        |  SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+        |), sh AS (
+        |  SELECT w.doc_id, w.len, w.pos FROM w JOIN freq USING (win)
+        |), m AS (
+        |  SELECT doc_id, len, pos,
+        |         max(pos + 20) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM sh
+        |), isl AS (
+        |  SELECT doc_id, len, pos,
+        |         sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m
+        |), seg AS (
+        |  SELECT doc_id, island, max(len) AS len, min(pos) AS s, max(pos) + 20 AS e
+        |  FROM isl GROUP BY doc_id, island
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_islands,
+        |       CAST(sum(e - s) AS BIGINT) AS removed_chars,
+        |       CAST(max(len) - sum(e - s) AS BIGINT) AS remaining_chars
+        |FROM seg GROUP BY doc_id ORDER BY doc_id""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.SubstringDedup
+        .spanStats(Tables(spark, dir).documents, "doc_id", "text", minLen = 20, minDocs = 2)
+        .select($"doc_id", $"n_islands".cast("long").as("n_islands"),
+          $"removed_chars".cast("long").as("removed_chars"),
+          $"remaining_chars".cast("long").as("remaining_chars"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- q103: directional near-containment pairs (Dedup
+    // .containmentPairs scaladoc) — the asymmetric complement of q35's
+    // Jaccard: a short doc quoted wholesale inside a long one scores
+    // containment ~1 while Jaccard stays low. One intersection count per
+    // unordered pair, both directions thresholded. -----------------------
+    QueryDef(
+      "q103_containment",
+      """WITH sh5 AS (
+        |  SELECT DISTINCT doc_id, substr(lower(text), g.i::INT, 5) AS s
+        |  FROM documents, generate_series(1, 100000) g(i)
+        |  WHERE g.i <= length(text) - 4
+        |), sz5 AS (SELECT doc_id, count(*) AS n FROM sh5 GROUP BY 1),
+        |inter5 AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh5 a JOIN sh5 b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), sized AS (
+        |  SELECT da, db, i, sa.n AS na, sb.n AS nb
+        |  FROM inter5 JOIN sz5 sa ON sa.doc_id = da JOIN sz5 sb ON sb.doc_id = db
+        |)
+        |SELECT inner_doc, outer_doc,
+        |       CAST(CAST(round(c, 4) AS DECIMAL(18,4)) AS DOUBLE) AS containment
+        |FROM (SELECT da AS inner_doc, db AS outer_doc, i * 1.0 / na AS c FROM sized
+        |      UNION ALL SELECT db, da, i * 1.0 / nb FROM sized)
+        |WHERE c >= 0.9 ORDER BY inner_doc, outer_doc""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      Dedup.containmentPairs(
+          Dedup.charShingles(Tables(spark, dir).documents, "doc_id", "text", n = 5), 0.9)
+        .select($"inner_doc", $"outer_doc", dec($"containment", 4).as("containment"))
+        .orderBy($"inner_doc", $"outer_doc")
+    },
   )
 }
