@@ -117,8 +117,10 @@ object Bench {
         s""""cold_total":${tot(cold)},"stream_ingest":$streamJson,""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     val full = summary(shortQueries)
-    // 2000-char window minus sbt epilogue (~80) minus safety margin
-    println(if (full.length <= 1500) full else summary("\"truncated\""))
+    // 2000-char window minus sbt epilogue (~80 incl. newline) minus margin:
+    // 1800 holds ~110 short-key entries; past that the dict is dropped
+    // whole rather than risk a mid-line cut
+    println(if (full.length <= 1800) full else summary("\"truncated\""))
     spark.stop()
   }
 }
