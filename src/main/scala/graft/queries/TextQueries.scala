@@ -1850,5 +1850,59 @@ object TextQueries {
         .select($"inner_doc", $"outer_doc", dec($"containment", 4).as("containment"))
         .orderBy($"inner_doc", $"outer_doc")
     },
+
+    // ---- q104: filter attribution — the pipeline-analysis step behind
+    // every ablation table: for each quality filter (length, classifier,
+    // stopword ratio), how many docs it flags, how many ONLY it flags
+    // (its unique contribution), and the survivor count. All three
+    // predicates are row-local; the whole query is one narrow projection
+    // + one global aggregate. -------------------------------------------
+    QueryDef(
+      "q104_filter_attribution",
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ts
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |         (n_chars < 150) AS f_len,
+        |         (CAST(coalesce(list_sum(list_transform(ts, tok ->
+        |            ('0x' || substr(md5('w_' || tok), 1, 8))::BIGINT % 2001 - 1000)), 0) AS BIGINT)
+        |          <= 0) AS f_qual,
+        |         (len(ts) = 0 OR
+        |          len(list_filter(ts, x -> x IN ('the','a','of','and','to','in'))) * 1.0
+        |            / len(ts) < 0.04) AS f_stop
+        |  FROM t
+        |)
+        |SELECT count(*)::BIGINT AS n_docs,
+        |       count(*) FILTER (WHERE f_len)::BIGINT AS len_flagged,
+        |       count(*) FILTER (WHERE f_len AND NOT f_qual AND NOT f_stop)::BIGINT AS len_unique,
+        |       count(*) FILTER (WHERE f_qual)::BIGINT AS qual_flagged,
+        |       count(*) FILTER (WHERE f_qual AND NOT f_len AND NOT f_stop)::BIGINT AS qual_unique,
+        |       count(*) FILTER (WHERE f_stop)::BIGINT AS stop_flagged,
+        |       count(*) FILTER (WHERE f_stop AND NOT f_len AND NOT f_qual)::BIGINT AS stop_unique,
+        |       count(*) FILTER (WHERE NOT f_len AND NOT f_qual AND NOT f_stop)::BIGINT AS survivors
+        |FROM f""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val ts = TextFunctions.alphaTokens($"text")
+      val stops = TextFunctions.DefaultStopwords
+      val fLen = $"n_chars" < 150
+      val fQual = aggregate(ts, lit(0L),
+        (acc, t) => acc + graft.operators.QualityClassifier.tokenWeight(t)) <= 0
+      val nStop = size(filter(ts, t => t.isInCollection(stops)))
+      val fStop = size(ts) === 0 || nStop * 1.0 / size(ts) < 0.04
+      def cnt(c: org.apache.spark.sql.Column)(name: String) = count(when(c, 1)).as(name)
+      Tables(spark, dir).documents
+        .select(fLen.as("f_len"), fQual.as("f_qual"), fStop.as("f_stop"))
+        .agg(count(lit(1)).as("n_docs"),
+          cnt($"f_len")("len_flagged"),
+          cnt($"f_len" && !$"f_qual" && !$"f_stop")("len_unique"),
+          cnt($"f_qual")("qual_flagged"),
+          cnt($"f_qual" && !$"f_len" && !$"f_stop")("qual_unique"),
+          cnt($"f_stop")("stop_flagged"),
+          cnt($"f_stop" && !$"f_len" && !$"f_qual")("stop_unique"),
+          cnt(!$"f_len" && !$"f_qual" && !$"f_stop")("survivors"))
+    },
   )
 }

@@ -165,6 +165,23 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
   }
 
+  test("q102: the window-frequency pipeline shuffles 8-byte hash keys, no cartesian") {
+    val plan = planOf("q102_substring_dedup")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+    // the frequency aggregate must be partial (map-side combine) before
+    // its exchange — the explode multiplies rows, so this is the one
+    // place map-side reduction pays most
+    assert(plan.contains("partial_count"), s"no partial aggregation in:\n$plan")
+  }
+
+  test("q104: filter attribution is one narrow projection + one global aggregate") {
+    val plan = planOf("q104_filter_attribution")
+    assert(!plan.contains("Join"), s"row-local predicates must not join:\n$plan")
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).toList
+    assert(exchanges.isEmpty,
+      s"a global agg needs only the single-partition exchange, found: $exchanges")
+  }
+
   test("q78: the ORC read-back scan prunes to the projected columns") {
     val plan = planOf("q78_orc_roundtrip")
     val read = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
