@@ -279,16 +279,25 @@ object Dedup {
           .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
       case None => shingleDict(sh) match {
         case Some(d) =>
-          // bitmap popcount kernel over the compact one-row-per-doc side:
-          // O(n²·words) broadcast nested loop — the same strategy that
-          // keeps jaccardPairs' exact form off the Σ df² cliff on
+          // bitmap popcount kernel — the same strategy that keeps
+          // jaccardPairs' exact form off the Σ df² cliff on
           // bounded-alphabet shingles (a char-5-gram vocabulary saturates
           // near 2k no matter the corpus, so most grams are hot and the
           // inverted index's shingle-match multiset explodes: measured
-          // 425 s vs 4 s at sf0.1)
+          // 425 s vs 3 s at sf0.1). Under the broadcast-doc cap and with
+          // long ids it runs as the hand-written upper-triangle scan over
+          // the collected bitmap table (the nearDuplicatesExactKernel
+          // shape: ~1.3 MB broadcast at 5k docs / 32 words — plain
+          // compiled Scala, so unlike the codegen'd join spelling its
+          // hot loop can't be evicted from the codegen cache by a long
+          // registry run); otherwise the equivalent join form
           log.info(s"containmentPairs: bitmap strategy (${d.size} distinct shingles)")
           val nWords = (d.size + 63) / 64
           val bm = bitmaps(sh, d).cache()
+          val longIds = bm.schema("doc_id").dataType ==
+            org.apache.spark.sql.types.LongType
+          if (longIds && bm.count() <= BroadcastRefineMaxDocs)
+            return containmentKernel(bm, nWords, threshold)
           val a = bm.select(col("doc_id").as("da") +: col("n").as("na") +:
             (0 until nWords).map(w => col(s"w$w").as(s"a$w")): _*)
           val b = bm.select(col("doc_id").as("db") +: col("n").as("nb") +:
@@ -317,6 +326,52 @@ object Dedup {
     val bInA = sized.select(col("db").as("inner_doc"), col("da").as("outer_doc"),
       (col("i") / col("nb")).as("containment"))
     aInB.unionAll(bInA).filter(col("containment") >= threshold)
+  }
+
+  /** Upper-triangle containment scan over the collected bitmap table:
+    * each task takes a STRIPED slice of row indices (i, i+parts, ...) so
+    * the triangle's per-row imbalance averages out, popcounts its rows
+    * against all later rows, and emits both directions that clear the
+    * threshold. Plain compiled Scala — no codegen, no join machinery.
+    */
+  private def containmentKernel(bm: DataFrame, nWords: Int, threshold: Double): DataFrame = {
+    val spark = bm.sparkSession
+    import spark.implicits._
+    val idIdx = bm.schema.fieldIndex("doc_id")
+    val nIdx = bm.schema.fieldIndex("n")
+    val wIdx = (0 until nWords).map(w => bm.schema.fieldIndex(s"w$w")).toArray
+    val rows = bm.collect()
+    val ids = rows.map(_.getLong(idIdx))
+    val sizes = rows.map(_.getLong(nIdx))
+    val words = rows.map(r => wIdx.map(r.getLong))
+    val sc = spark.sparkContext
+    val bIds = sc.broadcast(ids)
+    val bNs = sc.broadcast(sizes)
+    val bW = sc.broadcast(words)
+    val nDocs = ids.length
+    val parts = math.max(1, math.min(sc.defaultParallelism * 4, nDocs))
+    sc.parallelize(0 until parts, parts).flatMap { p =>
+      val ids = bIds.value; val ns = bNs.value; val w = bW.value
+      (p until nDocs by parts).iterator.flatMap { i =>
+        val wi = w(i)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var j = i + 1
+        while (j < nDocs) {
+          val wj = w(j)
+          var inter = 0L
+          var k = 0
+          while (k < wi.length) { inter += java.lang.Long.bitCount(wi(k) & wj(k)); k += 1 }
+          if (inter > 0) {
+            val cij = inter.toDouble / ns(i)
+            val cji = inter.toDouble / ns(j)
+            if (cij >= threshold) out += ((ids(i), ids(j), cij))
+            if (cji >= threshold) out += ((ids(j), ids(i), cji))
+          }
+          j += 1
+        }
+        out
+      }
+    }.toDF("inner_doc", "outer_doc", "containment")
   }
 
   /** Exact Jaccard restricted to a candidate pair set (the LSH refine).
