@@ -48,9 +48,19 @@ object SubstringDedup {
       .select(col("doc_id"), col("len"), col("pos"),
         xxhash64(expr(s"substring(__t, pos, $minLen)")).as("h"))
     val cached = wins.cache()
-    val freq = cached.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("wdf"))
-      .filter(col("wdf") >= minDocs)
+    // minDocs=2 (the common case) needs no distinct count at all:
+    // "two distinct docs" is min != max, and min/max partial-aggregate
+    // fully map-side where countDistinct's two-phase plan must shuffle
+    // the (h, doc_id) pair stream
+    val freq =
+      if (minDocs == 2)
+        cached.groupBy(col("h"))
+          .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+          .filter(col("d0") =!= col("d1")).select("h")
+      else
+        cached.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("wdf"))
+          .filter(col("wdf") >= minDocs).select("h")
     val shared = cached.join(freq, Seq("h")).select("doc_id", "len", "pos")
     // gaps-and-islands: a window starts a new island when it begins past
     // the furthest end seen so far in this doc
