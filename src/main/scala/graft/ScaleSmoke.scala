@@ -89,12 +89,23 @@ object ScaleSmoke {
     val (nCosPairs, tCos) = timed("cosine nearDuplicates(Auto->buckets)") {
       SimilaritySearch.nearDuplicates(embs, "vec_id", "embedding", 0.9).count()
     }
+    // containment past the bitmap-kernel comfort zone: candidate pairs
+    // from MinHash banding restrict the ForPairs join shape — the
+    // at-scale form the gate-scale query never reaches (with the
+    // documented caveat that Jaccard banding under-recalls
+    // high-containment/low-Jaccard pairs)
+    val (nContain, tContain) = timed("containment(candidate-restricted)") {
+      val cands = graft.operators.MinHashLSH.candidatePairs(
+        graft.operators.MinHashLSH.signatures(Dedup.charShingles(docs, "doc_id", "text", 3)))
+      Dedup.containmentPairs(
+        Dedup.charShingles(docs, "doc_id", "text", 5), 0.95, Some(cands)).count()
+    }
 
     def ms(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     println(s"""{"metric":"scale_smoke","reps":$reps,"docs":$nDocs,"base_docs":$nDocs0,""" +
       s""""exact_groups":$nExactGroups,"lsh_pairs":$nPairs,"clusters":$nClusters,""" +
-      s""""cos_pairs":$nCosPairs,"sec_exact":${ms(tExact)},"sec_lsh_cluster":${ms(tLsh)},""" +
-      s""""sec_cos":${ms(tCos)}}""")
+      s""""cos_pairs":$nCosPairs,"containment_pairs":$nContain,"sec_exact":${ms(tExact)},""" +
+      s""""sec_lsh_cluster":${ms(tLsh)},"sec_cos":${ms(tCos)},"sec_containment":${ms(tContain)}}""")
     spark.stop()
   }
 }

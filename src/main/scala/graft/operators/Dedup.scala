@@ -265,18 +265,39 @@ object Dedup {
       candidates: Option[DataFrame] = None): DataFrame = {
     val sh = shingles.cache()
     val sized = candidates match {
-      case Some(c) =>
-        // pair space restricted BEFORE the shingle join — the
-        // jaccardInvertedForPairs shape
-        val a = sh.select(col("doc_id").as("da"), col("s").as("sa"))
-        val b = sh.select(col("doc_id").as("db"), col("s").as("sb"))
-        val inter = c.select(col("da"), col("db")).distinct()
-          .join(a, Seq("da")).join(b, Seq("db")).filter(col("sa") === col("sb"))
-          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
-        val sizes = shingleSizes(sh)
-        inter
-          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      case Some(c) => shingleDict(sh) match {
+        case Some(d) =>
+          // candidate refine via bitmap popcounts: one row PER PAIR
+          // (candidates ⋈ two one-row-per-doc bitmap sides), constant
+          // work per pair — the inverted ForPairs shape materializes
+          // candidates × per-doc shingles instead, which on a
+          // boilerplate-heavy corpus is ~300x more join traffic
+          val nWords = (d.size + 63) / 64
+          val bm = bitmaps(sh, d).cache()
+          val a = bm.select(col("doc_id").as("da") +: col("n").as("na") +:
+            (0 until nWords).map(w => col(s"w$w").as(s"a$w")): _*)
+          val b = bm.select(col("doc_id").as("db") +: col("n").as("nb") +:
+            (0 until nWords).map(w => col(s"w$w").as(s"b$w")): _*)
+          val inter = (0 until nWords)
+            .map(w => bit_count(col(s"a$w").bitwiseAND(col(s"b$w"))))
+            .reduce(_ + _)
+          c.select(col("da"), col("db")).distinct()
+            .join(a, Seq("da")).join(b, Seq("db"))
+            .select(col("da"), col("db"), inter.cast("long").as("i"),
+              col("na"), col("nb"))
+        case None =>
+          // pair space restricted BEFORE the shingle join — the
+          // jaccardInvertedForPairs shape
+          val a = sh.select(col("doc_id").as("da"), col("s").as("sa"))
+          val b = sh.select(col("doc_id").as("db"), col("s").as("sb"))
+          val inter = c.select(col("da"), col("db")).distinct()
+            .join(a, Seq("da")).join(b, Seq("db")).filter(col("sa") === col("sb"))
+            .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+          val sizes = shingleSizes(sh)
+          inter
+            .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+            .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      }
       case None => shingleDict(sh) match {
         case Some(d) =>
           // bitmap popcount kernel — the same strategy that keeps

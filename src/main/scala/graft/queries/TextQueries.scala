@@ -1904,5 +1904,76 @@ object TextQueries {
           cnt($"f_stop" && !$"f_len" && !$"f_qual")("stop_unique"),
           cnt(!$"f_len" && !$"f_qual" && !$"f_stop")("survivors"))
     },
+
+    // ---- q105: mergeable HLL sketches (Apache DataSketches via Spark's
+    // hll_sketch_agg / hll_union_agg) — the distributed-sketch pattern
+    // the per-partition/per-shard world runs on: per-source sketches
+    // built independently, UNIONED without rescanning, estimate gated
+    // inside a 5% envelope against the exact distinct computed by both
+    // engines (the q65/q79/q80 flag idiom: sketch internals are not
+    // portable; their guarantees are). ----------------------------------
+    QueryDef(
+      "q105_hll_merge",
+      """SELECT count(DISTINCT source)::BIGINT AS n_sources,
+        |       count(DISTINCT doc_id)::BIGINT AS exact_distinct,
+        |       1 AS union_within_5pct, 1 AS every_source_within_5pct
+        |FROM documents""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val perSrc = docs.groupBy($"source")
+        .agg(expr("hll_sketch_agg(doc_id)").as("sk"),
+          countDistinct($"doc_id").as("exact_src"))
+        .cache()
+      val srcBad = perSrc
+        .select(expr("hll_sketch_estimate(sk)").as("est"), $"exact_src")
+        .filter(abs($"est" - $"exact_src") / $"exact_src" > 0.05)
+        .count()
+      val row = perSrc.agg(
+        count(lit(1)).as("n_sources"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_global")).head()
+      val exact = docs.agg(countDistinct($"doc_id")).head().getLong(0)
+      val unionOk = math.abs(row.getLong(1) - exact).toDouble / exact <= 0.05
+      Seq((row.getLong(0), exact, if (unionOk) 1 else 0, if (srcBad == 0) 1 else 0))
+        .toDF("n_sources", "exact_distinct", "union_within_5pct", "every_source_within_5pct")
+    },
+
+    // ---- q106: chat-template rendering (the SFT formatting step): each
+    // doc becomes a user turn (token-budget-trimmed to 150 whitespace
+    // tokens) plus a stub assistant turn (first 30 tokens), rendered with
+    // im_start/im_end special tokens. Entirely row-local string/array
+    // work; the rendered transcript is md5-gated so both engines must
+    // agree byte-for-byte on trimming and assembly. ----------------------
+    QueryDef(
+      "q106_chat_template",
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id,
+        |         len(ts[1:150])::BIGINT AS n_user_tokens,
+        |         '<|im_start|>user' || chr(10) || array_to_string(ts[1:150], ' ')
+        |           || '<|im_end|>' || chr(10) || '<|im_start|>assistant' || chr(10)
+        |           || array_to_string(ts[1:30], ' ') || '<|im_end|>' AS rendered
+        |  FROM t
+        |)
+        |SELECT doc_id, n_user_tokens,
+        |       length(rendered)::BIGINT AS n_chars,
+        |       md5(rendered) AS render_hash
+        |FROM r ORDER BY doc_id""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val ts = TextFunctions.tokens($"text")
+      val rendered = concat(
+        lit("<|im_start|>user\n"), array_join(slice(ts, 1, 150), " "),
+        lit("<|im_end|>\n<|im_start|>assistant\n"), array_join(slice(ts, 1, 30), " "),
+        lit("<|im_end|>"))
+      Tables(spark, dir).documents
+        .select($"doc_id",
+          size(slice(ts, 1, 150)).cast("long").as("n_user_tokens"),
+          length(rendered).cast("long").as("n_chars"),
+          md5(rendered).as("render_hash"))
+        .orderBy($"doc_id")
+    },
   )
 }
