@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Cross-document line-level deduplication (SURVEY.md §2.12, L2/L4 family):
@@ -23,6 +23,36 @@ import org.apache.spark.sql.functions._
   * quadratic in anything.
   */
 object LineDedup {
+
+  /** INTRA-document line dedup — the within-page complement of [[strip]]:
+    * repeated lines inside one document (duplicated nav blocks, pasted
+    * footers) collapse to their first occurrence, in order. Unlike the
+    * cross-document form this needs NO aggregation at all: the whole
+    * computation is one `aggregate` higher-order fold over the line
+    * array, so it is row-local, shuffle-free, and composes into any
+    * projection. (The fold probes `array_contains` per line — O(L²) in a
+    * document's line count, the right trade at web-page line counts;
+    * a posexplode + min(pos) groupBy spelling shuffles the entire line
+    * stream instead.)
+    *
+    * Returns a struct column `(n_lines, n_removed, clean_text)`.
+    */
+  def stripWithinDoc(text: Column): Column = {
+    val dedup = aggregate(
+      split(text, "\n"),
+      struct(
+        lit(Array.empty[String]).as("kept"),
+        lit(0L).as("removed")),
+      (acc, x) => struct(
+        when(array_contains(acc.getField("kept"), x), acc.getField("kept"))
+          .otherwise(array_append(acc.getField("kept"), x)).as("kept"),
+        when(array_contains(acc.getField("kept"), x), acc.getField("removed") + 1L)
+          .otherwise(acc.getField("removed")).as("removed")))
+    struct(
+      size(split(text, "\n")).cast("long").as("n_lines"),
+      dedup.getField("removed").as("n_removed"),
+      array_join(dedup.getField("kept"), "\n").as("clean_text"))
+  }
 
   /** Distinct lines occurring in at least `minDocs` distinct documents. */
   def boilerplateLines(

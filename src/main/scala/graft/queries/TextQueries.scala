@@ -1975,5 +1975,53 @@ object TextQueries {
           md5(rendered).as("render_hash"))
         .orderBy($"doc_id")
     },
+
+    // ---- q107: intra-document line dedup (LineDedup.stripWithinDoc) —
+    // the within-page complement of q89's cross-document strip: repeated
+    // lines inside one document collapse to their first occurrence, as a
+    // ROW-LOCAL higher-order fold (no explode, no shuffle). Injection
+    // per the q89 idiom: every third doc gets a nav block pasted twice,
+    // every third+1 a doubled footer. The oracle spells the same
+    // semantics positionally (min-pos per line, reassembled in
+    // first-occurrence order). ------------------------------------------
+    QueryDef(
+      "q107_intradoc_line_dedup",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN 'nav menu' || chr(10) || text || chr(10) || 'nav menu'
+        |                   || chr(10) || 'nav menu'
+        |              WHEN doc_id % 3 = 1
+        |              THEN text || chr(10) || 'footer' || chr(10) || 'footer'
+        |              ELSE text END AS t
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, r['pos'] AS pos, r['line'] AS line
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(string_split(t, chr(10))) + 1),
+        |                 i -> {'pos': i, 'line': string_split(t, chr(10))[i]})) AS r
+        |        FROM aug)
+        |), k AS (
+        |  SELECT doc_id, line, min(pos) AS pos FROM l GROUP BY doc_id, line
+        |), n AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_lines FROM l GROUP BY doc_id
+        |)
+        |SELECT k.doc_id, n.n_lines,
+        |       (n.n_lines - count(*))::BIGINT AS n_removed,
+        |       md5(string_agg(k.line, chr(10) ORDER BY k.pos)) AS clean_hash
+        |FROM k JOIN n ON n.doc_id = k.doc_id
+        |GROUP BY k.doc_id, n.n_lines ORDER BY k.doc_id""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val t = when($"doc_id" % 3 === 0,
+          concat(lit("nav menu\n"), $"text", lit("\nnav menu\nnav menu")))
+        .when($"doc_id" % 3 === 1, concat($"text", lit("\nfooter\nfooter")))
+        .otherwise($"text")
+      Tables(spark, dir).documents
+        .select($"doc_id", LineDedup.stripWithinDoc(t).as("d"))
+        .select($"doc_id", $"d.n_lines".as("n_lines"),
+          $"d.n_removed".as("n_removed"), md5($"d.clean_text").as("clean_hash"))
+        .orderBy($"doc_id")
+    },
   )
 }

@@ -63,4 +63,20 @@ class LineDedupSpec extends SparkSpec {
     assert(out(1) == ((2L, 2L, 1L, "z")))
     assert(out(2) == ((3L, 1L, 1L, "")))
   }
+
+  test("stripWithinDoc collapses repeated lines to first occurrence, row-locally") {
+    val d = Seq(
+      (1L, "a\nb\na\nc\nb\na"),
+      (2L, "x\ny"),
+      (3L, "solo"),
+    ).toDF("doc_id", "text")
+    val out = d.select($"doc_id", LineDedup.stripWithinDoc($"text").as("r"))
+      .select($"doc_id", $"r.n_lines", $"r.n_removed", $"r.clean_text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 6L, 3L, "a\nb\nc"),
+      (2L, 2L, 0L, "x\ny"),
+      (3L, 1L, 0L, "solo")))
+  }
 }
