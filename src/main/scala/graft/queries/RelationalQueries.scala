@@ -1070,5 +1070,40 @@ object RelationalQueries {
         .orderBy($"r".desc, $"v")
         .limit(20)
     },
+
+    // ---- q108: record linkage (RecordLinkage scaladoc) — entity
+    // resolution on tabular records: nationkey blocking bounds the pair
+    // space at Σ|block|², Levenshtein scoring runs only within blocks,
+    // and match pairs carry an id checksum so the exact match SET is
+    // gated, not just its size. ------------------------------------------
+    QueryDef(
+      "q108_record_linkage",
+      """SELECT a.c_nationkey AS nationkey,
+        |       count(*)::BIGINT AS n_pairs,
+        |       count(*) FILTER (WHERE levenshtein(a.c_name, b.c_name) <= 2)::BIGINT
+        |         AS n_matches,
+        |       CAST(sum(a.c_custkey + b.c_custkey)
+        |              FILTER (WHERE levenshtein(a.c_name, b.c_name) <= 2) AS BIGINT)
+        |         AS match_checksum
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |GROUP BY 1 ORDER BY 1""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val cust = Tables(spark, dir).customer
+        .select($"c_custkey", $"c_nationkey", $"c_name")
+      // the banded threshold form computes O(k·n) per pair and returns -1
+      // above the bound — an order of magnitude cheaper than the full DP
+      // across 4.5M in-block pairs at sf0.1, same match set
+      val pairs = graft.operators.RecordLinkage
+        .blockedPairs(cust, "c_custkey", Seq("c_nationkey"))
+        .withColumn("lev", levenshtein($"a_c_name", $"b_c_name", 2))
+      pairs.groupBy($"c_nationkey".as("nationkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when($"lev" =!= -1, 1)).as("n_matches"),
+          sum(when($"lev" =!= -1, $"a_c_custkey" + $"b_c_custkey"))
+            .cast("long").as("match_checksum"))
+        .orderBy($"nationkey")
+    },
   )
 }
