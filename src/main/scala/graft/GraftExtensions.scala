@@ -61,6 +61,10 @@ object GraftExtensions {
     ("language_id", 1, cs => TextFunctions.languageId(cs.head)),
     ("doc_fingerprint", 1, cs => TextFunctions.fingerprint(cs.head)),
     ("nfc_normalize", 1, cs => TextFunctions.nfc(cs.head)),
+    ("script_counts", 1, cs => TextFunctions.scriptCounts(cs.head)),
+    ("dominant_script", 1, cs => TextFunctions.dominantScript(cs.head)),
+    ("classifier_weight", 1, cs => graft.operators.QualityClassifier.tokenWeight(cs.head)),
+    ("dedup_lines", 1, cs => graft.operators.LineDedup.stripWithinDoc(cs.head)),
     ("graft_dot", 2, cs => DotProduct.column(cs(0), cs(1))))
 
   /** Register into an already-built session (same set as the injected

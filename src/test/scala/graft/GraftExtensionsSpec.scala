@@ -133,4 +133,25 @@ class GraftExtensionsSpec extends SparkSpec {
     // assert the hook itself registers without error and is idempotent
     new GraftExtensions().apply(ext)
   }
+
+  test("round-4 SQL additions: scripts, classifier weight, intra-doc line dedup") {
+    val s = session
+    s.range(1).createOrReplaceTempView("one")
+    val row = s.sql(
+      """SELECT dominant_script('\u043f\u0440\u0438\u0432\u0435\u0442') AS scr,
+        |       script_counts('ab\u4f60\u597d').han AS han,
+        |       classifier_weight('fox') AS w,
+        |       dedup_lines('a\nb\na').n_removed AS removed,
+        |       dedup_lines('a\nb\na').clean_text AS clean
+        |FROM one""".stripMargin).collect().head
+    assert(row.getAs[String]("scr") == "cyrillic")
+    assert(row.getAs[Int]("han") == 2)
+    // same value as the Column API
+    import s.implicits._
+    val viaColumn = Seq("fox").toDF("t")
+      .select(graft.operators.QualityClassifier.tokenWeight($"t")).collect().head.getLong(0)
+    assert(row.getAs[Long]("w") == viaColumn)
+    assert(row.getAs[Long]("removed") == 1L)
+    assert(row.getAs[String]("clean") == "a\nb")
+  }
 }
