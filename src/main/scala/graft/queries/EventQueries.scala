@@ -115,5 +115,78 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), sumMoney($"value").as("sum_value"))
         .orderBy($"c_mktsegment")
     },
+
+    // ---- q109: ordered funnel (sequence analytics) — per user the
+    // view -> click -> purchase progression with STRICT timestamp order
+    // (each stage's earliest occurrence must postdate the previous
+    // stage's). Three key-partitioned min-aggregates + two equi-joins;
+    // stage populations shrink monotonically, so each successive join's
+    // build side is smaller — at scale the later stages broadcast. ------
+    QueryDef(
+      "q109_funnel",
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+        |)
+        |SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+        |       (SELECT count(*) FROM c)::BIGINT AS n_click_after_view,
+        |       (SELECT count(*) FROM p)::BIGINT AS n_purchase_after_click,
+        |       (SELECT CAST(coalesce(sum(user_id), 0) AS BIGINT) FROM p) AS converted_checksum""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val ev = Tables(spark, dir).events
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val c = ev.filter($"event_type" === "click")
+        .join(v, Seq("user_id")).filter($"ts" > $"t1")
+        .groupBy($"user_id").agg(min($"ts").as("t2"))
+      val p = ev.filter($"event_type" === "purchase")
+        .join(c, Seq("user_id")).filter($"ts" > $"t2")
+        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      val (vc, cc) = (v.count(), c.count())
+      p.agg(count(lit(1)).as("np"),
+          coalesce(sum($"user_id"), lit(0L)).cast("long").as("converted_checksum"))
+        .select(lit(vc).as("n_view"), lit(cc).as("n_click_after_view"),
+          $"np".as("n_purchase_after_click"), $"converted_checksum")
+    },
+
+    // ---- q110: cohort retention — users grouped by first-activity week,
+    // activity tracked per week offset: the standard retention triangle.
+    // One min-aggregate for cohorts, one distinct (user, week) frame, a
+    // key-partitioned join, integer week arithmetic. ---------------------
+    QueryDef(
+      "q110_retention",
+      """WITH first_seen AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events GROUP BY 1
+        |), activity AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+        |)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+        |       CAST(date_diff('day', f.cohort, a.w) // 7 AS BIGINT) AS week_offset,
+        |       count(*)::BIGINT AS n_active
+        |FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val ev = Tables(spark, dir).events
+      val firstSeen = ev.groupBy($"user_id")
+        .agg(date_trunc("week", min($"ts")).as("cohort"))
+      val activity = ev
+        .select($"user_id", date_trunc("week", $"ts").as("w")).distinct()
+      activity.join(firstSeen, Seq("user_id"))
+        .groupBy(
+          date_format($"cohort", "yyyy-MM-dd").as("cohort_week"),
+          (datediff($"w", $"cohort") / 7).cast("long").as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy($"cohort_week", $"week_offset")
+    },
   )
 }
