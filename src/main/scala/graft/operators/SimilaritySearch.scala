@@ -67,6 +67,12 @@ object SimilaritySearch {
     * only sees rows that cleared the band filter — so the label
     * predicate and band are evaluated BEFORE anything shuffles.
     * Output: (qid, rn, cid, neg_label, cos), ties by cid.
+    *
+    * The broadcast assumes a bounded probe set (the mining-batch shape).
+    * For probe sets too large to broadcast, bucket BOTH sides first
+    * ([[hyperplaneBuckets]] / [[IvfIndex]]) and score within buckets —
+    * the [[topKBucketed]] decomposition with the label predicate kept in
+    * the bucket-local scan.
     */
   def hardNegatives(
       probes: DataFrame,
