@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, SimilaritySearch}
+import graft.operators.{Dedup, SimilaritySearch, SubstringDedup}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -101,11 +101,24 @@ object ScaleSmoke {
         Dedup.charShingles(docs, "doc_id", "text", 5), 0.95, Some(cands)).count()
     }
 
+    // substring-dedup past MaxDirectDocs: Auto must take the winnowed
+    // discovery + stride-1 refine branch (the 100 TB path; the gate-scale
+    // corpus correctly pins Direct). On this corpus every doc is a
+    // near-replica, so discovery flags essentially all docs as candidates
+    // — the worst case for the refine, making this an upper bound, while
+    // the discovery pass itself stays row-local + one fingerprint shuffle.
+    assert(nDocs > SubstringDedup.MaxDirectDocs,
+      s"corpus $nDocs under the substring direct cap — raise reps")
+    val (nSpanDocs, tSpans) = timed("spanStats(Auto->strided)") {
+      SubstringDedup.spanStats(docs, "doc_id", "text", minLen = 20, minDocs = 2).count()
+    }
+
     def ms(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     println(s"""{"metric":"scale_smoke","reps":$reps,"docs":$nDocs,"base_docs":$nDocs0,""" +
       s""""exact_groups":$nExactGroups,"lsh_pairs":$nPairs,"clusters":$nClusters,""" +
-      s""""cos_pairs":$nCosPairs,"containment_pairs":$nContain,"sec_exact":${ms(tExact)},""" +
-      s""""sec_lsh_cluster":${ms(tLsh)},"sec_cos":${ms(tCos)},"sec_containment":${ms(tContain)}}""")
+      s""""cos_pairs":$nCosPairs,"containment_pairs":$nContain,"span_docs":$nSpanDocs,""" +
+      s""""sec_exact":${ms(tExact)},"sec_lsh_cluster":${ms(tLsh)},"sec_cos":${ms(tCos)},""" +
+      s""""sec_containment":${ms(tContain)},"sec_spans":${ms(tSpans)}}""")
     spark.stop()
   }
 }

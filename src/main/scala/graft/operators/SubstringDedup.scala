@@ -27,19 +27,77 @@ import org.apache.spark.sql.functions._
   * Scale shape: the explode multiplies the corpus by ~1 row per char —
   * the honest cost of EXACT substring dedup — but every stage after it
   * is a key-partitioned aggregate/join on 8-byte keys, and the per-doc
-  * window functions partition on doc_id. At 100 TB the standard
-  * mitigation is stride > 1 candidate discovery (trading span-boundary
-  * resolution for an O(stride) row reduction) before a stride-1 refine
-  * over candidate docs only.
+  * window functions partition on doc_id. At 100 TB the direct plan's
+  * bottleneck is the n-row frequency shuffle + n-row join-back, so
+  * above `MaxDirectDocs` the Auto mode routes through a winnowed
+  * candidate-discovery pass first (`SubstringMode.Strided`):
+  *
+  *  - Discovery hashes k-grams with k = minLen - stride + 1 and keeps,
+  *    for every window of `stride` consecutive k-gram hashes, only the
+  *    minimum hash — winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03).
+  *    Selection depends only on the hash sequence, i.e. only on local
+  *    CONTENT, so two docs sharing any span of length >= k + stride - 1
+  *    = minLen select at least one identical fingerprint — positional
+  *    stride-sampling lacks exactly this alignment invariance. The
+  *    whole pass is row-local (HOF transform/slice/array_min per doc,
+  *    no explode before selection), and only the ~2/(stride+1)-density
+  *    fingerprints reach the single wide stage (the shared-hash
+  *    aggregate). Docs sharing a fingerprint with >= minDocs distinct
+  *    docs become candidates.
+  *  - Refine runs the exact stride-1 plan over candidate docs only.
+  *    Every doc containing a qualifying window is guaranteed to be a
+  *    candidate (the winnowed fingerprint of a shared span is selected
+  *    in EVERY doc carrying that content, so its discovery df >= the
+  *    window's df), hence refine-on-subset reaches identical span
+  *    boundaries to the direct plan — modulo the same ~n²/2⁶⁴ xxhash64
+  *    collision odds the direct plan already carries.
   */
 object SubstringDedup {
 
+  /** Above this many docs, Auto routes through strided discovery: the
+    * direct plan's two n-row wide stages stop being affordable before
+    * the row-local discovery pass does.
+    */
+  val MaxDirectDocs = 65536L
+
+  sealed trait SubstringMode
+  object SubstringMode {
+    /** Probe doc count; direct under `maxDirect`, strided above (logged). */
+    case object Auto extends SubstringMode
+    /** Pin the exact one-row-per-char plan regardless of size. */
+    case object Direct extends SubstringMode
+    /** Pin winnowed discovery + stride-1 refine. */
+    case object Strided extends SubstringMode
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Per-doc duplicated-span stats: (doc_id, n_islands, removed_chars,
     * remaining_chars) for docs carrying at least one shared window.
+    * Results are identical across modes (discovery is lossless for spans
+    * >= minLen); only the plan differs.
     */
   def spanStats(
       docs: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 20, minDocs: Int = 2): DataFrame = {
+      minLen: Int = 20, minDocs: Int = 2,
+      mode: SubstringMode = SubstringMode.Auto, stride: Int = 8,
+      maxDirect: Long = MaxDirectDocs): DataFrame = mode match {
+    case SubstringMode.Direct => spanStatsDirect(docs, idCol, textCol, minLen, minDocs)
+    case SubstringMode.Strided =>
+      spanStatsStrided(docs, idCol, textCol, minLen, minDocs, stride)
+    case SubstringMode.Auto =>
+      // bounded probe, not a full count — same pattern as Dedup.clusters
+      val over = docs.limit((maxDirect + 1).toInt).count() > maxDirect
+      if (over) {
+        log.info(s"spanStats: auto-switch to strided discovery (> $maxDirect docs); " +
+          "results are identical — pass mode=Direct to pin the one-row-per-char plan")
+        spanStatsStrided(docs, idCol, textCol, minLen, minDocs, stride)
+      } else spanStatsDirect(docs, idCol, textCol, minLen, minDocs)
+  }
+
+  private def spanStatsDirect(
+      docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, minDocs: Int): DataFrame = {
     // windows: (doc_id, len, pos, h) — text dropped before the shuffle
     val wins = docs.filter(length(col(textCol)) >= minLen)
       .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
@@ -79,5 +137,50 @@ object SubstringDedup {
       .agg(count(lit(1)).as("n_islands"),
         sum(col("e") - col("s")).as("removed_chars"),
         (max(col("len")) - sum(col("e") - col("s"))).as("remaining_chars"))
+  }
+
+  /** Winnowed candidate discovery: the docs that can possibly carry a
+    * shared window (see object scaladoc). Exposed for testing; the
+    * returned frame has one `doc_id` column.
+    */
+  def candidateDocs(
+      docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, minDocs: Int, stride: Int): DataFrame = {
+    val k = minLen - stride + 1
+    require(stride >= 2, s"stride must be >= 2, got $stride (use Direct mode for stride 1)")
+    require(k >= 4, s"discovery gram length $k too short: need stride <= minLen - 3")
+    // All row-local until the explode of the winnowed fingerprints:
+    //  __hs  = k-gram hash at every position (one pass),
+    //  fp    = min hash of each `stride`-wide hash window, deduped per doc.
+    // Frame count is length - minLen + 1, the same as the direct plan's
+    // window count, but only ~2/(stride+1) of positions survive selection
+    // (consecutive frames mostly re-select the same minimum).
+    val fps = docs.filter(length(col(textCol)) >= minLen)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .withColumn("__hs", expr(
+        s"transform(sequence(1, length(__t) - ${k - 1}), p -> xxhash64(substring(__t, p, $k)))"))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, length(__t) - ${minLen - 1}), " +
+          s"i -> array_min(slice(__hs, i, $stride))))")).as("fp"))
+    val shared =
+      if (minDocs == 2)
+        fps.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+          .filter(col("d0") =!= col("d1")).select("fp")
+      else
+        fps.groupBy(col("fp"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= minDocs).select("fp")
+    fps.join(shared, Seq("fp")).select("doc_id").distinct()
+  }
+
+  private def spanStatsStrided(
+      docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, minDocs: Int, stride: Int): DataFrame = {
+    val cand = candidateDocs(docs, idCol, textCol, minLen, minDocs, stride)
+      .select(col("doc_id").as("__cand"))
+    spanStatsDirect(
+      docs.join(cand, col(idCol) === col("__cand")).drop("__cand"),
+      idCol, textCol, minLen, minDocs)
   }
 }

@@ -37,6 +37,62 @@ class SubstringDedupSpec extends SparkSpec {
     assert(got(2L) == (2L, 40L), s"doc 2: ${got(2L)}")
   }
 
+  test("strided discovery is alignment-invariant: misaligned shared spans reach identical boundaries") {
+    import spark.implicits._
+    // the same passages placed at offsets that differ mod stride in each
+    // doc — the case positional stride-sampling misses by construction,
+    // and the case winnowing's content-defined selection must catch
+    val p1 = "0123456789abcdefghij0123456789" // 30 chars
+    val p2 = "zyxwvutsrqponmlkjihgfedcba9876" // 30 chars
+    val docs = Seq(
+      (1L, "A" * 41 + p1 + "B" * 43 + p2 + "C" * 40),
+      (2L, "D" * 37 + p1 + "E" * 30),
+      (3L, "F" * 53 + p2 + "G" * 20),
+      (4L, "H" * 120) // no shared content
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val direct = rows(SubstringDedup.spanStats(docs, "doc_id", "text",
+      minLen = 20, minDocs = 2, mode = SubstringDedup.SubstringMode.Direct))
+    for (stride <- Seq(2, 5, 8)) {
+      val strided = rows(SubstringDedup.spanStats(docs, "doc_id", "text",
+        minLen = 20, minDocs = 2, mode = SubstringDedup.SubstringMode.Strided, stride = stride))
+      assert(strided == direct, s"stride=$stride: $strided vs $direct")
+    }
+    assert(direct.map(_._1) == Set(1L, 2L, 3L))
+  }
+
+  test("auto mode crosses to strided discovery past the doc cap and stays exact") {
+    import spark.implicits._
+    val passage = "shared-passage-of-twenty-plus-characters"
+    val docs = (1L to 40L).map { i =>
+      (i, s"doc $i distinct prefix ${"x" * i.toInt} " +
+        (if (i % 4 == 0) passage else s"unique filler $i ${"y" * 30}"))
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val direct = rows(SubstringDedup.spanStats(docs, "doc_id", "text",
+      minLen = 20, minDocs = 2, mode = SubstringDedup.SubstringMode.Direct))
+    // cap of 8 forces the auto-switch on this 40-doc corpus
+    val auto = rows(SubstringDedup.spanStats(docs, "doc_id", "text",
+      minLen = 20, minDocs = 2, maxDirect = 8L))
+    assert(auto == direct, s"$auto vs $direct")
+    assert(direct.nonEmpty)
+  }
+
+  test("strided discovery reaches identical span boundaries on the sf0.01 documents corpus") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.01").documents
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val direct = rows(SubstringDedup.spanStats(docs, "doc_id", "text",
+      minLen = 20, minDocs = 2, mode = SubstringDedup.SubstringMode.Direct))
+    val strided = rows(SubstringDedup.spanStats(docs, "doc_id", "text",
+      minLen = 20, minDocs = 2, mode = SubstringDedup.SubstringMode.Strided))
+    assert(strided == direct,
+      s"diff: ${(strided diff direct) ++ (direct diff strided)}")
+    assert(direct.nonEmpty, "sf0.01 corpus should carry shared spans")
+  }
+
   test("containment catches a short doc quoted inside a long one where Jaccard cannot") {
     import spark.implicits._
     val short = "the quick brown fox jumps over the lazy dog"
