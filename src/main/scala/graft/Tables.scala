@@ -11,7 +11,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * query code) is the same.
   */
 final class Tables(val spark: SparkSession, val dir: String) {
-  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  /** Catalog-resolved when CatalogStats.analyze registered this dir (the
+    * plan then carries ANALYZE stats for CBO), plain path scan otherwise.
+    */
+  def table(name: String): DataFrame =
+    CatalogStats.resolve(spark, dir, name)
+      .getOrElse(spark.read.parquet(s"$dir/$name.parquet"))
 
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")

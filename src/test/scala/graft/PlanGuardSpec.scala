@@ -182,6 +182,42 @@ class PlanGuardSpec extends SparkSpec {
       s"a global agg needs only the single-partition exchange, found: $exchanges")
   }
 
+  test("CBO: the q07 star join reorders under ANALYZE stats (SURVEY §4.2)") {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    // the q07 shape spelled in the WORST syntactic order for a cost-blind
+    // left-deep plan: the fact table joins first, so every intermediate
+    // carries |orders| rows; with stats the optimizer should build the
+    // dimension chain first and join orders last
+    val sql =
+      """SELECT r_name, n_name, count(*) AS n
+        |FROM graft_orders
+        |JOIN graft_customer ON o_custkey = c_custkey
+        |JOIN graft_nation ON c_nationkey = n_nationkey
+        |JOIN graft_region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin
+    def leafOrder(p: LogicalPlan): Seq[String] =
+      p.collectLeaves().map(_.toString).map { s =>
+        Seq("orders", "customer", "nation", "region").find(t => s.contains(s"graft_$t"))
+          .getOrElse("?")
+      }
+    CatalogStats.analyze(spark, sfDir) // registers graft_* + ANALYZE, flips CBO on
+    try {
+      // stats actually landed: rowCount visible on the optimized scan
+      val rc = spark.table("graft_orders").queryExecution.optimizedPlan.stats.rowCount
+      assert(rc.exists(_.toLong > 0L), s"ANALYZE left no rowCount: $rc")
+      val withCbo = leafOrder(spark.sql(sql).queryExecution.optimizedPlan)
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val noCbo = leafOrder(spark.sql(sql).queryExecution.optimizedPlan)
+      assert(noCbo.head == "orders", s"cost-blind plan should keep syntactic order: $noCbo")
+      assert(withCbo != noCbo,
+        s"stats did not change the join order: cbo=$withCbo nocbo=$noCbo")
+      assert(withCbo.head != "orders",
+        s"the fact table should no longer anchor the join chain: $withCbo")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+    }
+  }
+
   test("q78: the ORC read-back scan prunes to the projected columns") {
     val plan = planOf("q78_orc_roundtrip")
     val read = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
