@@ -23,8 +23,20 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Static conf, must be set before the session exists. The default
+      // generated-class cache holds 100 entries; a ~120-query registry
+      // evicts continuously, so the "warm" pass was re-running Janino on
+      // most stages (r4: common-query warm drifted +43% with zero code
+      // changes). 10k entries keeps every stage's generated class cached
+      // across both passes; metaspace cost is a few hundred MB.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // catalog registration + ANALYZE stats (SURVEY §4.2): every registry
+    // query now plans against real cardinalities with CBO join reorder
+    // on; the one-time analyze scan happens here, outside the per-query
+    // timings
+    CatalogStats.analyze(spark, sfDir)
     // warm up codegen + parquet reader once so the first measured query
     // doesn't absorb JVM/classloading cost
     Tables(spark, sfDir).lineitem.limit(1000)
@@ -41,7 +53,12 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench:$tag] ${q.name}%-28s ${dt}%8.2f s")
       // drop anything a query pinned in the cache manager so storage memory
-      // can't accumulate across the registry (r1's back-half degradation)
+      // can't accumulate across the registry (r1's back-half degradation).
+      // Audited r5: no frame is shared across registry entries (q41-q43/q53
+      // re-read the on-disk fixture corpus; every .cache() in the operators
+      // is scoped to one query's pipeline), so the blanket clear drops only
+      // the finished query's own intermediates — it is not the source of
+      // the r4 warm drift (that was codegen-cache eviction, fixed above).
       spark.catalog.clearCache()
       q.name -> dt
     }
@@ -49,12 +66,33 @@ object Bench {
     val cold = pass("cold")
     val warm = pass("warm")
 
+    // Solo re-measure of the slowest warm queries: each gets a fresh timing
+    // after the full sweep, so its number reflects steady-state plan cost
+    // with its generated classes resident — the standalone-warm figure a
+    // user profiling one query would see, free of any residual sweep noise.
+    val soloNames = warm.sortBy(-_._2).take(10).map(_._1)
+    val solo: Seq[(String, Double)] = SparkEntry.registry
+      .filter(q => soloNames.contains(q.name)).map { q =>
+        val t0 = System.nanoTime()
+        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench:solo] ${q.name} FAILED: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench:solo] ${q.name}%-28s ${dt}%8.2f s")
+        spark.catalog.clearCache()
+        q.name -> dt
+      }
+
     // Streaming claims-ingest catch-up: replicate the EDI fixture corpus
-    // 10x into a watched dir and time ClaimStreams.ingest draining it
-    // under Trigger.AvailableNow — the measured proof that ingest is
-    // executor-bound (stateless narrow stages + file-source listing), not
-    // coordination-bound. The fixture corpus exists by now: the q41/q53
-    // passes above materialize it.
+    // 100x (20k files) into a watched dir and time ClaimStreams.ingest
+    // draining it under Trigger.AvailableNow — the measured proof that
+    // ingest is executor-bound (stateless narrow stages + file-source
+    // listing), not coordination-bound. Per-batch trigger latencies come
+    // from the query's progress history so the T-family cost is a number:
+    // ~20 batches of 1024 files each, with the fixed per-batch planning +
+    // checkpoint-fsync overhead visible as the p50/max spread. The fixture
+    // corpus exists by now: the q41/q53 passes above materialize it.
     val streamJson: String = try {
       import java.nio.file.{Files, Paths}
       val src = Paths.get(graft.fixtures.ClaimFixtures.EdiDir)
@@ -64,7 +102,7 @@ object Bench {
       val listing = Files.list(src)
       try listing.forEach { f =>
         if (f.getFileName.toString.endsWith(".txt")) {
-          (0 until 10).foreach { r =>
+          (0 until 100).foreach { r =>
             Files.copy(f, in.resolve(s"r${r}_${f.getFileName}")); nFiles += 1
           }
         }
@@ -76,10 +114,20 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       if (!finished) { q.stop(); """null""" }
       else {
+        val batchMs = q.recentProgress.toSeq
+          .filter(_.numInputRows > 0)
+          .map(p => Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
+          .sorted
         val rows = spark.read.parquet(tmp.resolve("out").toString).count()
         val sec = String.format(java.util.Locale.ROOT, "%.3f", Double.box(dt))
-        System.err.println(s"[bench:stream] ingest $nFiles files -> $rows claims in $sec s")
-        s"""{"files":$nFiles,"claims":$rows,"sec":$sec}"""
+        val (nb, p50, mx) =
+          if (batchMs.isEmpty) (0, 0L, 0L)
+          else (batchMs.size, batchMs(batchMs.size / 2), batchMs.last)
+        System.err.println(
+          s"[bench:stream] ingest $nFiles files -> $rows claims in $sec s " +
+            s"($nb batches, p50 ${p50} ms, max ${mx} ms)")
+        s"""{"files":$nFiles,"claims":$rows,"sec":$sec,""" +
+          s""""batches":$nb,"batch_p50_ms":$p50,"batch_max_ms":$mx}"""
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench:stream] ingest FAILED: ${e.getMessage}")
@@ -109,18 +157,24 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"cold_detail","cold_total":${tot(cold)},"unit":"sec","cold_queries":${obj(cold)}}""")
     println(s"""{"metric":"warm_detail","warm_total":${tot(warm)},"unit":"sec","warm_queries":${obj(warm)}}""")
-    val shortQueries = warm
+    println(s"""{"metric":"solo_detail","solo_total":${tot(solo)},"unit":"sec","solo_queries":${obj(solo)}}""")
+    def short(rs: Seq[(String, Double)]) = rs
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + cs(v) }
       .mkString("{", ",", "}")
-    def summary(queriesJson: String) =
+    def summary(queriesJson: String, soloJson: String) =
       s"""{"metric":"total","value":${tot(warm)},"unit":"sec","queries":$queriesJson,""" +
-        s""""cold_total":${tot(cold)},"stream_ingest":$streamJson,""" +
+        s""""cold_total":${tot(cold)},"solo":$soloJson,"stream_ingest":$streamJson,""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
-    val full = summary(shortQueries)
     // 2000-char window minus sbt epilogue (~80 incl. newline) minus margin:
-    // 1800 holds ~110 short-key entries; past that the dict is dropped
-    // whole rather than risk a mid-line cut
-    println(if (full.length <= 1800) full else summary("\"truncated\""))
+    // 1800 holds ~110 short-key entries; past that the solo dict goes
+    // first, then the per-query dict is dropped whole rather than risk a
+    // mid-line cut
+    val full = summary(short(warm), short(solo))
+    val noSolo = summary(short(warm), "\"truncated\"")
+    println(
+      if (full.length <= 1800) full
+      else if (noSolo.length <= 1800) noSolo
+      else summary("\"truncated\"", "\"truncated\""))
     spark.stop()
   }
 }

@@ -17,8 +17,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ~120 queries overflow the default 100-entry generated-class cache
+      // (see Bench.scala); not timed here, but recompilation still costs
+      // minutes of wall-clock across the dump
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    CatalogStats.analyze(spark, sfDir) // same CBO stats context as Bench
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
