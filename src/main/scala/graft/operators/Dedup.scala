@@ -258,7 +258,12 @@ object Dedup {
     * the pair space at scale — NOTE MinHash banding recalls by JACCARD,
     * which under-recalls high-containment/low-Jaccard pairs; prefix
     * filtering on the inner side's rarest shingles is the
-    * containment-faithful candidate generator.
+    * containment-faithful candidate generator. Candidate orientation is
+    * canonicalized (least, greatest) before the distinct, so a frame
+    * carrying both (a,b) and (b,a) still yields each containment
+    * direction exactly once. Intermediate caches (shingles, bitmaps)
+    * follow the jaccardPairs cache-release contract: the session running
+    * back-to-back pipelines clears them via spark.catalog.clearCache().
     */
   def containmentPairs(
       shingles: DataFrame, threshold: Double,
@@ -281,7 +286,7 @@ object Dedup {
           val inter = (0 until nWords)
             .map(w => bit_count(col(s"a$w").bitwiseAND(col(s"b$w"))))
             .reduce(_ + _)
-          c.select(col("da"), col("db")).distinct()
+          canonicalPairs(c)
             .join(a, Seq("da")).join(b, Seq("db"))
             .select(col("da"), col("db"), inter.cast("long").as("i"),
               col("na"), col("nb"))
@@ -290,7 +295,7 @@ object Dedup {
           // jaccardInvertedForPairs shape
           val a = sh.select(col("doc_id").as("da"), col("s").as("sa"))
           val b = sh.select(col("doc_id").as("db"), col("s").as("sb"))
-          val inter = c.select(col("da"), col("db")).distinct()
+          val inter = canonicalPairs(c)
             .join(a, Seq("da")).join(b, Seq("db")).filter(col("sa") === col("sb"))
             .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
           val sizes = shingleSizes(sh)
@@ -348,6 +353,15 @@ object Dedup {
       (col("i") / col("nb")).as("containment"))
     aInB.unionAll(bInA).filter(col("containment") >= threshold)
   }
+
+  /** Caller-supplied candidate pairs in canonical (da < db) orientation,
+    * deduped — keeps a frame containing both (a,b) and (b,a) from
+    * emitting every containment pair twice.
+    */
+  private def canonicalPairs(c: DataFrame): DataFrame =
+    c.select(least(col("da"), col("db")).as("da"),
+        greatest(col("da"), col("db")).as("db"))
+      .distinct()
 
   /** Upper-triangle containment scan over the collected bitmap table:
     * each task takes a STRIPED slice of row indices (i, i+parts, ...) so

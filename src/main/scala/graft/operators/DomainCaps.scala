@@ -30,9 +30,56 @@ object DomainCaps {
   /** Host part of scheme://host/path. */
   def urlHost(url: Column): Column = regexp_extract(url, "^[a-z]+://([^/]+)", 1)
 
-  /** Registered domain = last two dot-labels of the host. */
+  /** Registered domain = last two dot-labels of the host. NOTE: this
+    * collapses every site under a multi-part public suffix (all of
+    * *.co.uk becomes "co.uk") and yields "" for single-label hosts —
+    * fine for the synthetic bench (the oracle applies the same rule),
+    * wrong on real URLs. For those, use [[registeredDomainPsl]].
+    */
   def registeredDomain(host: Column): Column =
     regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+
+  /** Public-suffix-aware registered domain: `suffixes` is the
+    * broadcastable (suffix) table distilled from the Mozilla Public
+    * Suffix List (publicsuffix.org; not bundled — zero-egress build).
+    * Longest-match semantics: the registered domain is one label more
+    * than the longest listed suffix that terminates the host. Rows whose
+    * host matches no listed suffix fall back to the last-two-labels rule.
+    *
+    * Join shape: each host explodes to its dot-suffixes (a host has
+    * O(labels) of them, ~4 — metadata scale), inner-joins the broadcast
+    * suffix table, and keeps the longest hit per row — no shuffle on the
+    * data side.
+    */
+  def withRegisteredDomainPsl(
+      df: DataFrame, urlCol: String, suffixes: DataFrame,
+      out: String = "domain"): DataFrame = {
+    val withHost = df.withColumn("__host", urlHost(col(urlCol)))
+      .withColumn("__labels", split(col("__host"), "\\."))
+    // (host, nLab) per candidate suffix: the last 1..n-1 labels (the
+    // full host is never its own suffix; a 1-label host has none)
+    val matched = withHost
+      .select(col("__host"), col("__labels"))
+      .distinct()
+      .select(col("__host"), explode(expr(
+        "transform(sequence(1, greatest(size(__labels) - 1, 0)), " +
+          "i -> struct(array_join(slice(__labels, -i, i), '.') as suffix, i as n))"))
+        .as("c"))
+      .select(col("__host"), col("c.suffix").as("suffix"), col("c.n").as("n"))
+      .join(broadcast(suffixes.select(col("suffix"))), Seq("suffix"), "left_semi")
+      .groupBy(col("__host"))
+      .agg(max(col("n")).as("__slab"))
+    // matched is one row per DISTINCT suffix-listed host — usually far
+    // smaller than the data side but not guaranteed broadcastable at
+    // 100 TB, so no hint: AQE picks broadcast when it fits
+    withHost
+      .join(matched, Seq("__host"), "left")
+      .withColumn(out,
+        when(col("__slab").isNotNull && (col("__slab") + 1 <= size(col("__labels"))),
+          expr("array_join(slice(__labels, -(__slab + 1), __slab + 1), '.')"))
+        .otherwise(registeredDomain(col("__host"))))
+      .drop("__host", "__labels", "__slab")
+  }
 
   /** Keep at most `maxPerDomain` rows per registered domain, preferring
     * high `orderCol` (ties by idCol). Input needs (idCol, urlCol,

@@ -143,11 +143,17 @@ object EventQueries {
     ) { (spark, dir) =>
       import spark.implicits._
       val ev = Tables(spark, dir).events
+      // v and c are each read twice (the eager stage counts below + the
+      // next stage's build side / final plan): cache them so the view and
+      // click stages run once, not up to three times inside the timed
+      // body. Release follows the session clearCache contract
+      // (Dedup.jaccardPairs) — unpersisting here would force the lazy
+      // final plan to recompute both stages.
       val v = ev.filter($"event_type" === "view")
-        .groupBy($"user_id").agg(min($"ts").as("t1"))
+        .groupBy($"user_id").agg(min($"ts").as("t1")).cache()
       val c = ev.filter($"event_type" === "click")
         .join(v, Seq("user_id")).filter($"ts" > $"t1")
-        .groupBy($"user_id").agg(min($"ts").as("t2"))
+        .groupBy($"user_id").agg(min($"ts").as("t2")).cache()
       val p = ev.filter($"event_type" === "purchase")
         .join(c, Seq("user_id")).filter($"ts" > $"t2")
         .groupBy($"user_id").agg(min($"ts").as("t3"))

@@ -28,6 +28,28 @@ object TextQueries {
   val BpeExpected: String =
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_expected/bpe.parquet"
 
+  /** Expected streaming-dedup survivors for q111: the single-batch
+    * reference drain (DedupStreams.dedupOnce), written by the fixture
+    * stage. */
+  val StreamDedupExpected: String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_expected/stream_dedup.parquet"
+
+  /** Once-per-JVM-per-key fixture stage for the run-time expected parquets
+    * (q44b/q88) — the MappingQueries.ensure idiom. The reference
+    * computation + write happen on the FIRST invocation for a given sf
+    * dir (absorbed by the cold pass / Verify), so the benched warm path
+    * carries no oracle-side work and no write side effect.
+    */
+  private val expectedDone = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private def ensureExpected(key: String)(write: => Unit): Unit =
+    expectedDone.getOrElseUpdate(key, write)
+
+  /** Memoized q88 reference merges: learned once per sf dir by the
+    * sequential reference implementation (the tokenizer artifact both the
+    * oracle and the engine-side encoder consume).
+    */
+  private val bpeMergesByDir = scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+
   /** Shared DuckDB shingle CTE (3-gram, set semantics). DuckDB 1.0's
     * generate_series only takes constants, hence the bound+filter form.
     */
@@ -414,16 +436,19 @@ object TextQueries {
     // ---- q44b: xxhash64 rolling fingerprint. DuckDB has no xxhash64, so
     // the oracle reads an expected parquet computed by an INDEPENDENT
     // plain-Scala XXH64 (graft.fixtures.XxHash64Ref, public spec) over the
-    // same documents — written fresh per run since the input is the sf dir.
+    // same documents — written by the once-per-dir fixture stage
+    // (ensureExpected), so the benched body carries no write side effect.
     QueryDef(
       "q44b_fingerprint",
       s"SELECT doc_id, fingerprint FROM read_parquet('$FingerprintExpected/*.parquet') ORDER BY doc_id",
     ) { (spark, dir) =>
       import spark.implicits._
-      Tables(spark, dir).documents.select($"doc_id", $"text").as[(Long, String)]
-        .mapPartitions(_.map { case (id, t) => (id, graft.fixtures.XxHash64Ref.fingerprint(t)) })
-        .toDF("doc_id", "fingerprint")
-        .coalesce(1).write.mode("overwrite").parquet(FingerprintExpected)
+      ensureExpected(s"fingerprint:$dir") {
+        Tables(spark, dir).documents.select($"doc_id", $"text").as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) => (id, graft.fixtures.XxHash64Ref.fingerprint(t)) })
+          .toDF("doc_id", "fingerprint")
+          .coalesce(1).write.mode("overwrite").parquet(FingerprintExpected)
+      }
       Tables(spark, dir).documents
         .select($"doc_id", TextFunctions.fingerprint($"text").as("fingerprint"))
         .orderBy($"doc_id")
@@ -1249,23 +1274,27 @@ object TextQueries {
     // BpeSpec), then the whole corpus encodes through Spark's
     // priority-loop encoder and must reproduce the independent
     // sequential encoder's token streams token-for-token (q44b idiom:
-    // expected parquet written per run, md5-gated). ----------------------
+    // expected parquet via the once-per-dir fixture stage, md5-gated). ---
     QueryDef(
       "q88_bpe_encode",
       s"SELECT doc_id, n_tokens, tokens_hash FROM read_parquet('$BpeExpected/*.parquet') ORDER BY doc_id",
     ) { (spark, dir) =>
       import spark.implicits._
       val docs = Tables(spark, dir).documents
-      val corpus = docs.filter($"doc_id" < 200).select($"text").as[String].collect()
-      val merges = graft.fixtures.BpeRef.learnMerges(corpus, 40)
-      docs.select($"doc_id", $"text").as[(Long, String)]
-        .mapPartitions(_.map { case (id, t) =>
-          val toks = graft.fixtures.BpeRef.encode(t, merges)
-          (id, toks.length, toks.mkString(" "))
-        })
-        .toDF("doc_id", "n_tokens", "tokens_text")
-        .select($"doc_id", $"n_tokens", md5($"tokens_text").as("tokens_hash"))
-        .coalesce(1).write.mode("overwrite").parquet(BpeExpected)
+      val merges = bpeMergesByDir.getOrElseUpdate(dir, {
+        val corpus = docs.filter($"doc_id" < 200).select($"text").as[String].collect()
+        graft.fixtures.BpeRef.learnMerges(corpus, 40)
+      })
+      ensureExpected(s"bpe:$dir") {
+        docs.select($"doc_id", $"text").as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            val toks = graft.fixtures.BpeRef.encode(t, merges)
+            (id, toks.length, toks.mkString(" "))
+          })
+          .toDF("doc_id", "n_tokens", "tokens_text")
+          .select($"doc_id", $"n_tokens", md5($"tokens_text").as("tokens_hash"))
+          .coalesce(1).write.mode("overwrite").parquet(BpeExpected)
+      }
       graft.operators.Bpe.encode(docs, "doc_id", "text", merges)
         .select($"doc_id", $"n_tokens", md5($"tokens_text").as("tokens_hash"))
         .orderBy($"doc_id")
@@ -1659,7 +1688,11 @@ object TextQueries {
         .select($"doc_id", $"text",
           (conv(substring(md5(concat(lit("s_"), $"doc_id".cast("string"))), 1, 8), 16, 10)
             .cast("long") % 8).as("shard"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      // fixed per-sf-dir path + overwrite: repeated runs (bench passes,
+      // correctness reruns) replace the export instead of accumulating
+      // fresh temp dirs across the session
+      val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        "/graft_jsonl_export/" + Integer.toHexString(dir.hashCode)
       docs.repartition($"shard")
         .write.mode("overwrite").partitionBy("shard").json(tmp)
       spark.read
@@ -2022,6 +2055,65 @@ object TextQueries {
         .select($"doc_id", $"d.n_lines".as("n_lines"),
           $"d.n_removed".as("n_removed"), md5($"d.clean_text").as("clean_hash"))
         .orderBy($"doc_id")
+    },
+
+    // ---- q111: L8 streaming incremental near-dedup, gated end-to-end —
+    // the documents corpus is drained through the REAL streaming machinery
+    // (file source, one chunk file per micro-batch, foreachBatch dedup
+    // against the persisted signature index, checkpointed) and the
+    // retained survivor set must hash-equal the single-batch reference
+    // drain (DedupStreams.dedupOnce, batching invariance: the operator's
+    // documented monotone-id contract). The oracle reads the reference
+    // survivors written by the once-per-dir fixture stage. Chunk files
+    // are fed to the running query one at a time (write chunk i, drain,
+    // write chunk i+1), so batch composition is deterministic without
+    // relying on file-listing order — gate harness only; a production
+    // ingest just points the file source at the landing directory. ------
+    QueryDef(
+      "q111_stream_dedup",
+      s"SELECT doc_id FROM read_parquet('$StreamDedupExpected/*.parquet') ORDER BY doc_id",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      import java.nio.file.{Files, Path, Paths}
+      val docs = Tables(spark, dir).documents.select($"doc_id", $"text")
+      val scratch = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        "/graft_stream_dedup/" + Integer.toHexString(dir.hashCode)
+      def rmTree(p: Path): Unit = if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.delete(f))
+        finally s.close()
+      }
+      ensureExpected(s"streamdedup:$dir") {
+        val ref = s"$scratch/ref"
+        rmTree(Paths.get(ref))
+        graft.streaming.DedupStreams.dedupOnce(docs, s"$ref/out", s"$ref/index")
+        spark.read.parquet(s"$ref/out").select($"doc_id").orderBy($"doc_id")
+          .coalesce(1).write.mode("overwrite").parquet(StreamDedupExpected)
+      }
+      val run = s"$scratch/run"
+      rmTree(Paths.get(run))
+      // 4 contiguous id-range chunks: monotone doc_id arrival across
+      // batches, the operator's documented precondition (4 micro-batches
+      // prove the index round trip while keeping the gate's fixed
+      // per-batch cost — planning + checkpoint + sink commit — bounded)
+      val chunked = docs.withColumn("chunk",
+        ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy($"doc_id"))).cache()
+      def writeChunk(i: Int): Unit = chunked.filter($"chunk" === i).drop("chunk")
+        .coalesce(1).write.json(s"$run/in/chunk_$i")
+      writeChunk(1) // the in/* glob must match before the query starts
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$run/in/*")
+      val q = graft.streaming.DedupStreams.ingest(
+        stream, s"$run/out", s"$run/index", s"$run/ckpt", availableNow = false)
+      try {
+        q.processAllAvailable()
+        (2 to 4).foreach { i => writeChunk(i); q.processAllAvailable() }
+      } finally q.stop()
+      chunked.unpersist()
+      spark.read.parquet(s"$run/out").select($"doc_id").orderBy($"doc_id")
     },
   )
 }

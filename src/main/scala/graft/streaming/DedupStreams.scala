@@ -69,6 +69,17 @@ object DedupStreams {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  /** Single-batch reference form: the whole frame deduped as ONE batch.
+    * Under the monotone-id contract this is the expected survivor set of
+    * any chunked stream drain over the same corpus — the batching-
+    * invariance oracle the q111 gate compares the real streamed run
+    * against.
+    */
+  def dedupOnce(
+      docs: DataFrame, outDir: String, indexDir: String,
+      threshold: Double = 0.7): Unit =
+    dedupBatch(docs, outDir, indexDir, threshold, 0L)
+
   /** One micro-batch of the online dedup; package-private so the
     * batching-invariance and replay-idempotence properties are testable
     * directly.

@@ -66,6 +66,27 @@ class PipelineAssemblySpec extends SparkSpec {
     assert(got == Seq("example.com", "example.net", "x.io"))
   }
 
+  test("PSL-aware registered domain: multi-part suffixes, longest match, fallback") {
+    import spark.implicits._
+    val suffixes = Seq("co.uk", "org.uk", "com", "uk", "k12.ca.us").toDF("suffix")
+    val urls = Seq(
+      "https://www.example.co.uk/a",   // multi-part suffix -> example.co.uk
+      "https://a.b.example.co.uk/b",   // deep subdomain, same suffix
+      "https://news.example.com/c",    // single-part suffix -> example.com
+      "https://school.k12.ca.us/d",    // longest listed suffix wins
+      "https://example.dev/e"          // unlisted suffix -> last-two fallback
+    ).toDF("url")
+    val out = DomainCaps.withRegisteredDomainPsl(urls, "url", suffixes)
+      .select($"url", $"domain").as[(String, String)].collect()
+    assert(out.length == 5) // row-per-input preserved
+    val m = out.toMap
+    assert(m("https://www.example.co.uk/a") == "example.co.uk")
+    assert(m("https://a.b.example.co.uk/b") == "example.co.uk")
+    assert(m("https://news.example.com/c") == "example.com")
+    assert(m("https://school.k12.ca.us/d") == "school.k12.ca.us")
+    assert(m("https://example.dev/e") == "example.dev")
+  }
+
   test("hard negatives: same-label and below-band candidates are excluded, order by cosine") {
     import spark.implicits._
     val vecs = Seq(
