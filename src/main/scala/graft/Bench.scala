@@ -72,16 +72,22 @@ object Bench {
     // user profiling one query would see, free of any residual sweep noise.
     val soloNames = warm.sortBy(-_._2).take(10).map(_._1)
     val solo: Seq[(String, Double)] = SparkEntry.registry
-      .filter(q => soloNames.contains(q.name)).map { q =>
+      .filter(q => soloNames.contains(q.name)).flatMap { q =>
         val t0 = System.nanoTime()
-        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench:solo] ${q.name} FAILED: ${e.getMessage}")
-        }
+        val ok =
+          try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            // a failed solo execution is recorded in `failed` and DROPPED
+            // from the solo dict — a time-to-failure must never read as a
+            // steady-state number in the artifact
+            failed += s"solo:${q.name}"
+            System.err.println(s"[bench:solo] ${q.name} FAILED: ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench:solo] ${q.name}%-28s ${dt}%8.2f s")
         spark.catalog.clearCache()
-        q.name -> dt
+        if (ok) Some(q.name -> dt) else None
       }
 
     // Streaming claims-ingest catch-up: replicate the EDI fixture corpus

@@ -30,7 +30,12 @@ object CatalogStats {
   // catalog resolution only ever serves the dir the stats were built for
   private val registered = scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
 
-  def catalogName(name: String): String = s"graft_$name"
+  /** Catalog names carry a dir digest: two dirs analyzed in one session
+    * (dev flows, test JVMs) register DISTINCT tables instead of the
+    * second DROP+CREATE silently repointing the first dir's resolution.
+    */
+  def catalogName(dir: String, name: String): String =
+    f"graft_${dir.hashCode & 0x7fffffff}%x_$name"
 
   /** Register + analyze all eligible tables for `dir`, enable CBO. */
   def analyze(spark: SparkSession, dir: String): Unit = synchronized {
@@ -38,7 +43,7 @@ object CatalogStats {
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     (ColumnStatTables ++ TableStatTables).foreach { name =>
       if (!registered.contains((dir, name))) {
-        val t = catalogName(name)
+        val t = catalogName(dir, name)
         spark.sql(s"DROP TABLE IF EXISTS $t")
         spark.sql(s"CREATE TABLE $t USING parquet LOCATION '$dir/$name.parquet'")
         if (ColumnStatTables.contains(name))
@@ -50,8 +55,25 @@ object CatalogStats {
     }
   }
 
-  /** The catalog frame for (dir, name) when registered there, else None. */
+  /** Drop every table this session registered and forget them — restores
+    * path-based resolution (tests that flip CBO state on use this to
+    * leave the shared session as they found it).
+    */
+  def reset(spark: SparkSession): Unit = synchronized {
+    registered.keys.foreach { case (dir, name) =>
+      spark.sql(s"DROP TABLE IF EXISTS ${catalogName(dir, name)}")
+    }
+    registered.clear()
+  }
+
+  /** The catalog frame for (dir, name) when registered there, else None.
+    * `registered` is JVM-global while the catalog is per-SparkSession, so
+    * a fresh session after spark.stop() re-checks existence and falls
+    * back to the path read instead of throwing TABLE_OR_VIEW_NOT_FOUND.
+    */
   def resolve(spark: SparkSession, dir: String, name: String) =
-    if (registered.contains((dir, name))) Some(spark.table(catalogName(name)))
+    if (registered.contains((dir, name)) &&
+        spark.catalog.tableExists(catalogName(dir, name)))
+      Some(spark.table(catalogName(dir, name)))
     else None
 }

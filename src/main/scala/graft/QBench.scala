@@ -21,6 +21,10 @@ object QBench {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // same planning context as Bench/Verify (catalog stats + CBO) — a
+    // standalone number must measure the same physical plan the registry
+    // sweep measured
+    CatalogStats.analyze(spark, sfDir)
     Tables(spark, sfDir).lineitem.limit(1000)
       .write.format("noop").mode("overwrite").save()
     SparkEntry.registry.filter(q => names(q.name)).foreach { q =>

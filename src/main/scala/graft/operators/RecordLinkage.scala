@@ -37,50 +37,77 @@ object RecordLinkage {
   /** Within-block candidate pairs (a < b by id). Every non-block column
     * appears twice, prefixed `a_`/`b_`; block columns appear once.
     * Blocks over `blockCap` records take the overflow route (see object
-    * scaladoc) instead of the all-pairs join.
+    * scaladoc) instead of the all-pairs join. A sub-block that is STILL
+    * over the cap after finer-key re-blocking falls through to star
+    * pairs — the cap is an invariant, not a first-attempt heuristic.
+    *
+    * `blockCap = Int.MaxValue` pins the exact uncapped form with zero
+    * extra work (no size annotation, no eager statistic) — the spelling
+    * a differential gate uses so its all-pairs oracle stays equivalent
+    * at every scale factor, with cap enforcement proven by spec instead.
     */
   def blockedPairs(
       df: DataFrame, idCol: String, blockCols: Seq[String],
       blockCap: Int = DefaultBlockCap, finerKeyCols: Seq[String] = Nil,
       logOverflow: Boolean = true): DataFrame = {
+    if (blockCap == Int.MaxValue) return pairsWithin(df, idCol, blockCols)
     val w = Window.partitionBy(blockCols.map(col): _*)
     // cached: both branches filter it, and the overflow log statistic
     // reads it once more. Cache-release contract: see Dedup.jaccardPairs.
     val ann = df.withColumn("__cnt", count(lit(1)).over(w)).cache()
     val small = ann.filter(col("__cnt") <= blockCap).drop("__cnt")
     val overflow = ann.filter(col("__cnt") > blockCap).drop("__cnt")
-    if (logOverflow) {
+    // isEmpty short-circuits on the first overflow row; the (costlier)
+    // distinct block count runs only when there is something to report
+    if (logOverflow && !overflow.isEmpty) {
       val hot = overflow.select(blockCols.map(col): _*).distinct().count()
-      if (hot > 0) {
-        val route =
-          if (finerKeyCols.nonEmpty) s"re-blocking on ${(blockCols ++ finerKeyCols).mkString("+")}"
-          else "representative-star pairs"
-        log.warn(s"blockedPairs: $hot hot block(s) exceed cap=$blockCap — routing to $route")
-      }
+      val route =
+        if (finerKeyCols.nonEmpty) s"re-blocking on ${(blockCols ++ finerKeyCols).mkString("+")}"
+        else "representative-star pairs"
+      log.warn(s"blockedPairs: $hot hot block(s) exceed cap=$blockCap — routing to $route")
     }
     val base = pairsWithin(small, idCol, blockCols)
     val extra =
       if (finerKeyCols.nonEmpty) {
-        // exact pairs within the compound-key sub-blocks; finer-key
-        // columns are equal across each pair, so re-emit them under both
-        // prefixes to keep the output schema identical to the base branch
-        val fine = pairsWithin(overflow, idCol, blockCols ++ finerKeyCols)
-        finerKeyCols.filterNot(blockCols.contains).foldLeft(fine) { (d, c) =>
-          d.withColumn(s"a_$c", col(c)).withColumn(s"b_$c", col(c)).drop(c)
-        }
-      } else {
-        val rep = overflow.withColumn("__rep", min(col(idCol)).over(w))
-        val aRep = rep.filter(col(idCol) === col("__rep")).drop("__rep")
-          .select(rep.columns.filterNot(_ == "__rep").map(c =>
-            if (blockCols.contains(c)) col(c) else col(c).as(s"a_$c")).toSeq: _*)
-        val bRest = rep.filter(col(idCol) =!= col("__rep")).drop("__rep")
-          .select(rep.columns.filterNot(_ == "__rep").map(c =>
-            if (blockCols.contains(c)) col(c) else col(c).as(s"b_$c")).toSeq: _*)
-        // one rep row per block, so this join fans out to |block|-1 pairs;
-        // rep = min id keeps the a < b orientation for free
-        aRep.join(bRest, blockCols)
-      }
+        // exact pairs within compound-key sub-blocks, with the cap
+        // RE-APPLIED: a still-hot sub-block (skewed finer key) takes the
+        // star route instead of silently reintroducing |block|^2.
+        // Finer-key columns are equal across each pair in BOTH sub-branches
+        // (exact pairs and star pairs are each grouped by the compound
+        // key), so re-emit them under both prefixes to keep the output
+        // schema identical to the base branch.
+        val fineCols = blockCols ++ finerKeyCols
+        val wf = Window.partitionBy(fineCols.map(col): _*)
+        val fineAnn = overflow.withColumn("__cnt", count(lit(1)).over(wf)).cache()
+        val fineSmall = fineAnn.filter(col("__cnt") <= blockCap).drop("__cnt")
+        val fineHot = fineAnn.filter(col("__cnt") > blockCap).drop("__cnt")
+        def reprefix(d0: DataFrame): DataFrame =
+          finerKeyCols.filterNot(blockCols.contains).foldLeft(d0) { (d, c) =>
+            d.withColumn(s"a_$c", col(c)).withColumn(s"b_$c", col(c)).drop(c)
+          }
+        val fine = reprefix(pairsWithin(fineSmall, idCol, fineCols))
+        fine.unionByName(
+          reprefix(starPairs(fineHot, idCol, fineCols)).select(fine.columns.map(col).toSeq: _*))
+      } else starPairs(overflow, idCol, blockCols)
     base.unionByName(extra.select(base.columns.map(col).toSeq: _*))
+  }
+
+  /** min-id representative × rest within each block of `groupCols` —
+    * O(|block|) pairs that keep the block connected for clustering.
+    * Output keyed/prefixed like [[blockedPairs]] with `blockCols =
+    * groupCols`; the a < b orientation is free (rep = min id).
+    */
+  private def starPairs(df: DataFrame, idCol: String, groupCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    val rep = df.withColumn("__rep", min(col(idCol)).over(w))
+    val aRep = rep.filter(col(idCol) === col("__rep")).drop("__rep")
+      .select(df.columns.map(c =>
+        if (groupCols.contains(c)) col(c) else col(c).as(s"a_$c")).toSeq: _*)
+    val bRest = rep.filter(col(idCol) =!= col("__rep")).drop("__rep")
+      .select(df.columns.map(c =>
+        if (groupCols.contains(c)) col(c) else col(c).as(s"b_$c")).toSeq: _*)
+    // one rep row per block, so this join fans out to |block|-1 pairs
+    aRep.join(bRest, groupCols)
   }
 
   private def pairsWithin(df: DataFrame, idCol: String, blockCols: Seq[String]): DataFrame = {

@@ -1095,8 +1095,13 @@ object RelationalQueries {
       // the banded threshold form computes O(k·n) per pair and returns -1
       // above the bound — an order of magnitude cheaper than the full DP
       // across 4.5M in-block pairs at sf0.1, same match set
+      // cap pinned OFF: the DuckDB oracle spells within-block ALL-pairs,
+      // so the gate must run the exact uncapped form at every SF (at sf1
+      // a 6000-row nation block would otherwise cross the default cap
+      // and diverge by design). Cap enforcement is spec-tested; callers
+      // at scale get DefaultBlockCap unless they opt out like this.
       val pairs = graft.operators.RecordLinkage
-        .blockedPairs(cust, "c_custkey", Seq("c_nationkey"))
+        .blockedPairs(cust, "c_custkey", Seq("c_nationkey"), blockCap = Int.MaxValue)
         .withColumn("lev", levenshtein($"a_c_name", $"b_c_name", 2))
       pairs.groupBy($"c_nationkey".as("nationkey"))
         .agg(count(lit(1)).as("n_pairs"),

@@ -34,15 +34,24 @@ object TextQueries {
   val StreamDedupExpected: String =
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_expected/stream_dedup.parquet"
 
-  /** Once-per-JVM-per-key fixture stage for the run-time expected parquets
-    * (q44b/q88) — the MappingQueries.ensure idiom. The reference
+  /** Once-per-dir fixture stage for the run-time expected parquets
+    * (q44b/q88/q111) — the MappingQueries.ensure idiom. The reference
     * computation + write happen on the FIRST invocation for a given sf
     * dir (absorbed by the cold pass / Verify), so the benched warm path
-    * carries no oracle-side work and no write side effect.
+    * carries no oracle-side work and no write side effect. Each KIND's
+    * expected path is a fixed location the static oracle SQL references,
+    * so the memo tracks which dir last wrote it: switching dirs within
+    * one JVM (dev flows) re-writes instead of gating dir A against dir
+    * B's leftover parquet.
     */
-  private val expectedDone = scala.collection.concurrent.TrieMap.empty[String, Unit]
-  private def ensureExpected(key: String)(write: => Unit): Unit =
-    expectedDone.getOrElseUpdate(key, write)
+  private val expectedDirByKind = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ensureExpected(key: String)(write: => Unit): Unit = synchronized {
+    val Array(kind, dir) = key.split(":", 2)
+    if (!expectedDirByKind.get(kind).contains(dir)) {
+      write
+      expectedDirByKind.put(kind, dir)
+    }
+  }
 
   /** Memoized q88 reference merges: learned once per sf dir by the
     * sequential reference implementation (the tokenizer artifact both the
@@ -1688,11 +1697,14 @@ object TextQueries {
         .select($"doc_id", $"text",
           (conv(substring(md5(concat(lit("s_"), $"doc_id".cast("string"))), 1, 8), 16, 10)
             .cast("long") % 8).as("shard"))
-      // fixed per-sf-dir path + overwrite: repeated runs (bench passes,
-      // correctness reruns) replace the export instead of accumulating
-      // fresh temp dirs across the session
+      // fixed per-(sf-dir, JVM) path + overwrite: repeated runs (bench
+      // passes, correctness reruns) replace the export instead of
+      // accumulating fresh temp dirs, while the pid component keeps two
+      // concurrently launched harness JVMs from overwriting each other's
+      // export mid-read-back
       val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        "/graft_jsonl_export/" + Integer.toHexString(dir.hashCode)
+        "/graft_jsonl_export/" + Integer.toHexString(dir.hashCode) +
+        "_" + ProcessHandle.current().pid()
       docs.repartition($"shard")
         .write.mode("overwrite").partitionBy("shard").json(tmp)
       spark.read
@@ -2082,7 +2094,8 @@ object TextQueries {
       val docs = Tables(spark, dir).documents.filter($"doc_id" < 2000)
         .select($"doc_id", $"text")
       val scratch = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        "/graft_stream_dedup/" + Integer.toHexString(dir.hashCode)
+        "/graft_stream_dedup/" + Integer.toHexString(dir.hashCode) +
+        "_" + ProcessHandle.current().pid() // see q99's pid note
       def rmTree(p: Path): Unit = if (Files.exists(p)) {
         val s = Files.walk(p)
         try s.sorted(java.util.Comparator.reverseOrder[Path]())

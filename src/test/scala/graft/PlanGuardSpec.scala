@@ -184,26 +184,32 @@ class PlanGuardSpec extends SparkSpec {
 
   test("CBO: the q07 star join reorders under ANALYZE stats (SURVEY §4.2)") {
     import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    def t(name: String) = CatalogStats.catalogName(sfDir, name)
     // the q07 shape spelled in the WORST syntactic order for a cost-blind
     // left-deep plan: the fact table joins first, so every intermediate
     // carries |orders| rows; with stats the optimizer should build the
     // dimension chain first and join orders last
     val sql =
-      """SELECT r_name, n_name, count(*) AS n
-        |FROM graft_orders
-        |JOIN graft_customer ON o_custkey = c_custkey
-        |JOIN graft_nation ON c_nationkey = n_nationkey
-        |JOIN graft_region ON n_regionkey = r_regionkey
-        |GROUP BY r_name, n_name""".stripMargin
+      s"""SELECT r_name, n_name, count(*) AS n
+         |FROM ${t("orders")}
+         |JOIN ${t("customer")} ON o_custkey = c_custkey
+         |JOIN ${t("nation")} ON c_nationkey = n_nationkey
+         |JOIN ${t("region")} ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin
     def leafOrder(p: LogicalPlan): Seq[String] =
       p.collectLeaves().map(_.toString).map { s =>
-        Seq("orders", "customer", "nation", "region").find(t => s.contains(s"graft_$t"))
+        Seq("orders", "customer", "nation", "region").find(n => s.contains(t(n)))
           .getOrElse("?")
       }
-    CatalogStats.analyze(spark, sfDir) // registers graft_* + ANALYZE, flips CBO on
+    // the shared session must come back exactly as found: confs restored
+    // to their prior values and the graft_* registration dropped, so
+    // other guards' plans can't depend on test execution order
+    val priorCbo = spark.conf.getOption("spark.sql.cbo.enabled")
+    val priorReorder = spark.conf.getOption("spark.sql.cbo.joinReorder.enabled")
+    CatalogStats.analyze(spark, sfDir) // registers + ANALYZE, flips CBO on
     try {
       // stats actually landed: rowCount visible on the optimized scan
-      val rc = spark.table("graft_orders").queryExecution.optimizedPlan.stats.rowCount
+      val rc = spark.table(t("orders")).queryExecution.optimizedPlan.stats.rowCount
       assert(rc.exists(_.toLong > 0L), s"ANALYZE left no rowCount: $rc")
       val withCbo = leafOrder(spark.sql(sql).queryExecution.optimizedPlan)
       spark.conf.set("spark.sql.cbo.enabled", "false")
@@ -214,7 +220,13 @@ class PlanGuardSpec extends SparkSpec {
       assert(withCbo.head != "orders",
         s"the fact table should no longer anchor the join chain: $withCbo")
     } finally {
-      spark.conf.set("spark.sql.cbo.enabled", "true")
+      def restore(key: String, prior: Option[String]): Unit = prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      restore("spark.sql.cbo.enabled", priorCbo)
+      restore("spark.sql.cbo.joinReorder.enabled", priorReorder)
+      CatalogStats.reset(spark)
     }
   }
 

@@ -48,6 +48,29 @@ class RecordLinkageSpec extends SparkSpec {
     assert(pairs.filter($"a_sub" =!= $"b_sub").count() == 0)
   }
 
+  test("a sub-block still hot after finer-key re-blocking falls through to star pairs") {
+    import spark.implicits._
+    // hot block of 8; finer key splits 5 ("p", still > cap 4) + 3 ("q")
+    val df = ((1L to 5L).map(i => (i, "hot", "p", s"N$i")) ++
+      (6L to 8L).map(i => (i, "hot", "q", s"N$i"))).toDF("id", "blk", "sub", "name")
+    val pairs = RecordLinkage.blockedPairs(df, "id", Seq("blk"),
+      blockCap = 4, finerKeyCols = Seq("sub"))
+    val got = pairs.select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // sub-block q (3 <= cap): exact 3 pairs; sub-block p (5 > cap): star
+    // around min id 1 — 4 pairs, not the 10 all-pairs
+    val star = (2L to 5L).map(i => (1L, i)).toSet
+    assert(got == star ++ Set((6L, 7L), (6L, 8L), (7L, 8L)), s"got $got")
+    assert(pairs.filter($"a_sub" =!= $"b_sub").count() == 0)
+  }
+
+  test("blockCap = Int.MaxValue pins the uncapped exact form") {
+    import spark.implicits._
+    val df = (1L to 6L).map(i => (i, "x", s"N$i")).toDF("id", "blk", "name")
+    val got = RecordLinkage.blockedPairs(df, "id", Seq("blk"), blockCap = Int.MaxValue)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(got == (for (a <- 1L to 6L; b <- a + 1 to 6L) yield (a, b)).toSet)
+  }
+
   test("cap high enough leaves results identical to the uncapped all-pairs form") {
     import spark.implicits._
     val df = Seq(
