@@ -21,6 +21,9 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // same planning context as Bench/Verify: catalog stats + CBO, so the
+    // dumped plans are the plans the harness actually runs
+    CatalogStats.analyze(spark, sfDir)
     SparkEntry.registry
       .filter(q => names.isEmpty || names.contains(q.name))
       .foreach { q =>
