@@ -160,27 +160,31 @@ object Bench {
     def obj(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     def tot(rs: Seq[(String, Double)]) = ms(rs.map(_._2).sum)
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"cold_detail","cold_total":${tot(cold)},"unit":"sec","cold_queries":${obj(cold)}}""")
     println(s"""{"metric":"warm_detail","warm_total":${tot(warm)},"unit":"sec","warm_queries":${obj(warm)}}""")
     println(s"""{"metric":"solo_detail","solo_total":${tot(solo)},"unit":"sec","solo_queries":${obj(solo)}}""")
     def short(rs: Seq[(String, Double)]) = rs
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + cs(v) }
       .mkString("{", ",", "}")
-    def summary(queriesJson: String, soloJson: String) =
+    def failedArr(names: Seq[String]) = names.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def summary(queriesJson: String, soloJson: String, failedJson: String) =
       s"""{"metric":"total","value":${tot(warm)},"unit":"sec","queries":$queriesJson,""" +
         s""""cold_total":${tot(cold)},"solo":$soloJson,"stream_ingest":$streamJson,""" +
-        s""""failed":$failedJson,"sf":"$sfDir"}"""
+        s""""n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}"""
     // 2000-char window minus sbt epilogue (~80 incl. newline) minus margin:
     // 1800 holds ~110 short-key entries; past that the solo dict goes
-    // first, then the per-query dict is dropped whole rather than risk a
-    // mid-line cut
-    val full = summary(short(warm), short(solo))
-    val noSolo = summary(short(warm), "\"truncated\"")
-    println(
-      if (full.length <= 1800) full
-      else if (noSolo.length <= 1800) noSolo
-      else summary("\"truncated\"", "\"truncated\""))
+    // first, then the per-query dict, then the failed list collapses to
+    // its first few names (n_failed always carries the true count) —
+    // whole-element drops only, never a mid-line cut. The worst case the
+    // last tier guards is an everything-failed run, where the full failed
+    // list alone would overflow the capture window exactly when it's
+    // needed most.
+    val tiers = Seq(
+      summary(short(warm), short(solo), failedArr(failed.toSeq)),
+      summary(short(warm), "\"truncated\"", failedArr(failed.toSeq)),
+      summary("\"truncated\"", "\"truncated\"", failedArr(failed.toSeq)),
+      summary("\"truncated\"", "\"truncated\"", failedArr(failed.toSeq.take(5))))
+    println(tiers.find(_.length <= 1800).getOrElse(tiers.last))
     spark.stop()
   }
 }

@@ -42,8 +42,11 @@ object CatalogStats {
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     (ColumnStatTables ++ TableStatTables).foreach { name =>
-      if (!registered.contains((dir, name))) {
-        val t = catalogName(dir, name)
+      val t = catalogName(dir, name)
+      // the memo is JVM-global but catalog tables are per-session: a
+      // fresh session after spark.stop() must re-register + re-ANALYZE,
+      // not silently no-op into stat-less path reads
+      if (!registered.contains((dir, name)) || !spark.catalog.tableExists(t)) {
         spark.sql(s"DROP TABLE IF EXISTS $t")
         spark.sql(s"CREATE TABLE $t USING parquet LOCATION '$dir/$name.parquet'")
         if (ColumnStatTables.contains(name))

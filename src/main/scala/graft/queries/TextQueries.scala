@@ -45,12 +45,42 @@ object TextQueries {
     * B's leftover parquet.
     */
   private val expectedDirByKind = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def ensureExpected(key: String)(write: => Unit): Unit = synchronized {
-    val Array(kind, dir) = key.split(":", 2)
+  private def ensureExpected(kind: String, dir: String)(write: => Unit): Unit = synchronized {
     if (!expectedDirByKind.get(kind).contains(dir)) {
       write
       expectedDirByKind.put(kind, dir)
     }
+  }
+
+  /** Per-(dir, JVM) scratch root under `base`, with stale siblings from
+    * DEAD harness JVMs removed on entry (each forked run gets a fresh
+    * pid, so without this every round leaks a corpus-sized directory);
+    * live siblings — a concurrently running harness — are left alone.
+    */
+  private def pidScopedScratch(base: String, dir: String): String = {
+    import java.nio.file.{Files, Path, Paths}
+    val root = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"), base)
+    val prefix = Integer.toHexString(dir.hashCode) + "_"
+    def rm(p: Path): Unit = {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+      finally s.close()
+    }
+    def alive(pid: Long): Boolean = {
+      val h = ProcessHandle.of(pid)
+      h.isPresent && h.get().isAlive
+    }
+    if (Files.isDirectory(root)) {
+      val s = Files.list(root)
+      try s.forEach { p =>
+        val n = p.getFileName.toString
+        val stale = n.startsWith(prefix) &&
+          scala.util.Try(n.stripPrefix(prefix).toLong).toOption.forall(!alive(_))
+        if (stale) { scala.util.Try(rm(p)); () } // best-effort; a racing delete is fine
+      } finally s.close()
+    }
+    s"$root/$prefix${ProcessHandle.current().pid()}"
   }
 
   /** Memoized q88 reference merges: learned once per sf dir by the
@@ -452,7 +482,7 @@ object TextQueries {
       s"SELECT doc_id, fingerprint FROM read_parquet('$FingerprintExpected/*.parquet') ORDER BY doc_id",
     ) { (spark, dir) =>
       import spark.implicits._
-      ensureExpected(s"fingerprint:$dir") {
+      ensureExpected("fingerprint", dir) {
         Tables(spark, dir).documents.select($"doc_id", $"text").as[(Long, String)]
           .mapPartitions(_.map { case (id, t) => (id, graft.fixtures.XxHash64Ref.fingerprint(t)) })
           .toDF("doc_id", "fingerprint")
@@ -1294,7 +1324,7 @@ object TextQueries {
         val corpus = docs.filter($"doc_id" < 200).select($"text").as[String].collect()
         graft.fixtures.BpeRef.learnMerges(corpus, 40)
       })
-      ensureExpected(s"bpe:$dir") {
+      ensureExpected("bpe", dir) {
         docs.select($"doc_id", $"text").as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
             val toks = graft.fixtures.BpeRef.encode(t, merges)
@@ -1697,14 +1727,11 @@ object TextQueries {
         .select($"doc_id", $"text",
           (conv(substring(md5(concat(lit("s_"), $"doc_id".cast("string"))), 1, 8), 16, 10)
             .cast("long") % 8).as("shard"))
-      // fixed per-(sf-dir, JVM) path + overwrite: repeated runs (bench
-      // passes, correctness reruns) replace the export instead of
-      // accumulating fresh temp dirs, while the pid component keeps two
-      // concurrently launched harness JVMs from overwriting each other's
-      // export mid-read-back
-      val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        "/graft_jsonl_export/" + Integer.toHexString(dir.hashCode) +
-        "_" + ProcessHandle.current().pid()
+      // per-(sf-dir, JVM) path + overwrite: repeated passes in one JVM
+      // replace the export, the pid component keeps two concurrently
+      // launched harness JVMs from overwriting each other's export
+      // mid-read-back, and dead JVMs' leftovers are swept on entry
+      val tmp = pidScopedScratch("graft_jsonl_export", dir)
       docs.repartition($"shard")
         .write.mode("overwrite").partitionBy("shard").json(tmp)
       spark.read
@@ -2093,16 +2120,14 @@ object TextQueries {
       // stream run inside the timed body, so gate size is gate cost
       val docs = Tables(spark, dir).documents.filter($"doc_id" < 2000)
         .select($"doc_id", $"text")
-      val scratch = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        "/graft_stream_dedup/" + Integer.toHexString(dir.hashCode) +
-        "_" + ProcessHandle.current().pid() // see q99's pid note
+      val scratch = pidScopedScratch("graft_stream_dedup", dir) // see q99's pid note
       def rmTree(p: Path): Unit = if (Files.exists(p)) {
         val s = Files.walk(p)
         try s.sorted(java.util.Comparator.reverseOrder[Path]())
           .forEach(f => Files.delete(f))
         finally s.close()
       }
-      ensureExpected(s"streamdedup:$dir") {
+      ensureExpected("streamdedup", dir) {
         val ref = s"$scratch/ref"
         rmTree(Paths.get(ref))
         graft.streaming.DedupStreams.dedupOnce(docs, s"$ref/out", s"$ref/index")
