@@ -219,6 +219,19 @@ class PlanGuardSpec extends SparkSpec {
         s"stats did not change the join order: cbo=$withCbo nocbo=$noCbo")
       assert(withCbo.head != "orders",
         s"the fact table should no longer anchor the join chain: $withCbo")
+      // the harness runs EVERY query in this context (catalog stats +
+      // CBO), so the headline invariants must hold here too, not only in
+      // the stat-less default the other guards assert
+      Seq("q07_star_join", "q35b_minhash_lsh", "q76_fuzzy_decontam").foreach { name =>
+        val q = SparkEntry.registry.find(_.name == name).get
+        val plan = q.run(spark, sfDir).queryExecution.explainString(FormattedMode)
+        spark.catalog.clearCache()
+        assert(!plan.contains("CartesianProduct"),
+          s"$name degenerates to a cartesian under CBO stats:\n$plan")
+        if (name == "q07_star_join")
+          assert(plan.contains("BroadcastHashJoin"),
+            s"dims stop broadcasting under CBO stats:\n$plan")
+      }
     } finally {
       def restore(key: String, prior: Option[String]): Unit = prior match {
         case Some(v) => spark.conf.set(key, v)
