@@ -1110,5 +1110,41 @@ object RelationalQueries {
             .cast("long").as("match_checksum"))
         .orderBy($"nationkey")
     },
+
+    // ---- q112: the CAPPED blocking semantics, driver-gated — the
+    // hot-block policy q108 opts out of (its oracle needs the exact
+    // all-pairs form) spelled so DuckDB can express it: blocks over the
+    // cap emit min-id representative-star pairs, blocks under it emit
+    // all-pairs. Cap 60 splits the sf0.01 nation blocks 13 small / 12
+    // hot, so BOTH routes are live in the gate; the oracle encodes the
+    // identical fixed cap, so the comparison holds at any SF. ----------
+    QueryDef(
+      "q112_capped_linkage",
+      """WITH c AS (SELECT c_custkey, c_nationkey FROM customer),
+        |sz AS (SELECT c_nationkey, count(*) AS n FROM c GROUP BY 1),
+        |small AS (
+        |  SELECT a.c_nationkey, a.c_custkey AS a_id, b.c_custkey AS b_id
+        |  FROM c a JOIN c b USING (c_nationkey) JOIN sz USING (c_nationkey)
+        |  WHERE sz.n <= 60 AND a.c_custkey < b.c_custkey
+        |), rep AS (
+        |  SELECT c.c_nationkey, min(c.c_custkey) AS r
+        |  FROM c JOIN sz USING (c_nationkey) WHERE sz.n > 60 GROUP BY 1
+        |), star AS (
+        |  SELECT c.c_nationkey, rep.r AS a_id, c.c_custkey AS b_id
+        |  FROM c JOIN rep USING (c_nationkey) WHERE c.c_custkey <> rep.r
+        |), p AS (SELECT * FROM small UNION ALL SELECT * FROM star)
+        |SELECT c_nationkey::INT AS nationkey, count(*)::BIGINT AS n_pairs,
+        |       CAST(sum(a_id * 3 + b_id) AS BIGINT) AS pair_checksum
+        |FROM p GROUP BY 1 ORDER BY 1""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val cust = Tables(spark, dir).customer.select($"c_custkey", $"c_nationkey")
+      graft.operators.RecordLinkage
+        .blockedPairs(cust, "c_custkey", Seq("c_nationkey"), blockCap = 60)
+        .groupBy($"c_nationkey".cast("int").as("nationkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"a_c_custkey" * 3 + $"b_c_custkey").cast("long").as("pair_checksum"))
+        .orderBy($"nationkey")
+    },
   )
 }
