@@ -89,6 +89,39 @@ object TextQueries {
     */
   private val bpeMergesByDir = scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
 
+  /** Exact substring-dedup span oracle, shared by q102 (Direct plan) and
+    * q113 (Strided plan) — the two plans must reach identical boundaries.
+    * The engine's xxhash64 keys are intermediate-only, so the oracle
+    * groups the raw 20-char window strings.
+    */
+  private val SubstringSpanOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, length(text) AS len, g.i AS pos, substr(text, g.i::INT, 20) AS win
+      |  FROM documents, generate_series(1, 100000) g(i)
+      |  WHERE g.i <= length(text) - 19
+      |), freq AS (
+      |  SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+      |), sh AS (
+      |  SELECT w.doc_id, w.len, w.pos FROM w JOIN freq USING (win)
+      |), m AS (
+      |  SELECT doc_id, len, pos,
+      |         max(pos + 20) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM sh
+      |), isl AS (
+      |  SELECT doc_id, len, pos,
+      |         sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM m
+      |), seg AS (
+      |  SELECT doc_id, island, max(len) AS len, min(pos) AS s, max(pos) + 20 AS e
+      |  FROM isl GROUP BY doc_id, island
+      |)
+      |SELECT doc_id, count(*)::BIGINT AS n_islands,
+      |       CAST(sum(e - s) AS BIGINT) AS removed_chars,
+      |       CAST(max(len) - sum(e - s) AS BIGINT) AS remaining_chars
+      |FROM seg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Shared DuckDB shingle CTE (3-gram, set semantics). DuckDB 1.0's
     * generate_series only takes constants, hence the bound+filter form.
     */
@@ -1854,36 +1887,29 @@ object TextQueries {
     // window strings and reaches identical span boundaries. -------------
     QueryDef(
       "q102_substring_dedup",
-      """WITH w AS (
-        |  SELECT doc_id, length(text) AS len, g.i AS pos, substr(text, g.i::INT, 20) AS win
-        |  FROM documents, generate_series(1, 100000) g(i)
-        |  WHERE g.i <= length(text) - 19
-        |), freq AS (
-        |  SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
-        |), sh AS (
-        |  SELECT w.doc_id, w.len, w.pos FROM w JOIN freq USING (win)
-        |), m AS (
-        |  SELECT doc_id, len, pos,
-        |         max(pos + 20) OVER (PARTITION BY doc_id ORDER BY pos
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-        |  FROM sh
-        |), isl AS (
-        |  SELECT doc_id, len, pos,
-        |         sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
-        |           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
-        |  FROM m
-        |), seg AS (
-        |  SELECT doc_id, island, max(len) AS len, min(pos) AS s, max(pos) + 20 AS e
-        |  FROM isl GROUP BY doc_id, island
-        |)
-        |SELECT doc_id, count(*)::BIGINT AS n_islands,
-        |       CAST(sum(e - s) AS BIGINT) AS removed_chars,
-        |       CAST(max(len) - sum(e - s) AS BIGINT) AS remaining_chars
-        |FROM seg GROUP BY doc_id ORDER BY doc_id""",
+      SubstringSpanOracle,
     ) { (spark, dir) =>
       import spark.implicits._
       graft.operators.SubstringDedup
         .spanStats(Tables(spark, dir).documents, "doc_id", "text", minLen = 20, minDocs = 2)
+        .select($"doc_id", $"n_islands".cast("long").as("n_islands"),
+          $"removed_chars".cast("long").as("removed_chars"),
+          $"remaining_chars".cast("long").as("remaining_chars"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- q113: the STRIDED substring-dedup path, driver-gated against
+    // the SAME oracle as q102 — winnowed candidate discovery + stride-1
+    // refine must reach the exact plan's span boundaries bit-for-bit
+    // (the lossless-discovery claim, previously spec-only). -------------
+    QueryDef(
+      "q113_substring_dedup_strided",
+      SubstringSpanOracle,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.SubstringDedup
+        .spanStats(Tables(spark, dir).documents, "doc_id", "text", minLen = 20, minDocs = 2,
+          mode = graft.operators.SubstringDedup.SubstringMode.Strided)
         .select($"doc_id", $"n_islands".cast("long").as("n_islands"),
           $"removed_chars".cast("long").as("removed_chars"),
           $"remaining_chars".cast("long").as("remaining_chars"))
