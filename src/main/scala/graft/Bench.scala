@@ -100,9 +100,18 @@ object Bench {
     // checkpoint-fsync overhead visible as the p50/max spread. The fixture
     // corpus exists by now: the q41/q53 passes above materialize it.
     val streamJson: String = try {
-      import java.nio.file.{Files, Paths}
+      import java.nio.file.{Files, Path, Paths}
       val src = Paths.get(graft.fixtures.ClaimFixtures.EdiDir)
       val tmp = Files.createTempDirectory("bench_stream")
+      // ~100 MB of replicated EDI + parquet per run — delete on exit so
+      // repeated rounds don't accumulate dead corpora in /tmp
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val s = Files.walk(tmp)
+        try s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => { Files.deleteIfExists(f); () })
+        catch { case _: Throwable => () }
+        finally s.close()
+      }))
       val in = tmp.resolve("in"); Files.createDirectories(in)
       var nFiles = 0
       val listing = Files.list(src)
