@@ -146,22 +146,17 @@ object SubstringDedup {
   def candidateDocs(
       docs: DataFrame, idCol: String, textCol: String,
       minLen: Int, minDocs: Int, stride: Int): DataFrame = {
-    val k = minLen - stride + 1
     require(stride >= 2, s"stride must be >= 2, got $stride (use Direct mode for stride 1)")
-    require(k >= 4, s"discovery gram length $k too short: need stride <= minLen - 3")
-    // All row-local until the explode of the winnowed fingerprints:
-    //  __hs  = k-gram hash at every position (one pass),
-    //  fp    = min hash of each `stride`-wide hash window, deduped per doc.
-    // Frame count is length - minLen + 1, the same as the direct plan's
-    // window count, but only ~2/(stride+1) of positions survive selection
-    // (consecutive frames mostly re-select the same minimum).
-    val fps = docs.filter(length(col(textCol)) >= minLen)
-      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
-      .withColumn("__hs", expr(
-        s"transform(sequence(1, length(__t) - ${k - 1}), p -> xxhash64(substring(__t, p, $k)))"))
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(1, length(__t) - ${minLen - 1}), " +
-          s"i -> array_min(slice(__hs, i, $stride))))")).as("fp"))
+    require(minLen - stride + 1 >= 4,
+      s"discovery gram length ${minLen - stride + 1} too short: need stride <= minLen - 3")
+    // All row-local until the explode of the winnowed fingerprints
+    // (WinnowedFingerprints: one codepoint pass + monotone-deque sliding
+    // min — O(chars), vs the HOF spelling's O(chars * stride) slice
+    // copies, kept below for the equality spec). Frame count is
+    // length - minLen + 1, the same as the direct plan's window count,
+    // but only ~2/(stride+1) of positions survive selection (consecutive
+    // frames mostly re-select the same minimum).
+    val fps = candidateFingerprints(docs, idCol, textCol, minLen, stride)
     val shared =
       if (minDocs == 2)
         fps.groupBy(col("fp"))
@@ -172,6 +167,37 @@ object SubstringDedup {
           .agg(countDistinct(col("doc_id")).as("df"))
           .filter(col("df") >= minDocs).select("fp")
     fps.join(shared, Seq("fp")).select("doc_id").distinct()
+  }
+
+  /** The per-doc winnowed fingerprint rows (doc_id, fp) via the O(chars)
+    * WinnowedFingerprints expression; package-visible for the
+    * expression-vs-HOF equality spec.
+    */
+  private[operators] def candidateFingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, stride: Int): DataFrame = {
+    import org.apache.spark.sql.graft.{ColumnBridge, WinnowedFingerprints}
+    docs.filter(length(col(textCol)) >= minLen)
+      .select(col(idCol).as("doc_id"),
+        explode(ColumnBridge.toColumn(WinnowedFingerprints(
+          ColumnBridge.toExpression(col(textCol)), minLen, stride))).as("fp"))
+  }
+
+  /** The HOF spelling of the same selection — O(chars * stride) slice
+    * copies; retained for cross-checking the expression (the
+    * MinHashLSH.signaturesExpr precedent).
+    */
+  private[operators] def winnowedHof(
+      docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, stride: Int): DataFrame = {
+    val k = minLen - stride + 1
+    docs.filter(length(col(textCol)) >= minLen)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .withColumn("__hs", expr(
+        s"transform(sequence(1, length(__t) - ${k - 1}), p -> xxhash64(substring(__t, p, $k)))"))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, length(__t) - ${minLen - 1}), " +
+          s"i -> array_min(slice(__hs, i, $stride))))")).as("fp"))
   }
 
   private def spanStatsStrided(

@@ -93,6 +93,32 @@ class SubstringDedupSpec extends SparkSpec {
     assert(direct.nonEmpty, "sf0.01 corpus should carry shared spans")
   }
 
+  test("winnowing expression selects the identical fingerprint sets as the HOF spelling") {
+    import spark.implicits._
+    // real corpus (incl. multi-byte zh docs) + adversarial synthetics:
+    // monotone hash runs, repeated content, exact-minLen strings
+    val real = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id", $"text")
+    val synth = Seq(
+      (100001L, "a" * 60), (100002L, "abcdefghij" * 6),
+      (100003L, "0123456789abcdefghij"), // exactly minLen
+      (100004L, "多字节中文内容" * 8 + "shared tail content here"),
+      (100005L, "z" * 19) // below minLen -> no fingerprints
+    ).toDF("doc_id", "text")
+    val docs = real.unionByName(synth)
+    for (stride <- Seq(2, 8)) {
+      val viaExpr = graft.operators.SubstringDedup
+        .candidateFingerprints(docs, "doc_id", "text", 20, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaHof = graft.operators.SubstringDedup
+        .winnowedHof(docs, "doc_id", "text", 20, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaExpr == viaHof,
+        s"stride=$stride: expr-only ${(viaExpr diff viaHof).take(5)}, " +
+          s"hof-only ${(viaHof diff viaExpr).take(5)}")
+    }
+  }
+
   test("containment catches a short doc quoted inside a long one where Jaccard cannot") {
     import spark.implicits._
     val short = "the quick brown fox jumps over the lazy dog"
