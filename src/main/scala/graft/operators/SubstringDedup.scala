@@ -39,11 +39,20 @@ import org.apache.spark.sql.functions._
   *    CONTENT, so two docs sharing any span of length >= k + stride - 1
   *    = minLen select at least one identical fingerprint — positional
   *    stride-sampling lacks exactly this alignment invariance. The
-  *    whole pass is row-local (HOF transform/slice/array_min per doc,
-  *    no explode before selection), and only the ~2/(stride+1)-density
-  *    fingerprints reach the single wide stage (the shared-hash
-  *    aggregate). Docs sharing a fingerprint with >= minDocs distinct
-  *    docs become candidates.
+  *    whole pass is row-local (the O(chars) WinnowedFingerprints
+  *    expression; no explode before selection), and only the
+  *    ~2/(stride+1)-density fingerprints reach the single wide stage
+  *    (the shared-hash aggregate). Docs sharing a fingerprint with
+  *    >= minDocs distinct docs become candidates.
+  *
+  *  NOTE the asymmetry: discovery benefits from a one-pass expression
+  *  because selection collapses rows BEFORE any explode, while the
+  *  direct plan keeps the exploded xxhash64(substring(__t, pos, w))
+  *  spelling on purpose — explode + hash + partial-agg fuse into one
+  *  whole-stage-codegen stage there, and breaking that fusion with an
+  *  interpreted array-building expression measured 3x SLOWER at
+  *  ~300-char docs (the O(pos) substring re-walk only wins on long
+  *  documents).
   *  - Refine runs the exact stride-1 plan over candidate docs only.
   *    Every doc containing a qualifying window is guaranteed to be a
   *    candidate (the winnowed fingerprint of a shared span is selected
