@@ -106,11 +106,12 @@ object Bench {
       // ~100 MB of replicated EDI + parquet per run — delete on exit so
       // repeated rounds don't accumulate dead corpora in /tmp
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        val s = Files.walk(tmp)
-        try s.sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(f => { Files.deleteIfExists(f); () })
-        catch { case _: Throwable => () }
-        finally s.close()
+        try {
+          val s = Files.walk(tmp)
+          try s.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => { Files.deleteIfExists(f); () })
+          finally s.close()
+        } catch { case _: Throwable => () } // already-gone dir: nothing to clean
       }))
       val in = tmp.resolve("in"); Files.createDirectories(in)
       var nFiles = 0
