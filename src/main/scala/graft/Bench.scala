@@ -18,19 +18,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // Static conf, must be set before the session exists. The default
-      // generated-class cache holds 100 entries; a ~120-query registry
-      // evicts continuously, so the "warm" pass was re-running Janino on
-      // most stages (r4: common-query warm drifted +43% with zero code
-      // changes). 10k entries keeps every stage's generated class cached
-      // across both passes; metaspace cost is a few hundred MB.
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
-      .getOrCreate()
+    // session() sets the static confs that must exist before the session
+    // does: the codegen cache sized for a ~120-query registry (the default
+    // 100 entries evicts continuously — r4's warm pass drifted +43% from
+    // re-running Janino) and a progress ring buffer big enough for the
+    // ~200-micro-batch dedup drain (default keeps 100).
+    val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // catalog registration + ANALYZE stats (SURVEY §4.2): every registry
     // query now plans against real cardinalities with CBO join reorder
@@ -126,7 +119,7 @@ object Bench {
       val t0 = System.nanoTime()
       val q = graft.streaming.ClaimStreams.ingest(
         spark, in.toString, tmp.resolve("out").toString, tmp.resolve("ckpt").toString)
-      val finished = q.awaitTermination(600000L)
+      val finished = q.awaitTermination(900000L)
       val dt = (System.nanoTime() - t0) / 1e9
       if (!finished) { q.stop(); """null""" }
       else {
@@ -149,6 +142,147 @@ object Bench {
       System.err.println(s"[bench:stream] ingest FAILED: ${e.getMessage}")
       "null"
     }
+
+    val drainJson = dedupDrain(spark, sfDir)
+    emit(cold, warm, solo, failed.toSeq, streamJson, drainJson, sfDir)
+    spark.stop()
+  }
+
+  /** Session with the Bench configuration (shared by [[Bench.main]] and
+    * [[BenchDrain.main]]). */
+  private[graft] def session(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.codegen.cache.maxEntries", "10000")
+    .config("spark.sql.streaming.numRecentProgressUpdates", "256")
+    .getOrCreate()
+
+  private[graft] def drainDocs: Long =
+    sys.env.get("SPARK_GRAFT_DRAIN_DOCS").map(_.toLong).getOrElse(200000L)
+  private[graft] def drainChunks: Int =
+    sys.env.get("SPARK_GRAFT_DRAIN_CHUNKS").map(_.toInt).getOrElse(200)
+
+  /** Streaming near-dedup drain: ~`targetDocs` docs (documents replicated
+    * with per-replica token suffixes so replicas are NOT near-dups of each
+    * other) drained through DedupStreams.ingest in ~`nChunks` one-file
+    * micro-batches. The verdict metric is the per-batch latency SLOPE:
+    * with the incremental banded index, per-trigger work is O(batch +
+    * hits), so the second half of the drain must not be slower than the
+    * first even though the signature index holds half the corpus more by
+    * then — the flat-latency evidence that a long-horizon stream survives.
+    */
+  private[graft] def dedupDrain(
+      spark: SparkSession, sfDir: String,
+      targetDocs: Long = drainDocs, nChunks: Int = drainChunks): String =
+    try {
+      import java.nio.file.{Files, Path}
+      import org.apache.spark.sql.functions._
+      val tmp = Files.createTempDirectory("bench_drain")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try {
+          val s = Files.walk(tmp)
+          try s.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => { Files.deleteIfExists(f); () })
+          finally s.close()
+        } catch { case _: Throwable => () }
+      }))
+      val docs = Tables(spark, sfDir).documents.select(col("doc_id"), col("text"))
+      val n = docs.count()
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val reps = math.max(1, math.ceil(targetDocs.toDouble / n).toInt)
+      val corpus = docs
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(reps - 1))).as("r"))
+        .select(
+          (col("doc_id") + col("r") * lit(maxId + 1)).as("doc_id"),
+          // replica r>0 maps every word through a per-replica hash: the
+          // SAME word maps to the same token (within-replica near-dup
+          // structure mirrors the base corpus) while cross-replica gram
+          // overlap is ~zero, so the retained index genuinely grows by
+          // ~a batch per trigger. base36 keeps the shingle alphabet wide
+          // — hex-only tokens give every doc pair ~0.15 background
+          // Jaccard and re-create the token-soup LSH degeneration.
+          when(col("r") === 0, col("text"))
+            .otherwise(concat_ws(" ",
+              transform(split(col("text"), " "),
+                w => conv(substring(md5(concat(w, lit("_"), col("r"))), 1, 12),
+                  16, 36)))).as("text"))
+      val stage = tmp.resolve("stage")
+      corpus
+        .withColumn("chunk", format_string("%03d",
+          ntile(nChunks).over(org.apache.spark.sql.expressions.Window.orderBy(col("doc_id")))))
+        .repartition(col("chunk"))
+        .write.partitionBy("chunk").json(stage.toString)
+      // flatten chunk=NNN dirs into zero-padded flat files: the file
+      // source must not see (or partition-infer) the chunk column
+      val in = tmp.resolve("in"); Files.createDirectories(in)
+      var nDocs = 0L
+      val chunkDirs = Files.list(stage)
+      try chunkDirs.forEach { d =>
+        val name = d.getFileName.toString
+        if (name.startsWith("chunk=")) {
+          val parts = Files.list(d)
+          try {
+            val files = new java.util.ArrayList[Path]()
+            parts.forEach(f => if (f.getFileName.toString.endsWith(".json")) { files.add(f); () })
+            files.forEach { f =>
+              Files.move(f, in.resolve(s"c${name.stripPrefix("chunk=")}_${f.getFileName}"))
+            }
+          } finally parts.close()
+        }
+      } finally chunkDirs.close()
+      nDocs = n * reps
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$in/*")
+      val t0 = System.nanoTime()
+      val q = graft.streaming.DedupStreams.ingest(
+        stream, tmp.resolve("out").toString, tmp.resolve("index").toString,
+        tmp.resolve("ckpt").toString)
+      val finished = q.awaitTermination(900000L)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (!finished) {
+        System.err.println(f"[bench:drain] TIMED OUT after $dt%.0f s " +
+          s"(${q.recentProgress.length} progress events) — reporting null")
+        q.stop(); "null"
+      }
+      else {
+        // recentProgress is chronological; keep data-carrying triggers
+        val batchMs = q.recentProgress.toSeq
+          .filter(_.numInputRows > 0)
+          .map(p => Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
+        val retained = spark.read.parquet(tmp.resolve("out").toString).count()
+        def p50(xs: Seq[Long]): Long =
+          if (xs.isEmpty) 0L else xs.sorted.apply(xs.size / 2)
+        // warm batches only (drop the first 20: JIT + codegen churn), then
+        // first half vs second half — the slope evidence
+        val warmB = batchMs.drop(20)
+        val (h1, h2) = warmB.splitAt(warmB.size / 2)
+        val ratio =
+          if (p50(h1) > 0) p50(h2).toDouble / p50(h1) else 0.0
+        val sec = String.format(java.util.Locale.ROOT, "%.3f", Double.box(dt))
+        val rs = String.format(java.util.Locale.ROOT, "%.2f", Double.box(ratio))
+        System.err.println(
+          s"[bench:drain] near-dedup $nDocs docs -> $retained retained in $sec s " +
+            s"(${batchMs.size} batches, p50 ${p50(batchMs)} ms, max ${batchMs.max} ms, " +
+            s"2nd-half/1st-half p50 ratio $rs)")
+        s"""{"docs":$nDocs,"retained":$retained,"sec":$sec,"batches":${batchMs.size},""" +
+          s""""batch_p50_ms":${p50(batchMs)},"batch_max_ms":${batchMs.max},""" +
+          s""""p50_first_half_ms":${p50(h1)},"p50_second_half_ms":${p50(h2)},""" +
+          s""""slope_ratio":$rs}"""
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench:drain] FAILED: ${e.getMessage}")
+      "null"
+    }
+
+  private def emit(
+      cold: Seq[(String, Double)], warm: Seq[(String, Double)],
+      solo: Seq[(String, Double)], failed: Seq[String],
+      streamJson: String, drainJson: String, sfDir: String): Unit = {
     // The driver captures only the LAST 2000 chars of stdout (measured from
     // BENCH_r03.json: tail len 2000, and sbt's own "[success] ..." line eats
     // ~72 of them). Round 3's final line carried 81 full query names and ran
@@ -180,6 +314,7 @@ object Bench {
     def summary(queriesJson: String, soloJson: String, failedJson: String) =
       s"""{"metric":"total","value":${tot(warm)},"unit":"sec","queries":$queriesJson,""" +
         s""""cold_total":${tot(cold)},"solo":$soloJson,"stream_ingest":$streamJson,""" +
+        s""""stream_dedup_drain":$drainJson,""" +
         s""""n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}"""
     // 2000-char window minus sbt epilogue (~80 incl. newline) minus margin:
     // 1800 holds ~110 short-key entries; past that the solo dict goes
@@ -192,9 +327,23 @@ object Bench {
     val tiers = Seq(
       summary(short(warm), short(solo), failedArr(failed.toSeq)),
       summary(short(warm), "\"truncated\"", failedArr(failed.toSeq)),
-      summary("\"truncated\"", "\"truncated\"", failedArr(failed.toSeq)),
-      summary("\"truncated\"", "\"truncated\"", failedArr(failed.toSeq.take(5))))
+      summary("\"truncated\"", "\"truncated\"", failedArr(failed)),
+      summary("\"truncated\"", "\"truncated\"", failedArr(failed.take(5))))
     println(tiers.find(_.length <= 1800).getOrElse(tiers.last))
+  }
+}
+
+/** Standalone runner for the streaming near-dedup drain — iterate on the
+  * L8 latency-slope evidence without paying for the full registry sweep.
+  * Same env knobs as Bench (SPARK_GRAFT_SF_DIR / _CPUS / _DRAIN_DOCS /
+  * _DRAIN_CHUNKS); prints the same one-line JSON.
+  */
+object BenchDrain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    println(s"""{"metric":"stream_dedup_drain","value":${Bench.dedupDrain(spark, sfDir)}}""")
     spark.stop()
   }
 }

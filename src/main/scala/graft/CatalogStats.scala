@@ -33,9 +33,17 @@ object CatalogStats {
   /** Catalog names carry a dir digest: two dirs analyzed in one session
     * (dev flows, test JVMs) register DISTINCT tables instead of the
     * second DROP+CREATE silently repointing the first dir's resolution.
+    * The digest is the first 8 bytes of MD5 — 32-bit String.hashCode
+    * collides plausibly across a session's dirs, and a collision would
+    * re-create exactly the silent cross-dir serving the digest exists to
+    * prevent; 64 collision-resistant bits make it negligible.
     */
-  def catalogName(dir: String, name: String): String =
-    f"graft_${dir.hashCode & 0x7fffffff}%x_$name"
+  def catalogName(dir: String, name: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(
+      dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val digest = md5.take(8).map(b => f"$b%02x").mkString
+    s"graft_${digest}_$name"
+  }
 
   /** Register + analyze all eligible tables for `dir`, enable CBO. */
   def analyze(spark: SparkSession, dir: String): Unit = synchronized {

@@ -57,12 +57,17 @@ object DomainCaps {
     val withHost = df.withColumn("__host", urlHost(col(urlCol)))
       .withColumn("__labels", split(col("__host"), "\\."))
     // (host, nLab) per candidate suffix: the last 1..n-1 labels (the
-    // full host is never its own suffix; a 1-label host has none)
+    // full host is never its own suffix; a 1-label host has none).
+    // sequence(0, size-1) is always ascending (size >= 1 for any split
+    // result) and the i >= 1 filter leaves 1..size-1 — the naive
+    // sequence(1, size-1) evaluates DESCENDING to [1, 0] for a 1-label
+    // host (localhost, or a '' host from an unparseable URL) and the
+    // i=0 slice aborts the whole job with INVALID_PARAMETER_VALUE
     val matched = withHost
       .select(col("__host"), col("__labels"))
       .distinct()
       .select(col("__host"), explode(expr(
-        "transform(sequence(1, greatest(size(__labels) - 1, 0)), " +
+        "transform(filter(sequence(0, size(__labels) - 1), i -> i >= 1), " +
           "i -> struct(array_join(slice(__labels, -i, i), '.') as suffix, i as n))"))
         .as("c"))
       .select(col("__host"), col("c.suffix").as("suffix"), col("c.n").as("n"))

@@ -53,19 +53,28 @@ object MinHashLSH {
     * cache at call time (the downstream joins then reuse it). Callers
     * composing a plan for later execution should pass false to stay
     * lazy.
+    *
+    * `cache` (default true) pins the annotated banding for the
+    * multiple reads below, released by the harness-wide clearCache
+    * contract (see Dedup.jaccardPairs). Long-lived callers that invoke
+    * this per micro-batch (DedupStreams) pass false — an accumulating
+    * per-trigger cache entry would pin storage memory for the life of
+    * the stream — and rely on caching `banded` themselves plus
+    * ReuseExchange folding the repeated window scans within the one
+    * consuming action.
     */
   private[graft] def cappedBucketPairs(
       banded: DataFrame, cap: Int, logOverflow: Boolean = true,
-      dedup: Boolean = true): DataFrame = {
+      dedup: Boolean = true, cache: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("band"), col("bkey"))
     // cached: the small-bucket self-join reads this twice and the
     // overflow branch + its logging statistic once more. Cache-release
     // contract: see Dedup.jaccardPairs.
-    val ann = banded
+    val annotated = banded
       .withColumn("__cnt", count(lit(1)).over(w))
       .withColumn("__rep", min(col("doc_id")).over(w))
-      .cache()
+    val ann = if (cache) annotated.cache() else annotated
     val overflow = ann.filter(col("__cnt") > cap)
     if (logOverflow) {
       val overflowBuckets = overflow.select(col("band"), col("bkey")).distinct().count()

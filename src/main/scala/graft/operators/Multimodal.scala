@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * `BinaryType` content plus typed metadata, flowing through the engine like
   * any other column. The EDI fixture corpus doubles as the binary fixture.
   *
-  * The actual media decoding (image/audio codecs) is STUBBED — the
-  * container has no media libraries — with a deterministic fake
-  * (`stubDecodeFeatures`) so the Spark-side contract is real and tested:
-  * schema, batch shape, per-partition batching, and partition-preserving
-  * execution are exactly what a codec-backed implementation would use; only
-  * the byte->pixels function body would change.
+  * The actual media decoding (image/audio codecs) sits behind the
+  * [[MediaCodec]] trait — a real deployment passes a codec-backed
+  * implementation; the default [[ByteHistogramCodec]] is the
+  * deterministic sandbox stub (the container has no media libraries). The
+  * Spark-side contract is real and tested either way: schema, batch
+  * shape, per-partition session lifecycle, and partition-preserving
+  * execution are exactly what the codec-backed implementation uses; only
+  * the byte->pixels session body changes.
   *
   * Scale posture: `binaryFile` scans are split per file (no shuffle);
   * feature extraction is `mapPartitions` (narrow, codegen-adjacent); nothing
@@ -46,32 +48,43 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** STUB decode + featurize: a deterministic byte-histogram "embedding"
-    * standing in for a real decoder (???-equivalent marked here). The
-    * partition-iterator shape is the real contract: a codec implementation
-    * would initialize its native decoder once per partition (the expensive
-    * part) and stream items through it, exactly as written.
+  /** Decode + featurize through the [[MediaCodec]] seam (default: the
+    * sandbox stub). The partition-iterator shape is the real contract: the
+    * codec session — native decoder handle, model weights — is opened once
+    * per partition (the expensive part), items stream through it, and it
+    * closes when the partition is exhausted.
     */
-  def extractFeatures(spark: SparkSession, binaries: DataFrame): Dataset[MediaFeatures] = {
+  def extractFeatures(
+      spark: SparkSession, binaries: DataFrame,
+      codec: MediaCodec = ByteHistogramCodec): Dataset[MediaFeatures] = {
     import spark.implicits._
     binaries
       .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fileName"),
         col("length").as("nBytes"), col("content"))
       .as[(String, Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init happens here (decoder handle, model weights, ...)
-        it.map { case (name, n, bytes) =>
-          val hist = new Array[Float](FeatureDim)
-          var i = 0
-          while (i < bytes.length) { hist((bytes(i) & 0xff) % FeatureDim) += 1f; i += 1 }
-          val total = math.max(1f, bytes.length.toFloat)
-          var j = 0
-          while (j < FeatureDim) { hist(j) /= total; j += 1 }
-          val kind = sniffKind(bytes)
-          MediaFeatures(name, n, kind, hist)
+        val session = codec.openSession() // per-partition init
+        val out = it.map { case (name, n, bytes) =>
+          MediaFeatures(name, n, sniffKind(bytes), session.decodeFeatures(bytes))
         }
+        closeOnExhaustion(out, session)
       }
   }
+
+  /** Wrap a partition iterator so the codec session closes once the last
+    * element is consumed (close() is idempotent per the MediaCodec
+    * contract, so repeated hasNext after exhaustion is safe).
+    */
+  private def closeOnExhaustion[T](
+      it: Iterator[T], session: MediaCodec.Session): Iterator[T] =
+    new Iterator[T] {
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h) session.close()
+        h
+      }
+      override def next(): T = it.next()
+    }
 
   /** Container sniffing by magic bytes — genuinely implementable without
     * codecs; unknown types pass through as "bin". */
@@ -83,21 +96,27 @@ object Multimodal {
     else if (bytes.length >= 2 && bytes(0) == 'S' && bytes(1) == 'T') "x12"
     else "bin"
 
-  /** STUB frame-sampler: every media item yields `n` evenly spaced "frame"
-    * slices (here: byte windows). A video decoder would emit decoded frames
-    * with the same (file_name, frame_no, frame_bytes) schema and the same
-    * one-to-many explode shape.
+  /** Frame sampling through the [[MediaCodec]] seam: every media item
+    * yields `n` evenly spaced frames (stub: byte windows; a video codec
+    * emits decoded frames) with the (file_name, frame_no, frame_bytes)
+    * schema and the one-to-many explode shape of a video pipeline.
     */
-  def sampleFrames(spark: SparkSession, binaries: DataFrame, n: Int): DataFrame = {
-    val window = 64
+  def sampleFrames(
+      spark: SparkSession, binaries: DataFrame, n: Int,
+      codec: MediaCodec = ByteHistogramCodec): DataFrame = {
+    import spark.implicits._
     binaries
       .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
         col("content"))
-      .select(col("file_name"),
-        posexplode(transform(sequence(lit(0), lit(n - 1)), i => {
-          val start = i * greatest(length(col("content")) - window, lit(0)) / lit(math.max(1, n - 1)) + 1
-          substring(col("content"), start.cast("int"), lit(window))
-        })))
-      .select(col("file_name"), col("pos").as("frame_no"), col("col").as("frame_bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val session = codec.openSession() // per-partition init
+        val out = it.flatMap { case (name, bytes) =>
+          session.sampleFrames(bytes, n).iterator.zipWithIndex
+            .map { case (fb, i) => (name, i, fb) }
+        }
+        closeOnExhaustion(out, session)
+      }
+      .toDF("file_name", "frame_no", "frame_bytes")
   }
 }

@@ -56,36 +56,47 @@ object PageRank {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    // loop-invariant: out-degree-weighted edges. The distributed path
-    // caches them across all rounds (cache-release contract: see
-    // Dedup.jaccardPairs); the fast path scans them exactly once to
-    // build its packed partitions, so it skips the DataFrame cache.
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__d"))
-    val weighted = edges.join(deg, Seq("src"))
-    val nodes = edges.select(col("src").as("v")).distinct().cache()
-    val n = nodes.count()
-    require(n > 0, "PageRank over an empty edge list")
-    val teleport = (1.0 - alpha) / n
-    if (n <= broadcastNodeCap) {
-      val out = ranksDriverResident(weighted, nodes, n, iterations, alpha, teleport)
-      nodes.unpersist()
-      out
-    } else {
-      val cached = weighted.cache()
-      var r = materialize(nodes.withColumn("r", lit(1.0 / n)))
-      for (_ <- 1 to iterations) {
-        val contrib = cached.join(r, cached("src") === r("v"))
-          .select(col("dst"), (col("r") / col("__d")).as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("in_r"))
-        // materialize every round: deferring it makes the next round
-        // re-execute the whole unmaterialized chain
-        r = materialize(nodes
-          .join(contrib, nodes("v") === contrib("dst"), "left")
-          .select(col("v"),
-            (lit(teleport) + lit(alpha) * coalesce(col("in_r"), lit(0.0))).as("r")))
+    // the caller's edge DERIVATION (often a join+distinct prelude) is
+    // consumed by several separate actions below (node count, packed/
+    // weighted materialization) — cache it so it executes exactly once
+    // per invocation rather than being re-planned/re-JITed per action
+    // (q87's in-sweep-vs-solo drift came from exactly this). Released
+    // before return on both paths: the fast path's output is a
+    // LocalRelation and the distributed path's rank frame is
+    // checkpointed, so neither retains lineage into the cache.
+    val cachedEdges = edges.cache()
+    try {
+      // loop-invariant: out-degree-weighted edges. The distributed path
+      // caches them across all rounds (cache-release contract: see
+      // Dedup.jaccardPairs); the fast path scans them exactly once to
+      // build its packed partitions, so it skips the DataFrame cache.
+      val deg = cachedEdges.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+      val weighted = cachedEdges.join(deg, Seq("src"))
+      val nodes = cachedEdges.select(col("src").as("v")).distinct().cache()
+      val n = nodes.count()
+      require(n > 0, "PageRank over an empty edge list")
+      val teleport = (1.0 - alpha) / n
+      if (n <= broadcastNodeCap) {
+        val out = ranksDriverResident(weighted, nodes, n, iterations, alpha, teleport)
+        nodes.unpersist()
+        out
+      } else {
+        val cached = weighted.cache()
+        var r = materialize(nodes.withColumn("r", lit(1.0 / n)))
+        for (_ <- 1 to iterations) {
+          val contrib = cached.join(r, cached("src") === r("v"))
+            .select(col("dst"), (col("r") / col("__d")).as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("in_r"))
+          // materialize every round: deferring it makes the next round
+          // re-execute the whole unmaterialized chain
+          r = materialize(nodes
+            .join(contrib, nodes("v") === contrib("dst"), "left")
+            .select(col("v"),
+              (lit(teleport) + lit(alpha) * coalesce(col("in_r"), lit(0.0))).as("r")))
+        }
+        r
       }
-      r
-    }
+    } finally cachedEdges.unpersist()
   }
 
   /** Fast path for node sets at or under the broadcast cap — the

@@ -45,16 +45,27 @@ object RecordLinkage {
     * extra work (no size annotation, no eager statistic) — the spelling
     * a differential gate uses so its all-pairs oracle stays equivalent
     * at every scale factor, with cap enforcement proven by spec instead.
+    *
+    * CACHE-RELEASE CONTRACT: with `cache = true` (default) the size
+    * annotation (and the finer-key re-annotation) are pinned via
+    * `.cache()` for the multiple reads below and released by the
+    * harness-wide `spark.catalog.clearCache()` the Bench/Verify drivers
+    * issue per query. Library callers invoking this repeatedly in a
+    * long-lived session should pass `cache = false` (the window
+    * recomputes per read; ReuseExchange folds the shuffles within one
+    * action) or clear the cache themselves — otherwise each call pins
+    * storage memory for the life of the session.
     */
   def blockedPairs(
       df: DataFrame, idCol: String, blockCols: Seq[String],
       blockCap: Int = DefaultBlockCap, finerKeyCols: Seq[String] = Nil,
-      logOverflow: Boolean = true): DataFrame = {
+      logOverflow: Boolean = true, cache: Boolean = true): DataFrame = {
     if (blockCap == Int.MaxValue) return pairsWithin(df, idCol, blockCols)
     val w = Window.partitionBy(blockCols.map(col): _*)
     // cached: both branches filter it, and the overflow log statistic
-    // reads it once more. Cache-release contract: see Dedup.jaccardPairs.
-    val ann = df.withColumn("__cnt", count(lit(1)).over(w)).cache()
+    // reads it once more. Release: see the contract in the scaladoc.
+    val ann0 = df.withColumn("__cnt", count(lit(1)).over(w))
+    val ann = if (cache) ann0.cache() else ann0
     val small = ann.filter(col("__cnt") <= blockCap).drop("__cnt")
     val overflow = ann.filter(col("__cnt") > blockCap).drop("__cnt")
     // isEmpty short-circuits on the first overflow row; the (costlier)
@@ -78,7 +89,8 @@ object RecordLinkage {
         // schema identical to the base branch.
         val fineCols = blockCols ++ finerKeyCols
         val wf = Window.partitionBy(fineCols.map(col): _*)
-        val fineAnn = overflow.withColumn("__cnt", count(lit(1)).over(wf)).cache()
+        val fineAnn0 = overflow.withColumn("__cnt", count(lit(1)).over(wf))
+        val fineAnn = if (cache) fineAnn0.cache() else fineAnn0
         val fineSmall = fineAnn.filter(col("__cnt") <= blockCap).drop("__cnt")
         val fineHot = fineAnn.filter(col("__cnt") > blockCap).drop("__cnt")
         def reprefix(d0: DataFrame): DataFrame =

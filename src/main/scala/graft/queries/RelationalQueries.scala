@@ -1146,5 +1146,59 @@ object RelationalQueries {
           sum($"a_c_custkey" * 3 + $"b_c_custkey").cast("long").as("pair_checksum"))
         .orderBy($"nationkey")
     },
+
+    // ---- q114: the FINER-KEY re-blocking route (RecordLinkage scaladoc)
+    // — the compound-key mitigation q112's star route is the fallback
+    // for: hot coarse blocks re-block on (nationkey, mktsegment); a
+    // sub-block under the cap emits exact all-pairs, a STILL-hot
+    // sub-block falls through to representative-star — the cap as an
+    // invariant, not a first-attempt heuristic. Cap 15 at sf0.01 keeps a
+    // few coarse blocks small, re-blocks the rest, and leaves both fine
+    // routes live (~60-customer nations split ~12 per segment, straddling
+    // 15); the oracle encodes the identical fixed cap, so the comparison
+    // holds at any SF. ---------------------------------------------------
+    QueryDef(
+      "q114_finer_key_linkage",
+      """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment FROM customer),
+        |sz AS (SELECT c_nationkey, count(*) AS n FROM c GROUP BY 1),
+        |small AS (
+        |  SELECT a.c_nationkey, a.c_custkey AS a_id, b.c_custkey AS b_id
+        |  FROM c a JOIN c b USING (c_nationkey) JOIN sz USING (c_nationkey)
+        |  WHERE sz.n <= 15 AND a.c_custkey < b.c_custkey
+        |), hot AS (
+        |  SELECT c.* FROM c JOIN sz USING (c_nationkey) WHERE sz.n > 15
+        |), fsz AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM hot GROUP BY 1, 2
+        |), fine AS (
+        |  SELECT a.c_nationkey, a.c_custkey AS a_id, b.c_custkey AS b_id
+        |  FROM hot a JOIN hot b USING (c_nationkey, c_mktsegment)
+        |  JOIN fsz USING (c_nationkey, c_mktsegment)
+        |  WHERE fsz.n <= 15 AND a.c_custkey < b.c_custkey
+        |), frep AS (
+        |  SELECT c_nationkey, c_mktsegment, min(c_custkey) AS r
+        |  FROM hot JOIN fsz USING (c_nationkey, c_mktsegment)
+        |  WHERE fsz.n > 15 GROUP BY 1, 2
+        |), fstar AS (
+        |  SELECT h.c_nationkey, frep.r AS a_id, h.c_custkey AS b_id
+        |  FROM hot h JOIN frep USING (c_nationkey, c_mktsegment)
+        |  WHERE h.c_custkey <> frep.r
+        |), p AS (SELECT * FROM small UNION ALL SELECT * FROM fine
+        |         UNION ALL SELECT * FROM fstar)
+        |SELECT c_nationkey::INT AS nationkey, count(*)::BIGINT AS n_pairs,
+        |       CAST(sum(a_id * 3 + b_id) AS BIGINT) AS pair_checksum
+        |FROM p GROUP BY 1 ORDER BY 1""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val cust = Tables(spark, dir).customer
+        .select($"c_custkey", $"c_nationkey", $"c_mktsegment")
+      graft.operators.RecordLinkage
+        .blockedPairs(cust, "c_custkey", Seq("c_nationkey"), blockCap = 15,
+          finerKeyCols = Seq("c_mktsegment"))
+        .groupBy($"c_nationkey".cast("int").as("nationkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"a_c_custkey" * 3 + $"b_c_custkey").cast("long").as("pair_checksum"))
+        .orderBy($"nationkey")
+    },
   )
 }

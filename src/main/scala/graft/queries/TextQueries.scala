@@ -18,21 +18,54 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TextQueries {
 
+  /** Root for the run-time expected parquets below — JVM-scoped (pid in
+    * the path, stale dead-pid siblings removed on first touch) for the
+    * same reason as [[pidScopedScratch]]: two concurrently launched
+    * harness JVMs would otherwise overwrite each other's expected
+    * parquet mid-oracle-read and corrupt the gate comparison. The oracle
+    * SQL strings interpolate these vals at dump time, so DuckDB reads
+    * exactly the path this JVM wrote.
+    */
+  private lazy val expectedRoot: String = {
+    import java.nio.file.{Files, Path, Paths}
+    val tmp = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val prefix = "graft_expected_"
+    def alive(pid: Long): Boolean = {
+      val h = ProcessHandle.of(pid)
+      h.isPresent && h.get().isAlive
+    }
+    def rm(p: Path): Unit = {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+      finally s.close()
+    }
+    if (Files.isDirectory(tmp)) {
+      val s = Files.list(tmp)
+      try s.forEach { p =>
+        val n = p.getFileName.toString
+        val stale = n.startsWith(prefix) &&
+          scala.util.Try(n.stripPrefix(prefix).toLong).toOption.forall(!alive(_))
+        if (stale) { scala.util.Try(rm(p)); () }
+      } finally s.close()
+    }
+    val root = tmp.resolve(prefix + ProcessHandle.current().pid)
+    Files.createDirectories(root)
+    root.toString
+  }
+
   /** Expected-fingerprint parquet for q44b: sf-dependent, so it is written
     * by the query builder at run time (not committed like the EDI
-    * fixtures) to a fixed path the static oracle SQL can reference. */
-  val FingerprintExpected: String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_expected/fingerprint.parquet"
+    * fixtures) to a per-JVM path the dumped oracle SQL references. */
+  lazy val FingerprintExpected: String = s"$expectedRoot/fingerprint.parquet"
 
   /** Expected BPE token streams for q88 (same run-time idiom as q44b). */
-  val BpeExpected: String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_expected/bpe.parquet"
+  lazy val BpeExpected: String = s"$expectedRoot/bpe.parquet"
 
   /** Expected streaming-dedup survivors for q111: the single-batch
     * reference drain (DedupStreams.dedupOnce), written by the fixture
     * stage. */
-  val StreamDedupExpected: String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_expected/stream_dedup.parquet"
+  lazy val StreamDedupExpected: String = s"$expectedRoot/stream_dedup.parquet"
 
   /** Once-per-dir fixture stage for the run-time expected parquets
     * (q44b/q88/q111) — the MappingQueries.ensure idiom. The reference
@@ -126,19 +159,58 @@ object TextQueries {
     * generate_series only takes constants, hence the bound+filter form.
     */
   private val shingleCte =
-    """sh AS (
+    """sh AS MATERIALIZED (
       |  SELECT DISTINCT doc_id, substr(lower(text), g.i::INT, 3) AS s
       |  FROM documents, generate_series(1, 100000) g(i)
       |  WHERE g.i <= length(text) - 2
-      |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-      |inter AS (
-      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2
-      |)""".stripMargin
+      |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)""".stripMargin
+
+  /** Prefix-filtered EXACT pair derivation for the oracle texts — emits
+    * CTEs ending in `inter(da, db, i)` over a prior gram CTE `gram
+    * (doc_id, s)` with set semantics and its size CTE `szt(doc_id, n)`.
+    *
+    * The naive spelling (`gram a JOIN gram b ON a.s = b.s`) pays
+    * df(g)^2 on every hot gram, which is quadratic-in-corpus on a
+    * bounded-alphabet gram space — the sf0.1 q103 oracle needed 92 s and
+    * no sf1 run could finish. Prefix filtering (Bayardo et al., WWW'07;
+    * Chaudhuri et al., ICDE'06) bounds it EXACTLY for any similarity
+    * threshold t with containment/Jaccard >= t: i >= t*n_a, so fewer
+    * than (1-t)*n_a + 1 of a's grams can miss b, so among a's
+    * floor((1-t)*n_a)+1 grams that are GLOBALLY RAREST (order: document
+    * frequency asc, gram asc — any total order works) at least one is in
+    * b. Candidates therefore come from prefix(a) x full(b) — hot grams
+    * stay out of prefixes (a prefix holds each doc's rarest grams), so
+    * the join cost is Σ_g df_prefix(g)*df(g), linear-ish in the corpus —
+    * and the exact intersection count is then computed per candidate
+    * pair only. Both directions are covered because every doc
+    * contributes a prefix. `factor` = 1 - threshold.
+    */
+  private def prefixFilteredInter(gram: String, szt: String, factor: Double): String =
+    s"""gf AS (SELECT s, count(*) AS df FROM $gram GROUP BY 1),
+       |rk AS MATERIALIZED (
+       |  SELECT g.doc_id, g.s, z.n,
+       |         row_number() OVER (PARTITION BY g.doc_id ORDER BY gf.df, g.s) AS rk
+       |  FROM $gram g JOIN gf USING (s) JOIN $szt z USING (doc_id)
+       |),
+       |pref AS MATERIALIZED (
+       |  SELECT doc_id, s FROM rk WHERE rk <= CAST(floor($factor * n) AS INT) + 1
+       |),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT least(p.doc_id, b.doc_id) AS da,
+       |                  greatest(p.doc_id, b.doc_id) AS db
+       |  FROM pref p JOIN $gram b ON p.s = b.s AND p.doc_id <> b.doc_id
+       |),
+       |inter AS (
+       |  SELECT c.da, c.db, count(*) AS i
+       |  FROM cand c
+       |  JOIN $gram a ON a.doc_id = c.da
+       |  JOIN $gram b ON b.doc_id = c.db AND b.s = a.s
+       |  GROUP BY 1, 2
+       |)""".stripMargin
 
   private val jaccardOracle =
-    s"""WITH $shingleCte
+    s"""WITH $shingleCte,
+       |${prefixFilteredInter("sh", "sz", factor = 0.3)}
        |SELECT da, db,
        |       CAST(CAST(round(i * 1.0 / (sa.n + sb.n - i), 4) AS DECIMAL(18,4)) AS DOUBLE) AS jaccard
        |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
@@ -544,26 +616,46 @@ object TextQueries {
     // ---- q56: near-dup clusters (L2 completion) — connected components
     // over the exact Jaccard pair graph; every doc gets the min doc_id of
     // its component (singletons cluster to themselves). Oracle = the same
-    // pair set closed transitively with a recursive CTE.
+    // pair set (prefix-filtered derivation, exact) closed transitively by
+    // UNROLLED min-label propagation: K chained CTE rounds, each
+    // propagating min(label) across edges — K*(|V|+|E|) work, no
+    // recursion. The original recursive-reach spelling enumerates
+    // (node, ancestor-label) PATHS and DNF'd at sf0.1 (34 min / 79 GB of
+    // spill); this one is linear and scale-valid. Exact whenever every
+    // node is within K hops of its component's minimum (near-dup
+    // components are dense clique-like groups, diameter ~2-4; a deeper
+    // chain-shaped component would make the gate fail LOUDLY, never pass
+    // silently).
     QueryDef(
-      "q56_neardup_clusters",
-      s"""WITH RECURSIVE $shingleCte,
-         |pairs AS (
-         |  SELECT da, db
-         |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
-         |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
-         |),
-         |edges AS (SELECT da AS src, db AS dst FROM pairs
-         |          UNION SELECT db, da FROM pairs),
-         |reach AS (
-         |  SELECT src AS id, src AS r FROM edges
-         |  UNION
-         |  SELECT e.dst AS id, reach.r FROM edges e JOIN reach ON e.src = reach.id
-         |),
-         |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-         |SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
-         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
-         |ORDER BY d.doc_id""".stripMargin,
+      "q56_neardup_clusters", {
+        val k = 24
+        // AS MATERIALIZED on every round: each l_i references l_{i-1}
+        // twice, and an inlining planner would otherwise double the plan
+        // per round — 2^k expansions
+        val rounds = (1 to k).map { i =>
+          s"""l$i AS MATERIALIZED (
+             |  SELECT id, min(lbl) AS lbl FROM (
+             |    SELECT id, lbl FROM l${i - 1}
+             |    UNION ALL
+             |    SELECT e.dst AS id, l.lbl FROM edges e JOIN l${i - 1} l ON l.id = e.src
+             |  ) GROUP BY id
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $shingleCte,
+           |${prefixFilteredInter("sh", "sz", factor = 0.3)},
+           |pairs AS (
+           |  SELECT da, db
+           |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+           |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+           |),
+           |edges AS MATERIALIZED (SELECT da AS src, db AS dst FROM pairs
+           |          UNION SELECT db, da FROM pairs),
+           |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+           |$rounds
+           |SELECT d.doc_id, COALESCE(l$k.lbl, d.doc_id) AS cluster_id
+           |FROM documents d LEFT JOIN l$k ON d.doc_id = l$k.id
+           |ORDER BY d.doc_id""".stripMargin
+      },
     ) { (spark, dir) =>
       import spark.implicits._
       val docs = Tables(spark, dir).documents
@@ -1125,24 +1217,18 @@ object TextQueries {
     // refine, so the oracle is the exact bipartite all-pairs form. -------
     QueryDef(
       "q76_fuzzy_decontam",
-      """WITH sh AS (
-        |  SELECT DISTINCT doc_id, substr(lower(text), g.i::INT, 3) AS s
-        |  FROM documents, generate_series(1, 100000) g(i)
-        |  WHERE g.i <= length(text) - 2
-        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id % 11 <> 0 AND b.doc_id % 11 = 0
-        |  GROUP BY 1, 2
-        |), cont AS (
-        |  SELECT DISTINCT da AS doc_id
-        |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
-        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
-        |)
-        |SELECT d.lang, count(*)::BIGINT AS n_contaminated,
-        |       CAST(sum(d.doc_id) AS BIGINT) AS id_checksum
-        |FROM documents d JOIN cont USING (doc_id)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH $shingleCte,
+         |${prefixFilteredInter("sh", "sz", factor = 0.3)},
+         |cont AS (
+         |  SELECT DISTINCT CASE WHEN da % 11 = 0 THEN db ELSE da END AS doc_id
+         |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+         |  WHERE (da % 11 = 0) <> (db % 11 = 0)
+         |    AND i * 1.0 / (sa.n + sb.n - i) >= 0.7
+         |)
+         |SELECT d.lang, count(*)::BIGINT AS n_contaminated,
+         |       CAST(sum(d.doc_id) AS BIGINT) AS id_checksum
+         |FROM documents d JOIN cont USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     ) { (spark, dir) =>
       import spark.implicits._
       val docs = Tables(spark, dir).documents
@@ -1923,24 +2009,21 @@ object TextQueries {
     // unordered pair, both directions thresholded. -----------------------
     QueryDef(
       "q103_containment",
-      """WITH sh5 AS (
-        |  SELECT DISTINCT doc_id, substr(lower(text), g.i::INT, 5) AS s
-        |  FROM documents, generate_series(1, 100000) g(i)
-        |  WHERE g.i <= length(text) - 4
-        |), sz5 AS (SELECT doc_id, count(*) AS n FROM sh5 GROUP BY 1),
-        |inter5 AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-        |  FROM sh5 a JOIN sh5 b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |), sized AS (
-        |  SELECT da, db, i, sa.n AS na, sb.n AS nb
-        |  FROM inter5 JOIN sz5 sa ON sa.doc_id = da JOIN sz5 sb ON sb.doc_id = db
-        |)
-        |SELECT inner_doc, outer_doc,
-        |       CAST(CAST(round(c, 4) AS DECIMAL(18,4)) AS DOUBLE) AS containment
-        |FROM (SELECT da AS inner_doc, db AS outer_doc, i * 1.0 / na AS c FROM sized
-        |      UNION ALL SELECT db, da, i * 1.0 / nb FROM sized)
-        |WHERE c >= 0.9 ORDER BY inner_doc, outer_doc""",
+      s"""WITH sh5 AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, substr(lower(text), g.i::INT, 5) AS s
+         |  FROM documents, generate_series(1, 100000) g(i)
+         |  WHERE g.i <= length(text) - 4
+         |), sz5 AS (SELECT doc_id, count(*) AS n FROM sh5 GROUP BY 1),
+         |${prefixFilteredInter("sh5", "sz5", factor = 0.1)},
+         |sized AS (
+         |  SELECT da, db, i, sa.n AS na, sb.n AS nb
+         |  FROM inter JOIN sz5 sa ON sa.doc_id = da JOIN sz5 sb ON sb.doc_id = db
+         |)
+         |SELECT inner_doc, outer_doc,
+         |       CAST(CAST(round(c, 4) AS DECIMAL(18,4)) AS DOUBLE) AS containment
+         |FROM (SELECT da AS inner_doc, db AS outer_doc, i * 1.0 / na AS c FROM sized
+         |      UNION ALL SELECT db, da, i * 1.0 / nb FROM sized)
+         |WHERE c >= 0.9 ORDER BY inner_doc, outer_doc""".stripMargin,
     ) { (spark, dir) =>
       import spark.implicits._
       Dedup.containmentPairs(

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.{Dedup, MinHashLSH}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
@@ -13,20 +13,62 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   *
   *  1. MinHash signatures for the batch docs (the same fused
   *     aggregator the batch path uses);
-  *  2. banded candidate join of batch signatures against the persisted
-  *     signature index AND against the batch itself (earlier-id docs),
-  *     both derived through MinHashLSH.bandKeys so the banding can
-  *     never drift from the batch operators, and both bounded by the
-  *     same hot-bucket discipline (within-batch pairs via
-  *     cappedBucketPairs; index buckets truncated to the cap);
-  *  3. similarity estimated from the signatures alone — the fraction
-  *     of agreeing MinHash components is an unbiased estimator of
-  *     Jaccard (Broder 1997) — so the index stores 128 longs per doc,
-  *     never the original text or shingles;
+  *  2. banded candidate probe of batch band keys against the persisted
+  *     MEMBERSHIP index (already banded and bucket-capped at write
+  *     time — see the index layout below) plus the in-batch capped
+  *     bucket pairs, both derived through MinHashLSH.bandKeys so the
+  *     banding can never drift from the batch operators;
+  *  3. similarity estimated from stored 1-byte minhash components
+  *     alone — b-bit minwise hashing (Li & König, CACM 2011): the
+  *     fraction of agreeing 8-bit components estimates
+  *     J + (1-J)/256, so the drop test compares against the
+  *     collision-corrected threshold t + (1-t)/256. The index stores
+  *     128 bytes per doc, never the original text or shingles, and is
+  *     8x smaller than full 64-bit signatures;
   *  4. greedy resolution in doc_id order over ONLY the docs involved in
   *     a candidate pair or index hit (metadata-scale: they are the
   *     near-dups themselves, not the corpus); everything else is
   *     retained by an anti-join against the small dropped set.
+  *
+  * Batches at or under [[DefaultDriverBatchCap]] run the pairwise steps
+  * (2–4) as a DRIVER-RESIDENT KERNEL over the collected banded rows and
+  * b-bit signatures — metadata-scale state, the broadcast-parameters
+  * idiom — so a trigger costs the index probe scan, the signature
+  * aggregation and three writes, not a dozen batch-scale shuffle
+  * stages. Above the cap the identical semantics run distributed
+  * (spec-asserted equivalent).
+  *
+  * == Incremental index layout ==
+  *
+  * {{{
+  * indexDir/members/{compacted=<M> | batch=<id>}/   (band, bkey, doc_id)
+  * indexDir/sigs/   {compacted=<M> | batch=<id>}/   (doc_id, sig8)
+  * }}}
+  *
+  * The membership table is banded AND capped when written: under the
+  * monotone-id contract the read-side "cap lowest-id docs per bucket"
+  * truncation is identical to write-side admission ("a doc enters a
+  * bucket only while it has fewer than cap members"), which makes
+  * bucket membership append-only-until-full — so per-trigger work is
+  * O(batch + hits): band keys are computed for the BATCH only, the
+  * bucket-cap needs no window over the index (occupancy of exactly the
+  * buckets the batch touches falls out of the probe join itself), and
+  * the only shuffles are batch-sized aggregations. The index side of
+  * every join is the broadcast-probe scan of a narrow parquet table;
+  * on a cluster deployment the same two tables would sit behind a
+  * key-value/state-store interface for true point lookups — the layout
+  * (bucket-keyed membership + doc-keyed signatures, both append-only)
+  * is exactly a KV schema, which is the deliberate seam.
+  *
+  * Every `compactEvery` batches the `batch=<id>` partition dirs are
+  * folded into a single `compacted=<M>` dir (M = highest batch id
+  * included), so the per-trigger directory listing and file count stay
+  * bounded regardless of stream age. Compaction is pure concatenation —
+  * the cap was enforced at write time — and is crash-safe: the sigs dir
+  * is written before the members dir, readers key the current compaction
+  * epoch off the members listing (newest `compacted=` with `_SUCCESS`),
+  * and batch dirs are only deleted after both writes land; a replayed
+  * trigger re-runs the same deterministic compaction.
   *
   * PRECONDITION for cross-run agreement: doc ids must arrive
   * monotonically non-decreasing across batches (ingest-time-assigned
@@ -36,11 +78,12 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * against what it has RETAINED so far, but a later full-corpus batch
   * replay may keep a different (lower-id) member of each dup group.
   *
-  * Estimator note: with 128 permutations the estimate's std-dev is
-  * ~0.04 at J=0.7, so this trades exactness at the threshold boundary
-  * for an index 1000x smaller than the corpus — the standard online
-  * dedup contract. The batch operators (Dedup.jaccardPairs) remain the
-  * exact forms.
+  * Estimator note: with 128 one-byte components the corrected
+  * estimator's std-dev is ~0.04 at J=0.7 (byte collisions add variance
+  * comparable to the full-width estimator's), so this trades exactness
+  * at the threshold boundary for an index ~8000x smaller than the
+  * corpus — the standard online dedup contract. The batch operators
+  * (Dedup.jaccardPairs) remain the exact forms.
   */
 object DedupStreams {
 
@@ -50,8 +93,28 @@ object DedupStreams {
   private val RowsPerBand = 4
   private val NumPerms = Bands * RowsPerBand
 
+  /** Micro-batches between index compactions (fold `batch=*` dirs into
+    * one `compacted=<M>` dir). Bounds the per-trigger listing at
+    * O(compactEvery) dirs; <= 0 disables compaction.
+    */
+  val DefaultCompactEvery = 16
+
+  /** Batch-doc-count bound for the driver-resident batch kernel — the
+    * broadcast-parameters shape ([[graft.operators.PageRank]] fast path,
+    * same idiom): a micro-batch's banded rows and 128-byte signatures
+    * are metadata-scale (~10 MB at this cap), so within-batch pair
+    * generation, similarity estimates, greedy resolution and bucket
+    * admission run in plain Scala on the driver, leaving Spark exactly
+    * the distributed work — the index probe scan and the writes. Cuts
+    * ~8 batch-scale shuffle stages (and their fixed latency) out of
+    * every trigger. Above the cap the identical semantics run as the
+    * distributed spelling (asserted equivalent in spec). Aligned with
+    * [[Dedup.MaxExactDocs]].
+    */
+  val DefaultDriverBatchCap: Long = 65536L
+
   /** Start the checkpointed streaming ingest: retained docs land in
-    * `outDir` (parquet), their signatures in `indexDir`.
+    * `outDir` (parquet), their signature index under `indexDir`.
     */
   def ingest(
       docs: DataFrame,
@@ -80,112 +143,339 @@ object DedupStreams {
       threshold: Double = 0.7): Unit =
     dedupBatch(docs, outDir, indexDir, threshold, 0L)
 
+  /** b-bit agreement estimate: fraction of agreeing 8-bit components.
+    * E[est8] = J + (1-J)/256 (Li & König), hence the corrected
+    * threshold in [[dedupBatch]].
+    */
+  private def est8(sa: Column, sb: Column): Column =
+    aggregate(
+      zip_with(sa, sb, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, m) => acc + m).cast("double") / lit(NumPerms)
+
+  /** List one index table dir: newest complete `compacted=<M>` epoch
+    * (must carry `_SUCCESS` — a crashed compaction write is invisible)
+    * and the live `batch=<id>` dirs after it. Hadoop FileSystem API —
+    * java.nio would silently see nothing on hdfs:///s3a:// paths and
+    * disable cross-batch dedup without an error. Non-numeric strays are
+    * ignored rather than fatal.
+    */
+  private def listTable(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): (Option[Long], Seq[Long]) = {
+    if (!fs.exists(dir)) return (None, Nil)
+    val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    def ids(prefix: String): Seq[Long] = names.filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
+    val epochs = ids("compacted=").filter(m =>
+      fs.exists(new org.apache.hadoop.fs.Path(dir, s"compacted=$m/_SUCCESS")))
+    val m = if (epochs.nonEmpty) Some(epochs.max) else None
+    (m, ids("batch=").filter(b => m.forall(b > _)).sorted)
+  }
+
+  /** Fold `batch=*` dirs with id <= `upTo` (plus the previous compacted
+    * epoch) into `compacted=<upTo>` for both index tables, then delete
+    * the folded dirs. Pure concatenation — caps were enforced at write
+    * time. Deterministic for a given `upTo`, so a foreachBatch replay
+    * that re-runs it is harmless; the sigs epoch is written before the
+    * members epoch so any members epoch a reader selects has its sigs
+    * counterpart on disk.
+    */
+  private def compact(spark: SparkSession, indexDir: String, upTo: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val membersDir = new org.apache.hadoop.fs.Path(s"$indexDir/members")
+    val sigsDir = new org.apache.hadoop.fs.Path(s"$indexDir/sigs")
+    val fs = membersDir.getFileSystem(conf)
+    val (m, batches) = listTable(fs, membersDir)
+    val fold = batches.filter(_ <= upTo)
+    if (fold.isEmpty) return // already compacted through upTo (e.g. a replay)
+    def paths(dir: String): Seq[String] =
+      m.map(e => s"$dir/compacted=$e").toSeq ++ fold.map(b => s"$dir/batch=$b")
+    spark.read.parquet(paths(s"$indexDir/sigs"): _*)
+      .write.mode("overwrite").parquet(s"$indexDir/sigs/compacted=$upTo")
+    spark.read.parquet(paths(s"$indexDir/members"): _*)
+      .write.mode("overwrite").parquet(s"$indexDir/members/compacted=$upTo")
+    log.info(s"compacted signature index through batch $upTo " +
+      s"(${fold.size} batch dir(s) + ${m.fold("no prior epoch")(e => s"epoch $e")})")
+    // cleanup is best-effort: leftovers are ignored by readers (ids <=
+    // the new epoch) and retried by the next compaction. Raw listing, not
+    // listTable — that helper hides exactly the now-folded ids (<= the
+    // epoch just written) that need deleting.
+    for (dir <- Seq(membersDir, sigsDir) if fs.exists(dir)) {
+      val stale = fs.listStatus(dir).toSeq.map(_.getPath.getName).filter { n =>
+        def id(prefix: String): Option[Long] =
+          if (n.startsWith(prefix))
+            scala.util.Try(n.stripPrefix(prefix).toLong).toOption
+          else None
+        id("batch=").exists(_ <= upTo) || id("compacted=").exists(_ < upTo)
+      }
+      stale.foreach(n => scala.util.Try(
+        fs.delete(new org.apache.hadoop.fs.Path(dir, n), true)))
+    }
+  }
+
   /** One micro-batch of the online dedup; package-private so the
-    * batching-invariance and replay-idempotence properties are testable
-    * directly.
+    * batching-invariance, replay-idempotence, admission-cap and
+    * O(batch)-work properties are testable directly.
     *
-    * Exactly-once: survivors and signatures land in per-batch partition
+    * Exactly-once: survivors and index rows land in per-batch partition
     * directories (`batch=<id>`) written with overwrite — foreachBatch
-    * replays a failed batch with the SAME id, so a crash between the two
-    * writes (or mid-write) is healed by the rerun overwriting its own
-    * partition instead of appending duplicates.
+    * replays a failed batch with the SAME id, so a crash between writes
+    * (or mid-write) is healed by the rerun overwriting its own
+    * partitions instead of appending duplicates. The CURRENT batch id is
+    * excluded from the index read: an interrupted write of this id is
+    * about to be overwritten and must not feed its own dedup pass.
     */
   private[streaming] def dedupBatch(
       batch: DataFrame, outDir: String, indexDir: String, threshold: Double,
       batchId: Long = 0L,
-      bucketCap: Int = MinHashLSH.DefaultBucketCap): Unit = {
+      bucketCap: Int = MinHashLSH.DefaultBucketCap,
+      compactEvery: Int = DefaultCompactEvery,
+      driverBatchCap: Long = DefaultDriverBatchCap): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    if (batch.isEmpty) return
+    // cached for the trigger's duration: the source frame is otherwise
+    // re-read by the emptiness guard, the shingle pipeline AND the
+    // survivor write — three scans of the same micro-batch input
+    val cachedBatch = batch.cache()
+    if (cachedBatch.isEmpty) { cachedBatch.unpersist(); return }
+    // compact FIRST (before this trigger's index read) so the listing
+    // this very batch performs is already bounded. batchId is a pure
+    // function of the trigger, so a replayed batch re-runs the same
+    // compaction — which is then a no-op.
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compact(spark, indexDir, upTo = batchId - 1)
+
+    // batch signatures: full 64-bit components feed the band keys (full
+    // key entropy — 8-bit banding would birthday-collide unrelated docs
+    // at billion-doc scale), the 1-byte fold feeds every similarity
+    // estimate and the persisted index. A micro-batch often arrives as
+    // ONE file-source partition — spread the signature aggregation (the
+    // trigger's only real compute: |shingles| x numPerms min updates)
+    // across the executors instead of one task; the batch-sized text
+    // shuffle this costs is noise next to the 4-8x it parallelizes
+    // modest spread for the signature aggregation when the micro-batch
+    // arrives as one file-source partition: 8-way is the measured sweet
+    // spot at 1000-doc batches (32-way loses more to task scheduling
+    // than it gains; 1-way leaves the trigger's only real compute —
+    // |shingles| x numPerms min updates — on a single core)
+    val sigSrc =
+      if (cachedBatch.rdd.getNumPartitions < 8) cachedBatch.repartition(8)
+      else cachedBatch
     val sigs = MinHashLSH
-      .signatures(Dedup.charShingles(batch, "doc_id", "text"), NumPerms)
+      .signatures(Dedup.charShingles(sigSrc, "doc_id", "text"), NumPerms)
+      .withColumn("sig8", transform(col("sig"), x => x.bitwiseAND(lit(255L))))
+      .cache()
+    val banded = MinHashLSH.bandKeys(sigs, Bands, RowsPerBand)
+      .select(col("doc_id"), col("band"), col("bkey"))
+      .cache()
+    // collision-corrected b-bit drop threshold (see scaladoc)
+    val tCorr = threshold + (1 - threshold) / 256.0
+
+    val hPath = new org.apache.hadoop.fs.Path(s"$indexDir/members")
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val (epoch, liveBatches) = listTable(fs, hPath)
+    val live = liveBatches.filter(_ != batchId)
+    def tablePaths(table: String): Seq[String] =
+      epoch.map(e => s"$indexDir/$table/compacted=$e").toSeq ++
+        live.map(b => s"$indexDir/$table/batch=$b")
+    val members =
+      if (epoch.nonEmpty || live.nonEmpty)
+        spark.read.parquet(tablePaths("members"): _*)
+          .select(col("band"), col("bkey"), col("doc_id").as("mid"))
+      else Seq.empty[(Int, Long, Long)].toDF("band", "bkey", "mid")
+    val idxSigs =
+      if (epoch.nonEmpty || live.nonEmpty)
+        spark.read.parquet(tablePaths("sigs"): _*)
+      else Seq.empty[(Long, Array[Long])].toDF("doc_id", "sig8")
+
+    // probe the (write-time-capped) membership with the batch's band
+    // keys: broadcast the batch side, so the index side is a pruned
+    // columnar scan with NO shuffle, NO re-banding, NO window. Bucket
+    // occupancy for admission (below) falls out of the same join —
+    // counted over exactly the buckets this batch touches.
+    val memberHits = members
+      .join(broadcast(banded.withColumnRenamed("doc_id", "nid")), Seq("band", "bkey"))
       .cache()
     try {
-      // prior-batch partitions via the Hadoop FileSystem API — java.nio
-      // would silently see nothing on hdfs:///s3a:// paths and disable
-      // cross-batch dedup without an error. The CURRENT batch id is
-      // excluded: an interrupted write of this id is about to be
-      // overwritten and must not feed its own dedup pass. Non-numeric
-      // strays are ignored rather than fatal.
-      val hPath = new org.apache.hadoop.fs.Path(indexDir)
-      val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-      val priorBatches =
-        if (fs.exists(hPath))
-          fs.listStatus(hPath).toSeq.map(_.getPath.getName)
-            .filter(_.startsWith("batch="))
-            .filter(n => scala.util.Try(n.stripPrefix("batch=").toLong)
-              .toOption.exists(_ != batchId))
-        else Seq.empty
-      val index = if (priorBatches.nonEmpty)
-        spark.read.parquet(priorBatches.map(b => s"$indexDir/$b"): _*)
-          .select(col("doc_id"), col("sig"))
-      else Seq.empty[(Long, Array[Long])].toDF("doc_id", "sig")
-
-      // signature-estimated Jaccard: fraction of agreeing components
-      def est(sa: Column, sb: Column): Column =
-        aggregate(
-          zip_with(sa, sb, (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, m) => acc + m).cast("double") / lit(NumPerms)
-
-      val newBanded = MinHashLSH.bandKeys(sigs, Bands, RowsPerBand)
-      // index side truncated to `bucketCap` docs per (band, key): a new
-      // doc in a hot bucket is checked against the cap lowest-id index
-      // members instead of all K — the streaming analog of the batch
-      // star-cap (recall inside a hot bucket degrades, cost stays
-      // bounded); min-id-first keeps the truncation deterministic
-      val wBucket = Window.partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))
-      val oldBanded = MinHashLSH.bandKeys(index, Bands, RowsPerBand)
-        .withColumn("__rn", row_number().over(wBucket))
-        .filter(col("__rn") <= bucketCap)
-        .drop("__rn")
-      // batch vs index: any estimated hit drops the new doc (every index
-      // doc is by construction retained); output is the hit ids — the
-      // actual near-dups, metadata-scale
-      val indexHits = newBanded.alias("n")
-        .join(oldBanded.alias("o"), Seq("band", "bkey"))
-        .select(col("n.doc_id").as("id"), col("n.sig").as("sa"), col("o.sig").as("sb"))
-        .filter(est(col("sa"), col("sb")) >= threshold)
-        .select(col("id")).distinct()
-        .as[Long].collect().toSet
-
-      // batch vs earlier batch docs (da < db): candidate pairs through the
-      // SAME hot-bucket cap as the batch operators (a batch of K
-      // boilerplate-identical docs must produce K-1 star pairs, not K^2),
-      // refined by the signature estimate
-      val candidates = MinHashLSH.cappedBucketPairs(
-        newBanded.select(col("doc_id"), col("band"), col("bkey")),
-        bucketCap, logOverflow = false, dedup = false)
-      val sa = sigs.select(col("doc_id").as("da"), col("sig").as("sa"))
-      val sb = sigs.select(col("doc_id").as("db"), col("sig").as("sb"))
-      val withinPairs = candidates
-        .join(sa, Seq("da")).join(sb, Seq("db"))
-        .filter(est(col("sa"), col("sb")) >= threshold)
-        .select(col("da"), col("db")).distinct()
-        .as[(Long, Long)].collect()
+      // bucket occupancy for admission, counted over exactly the buckets
+      // this batch touches (it falls out of the probe join)
+      val occupancy = memberHits.groupBy(col("band"), col("bkey"))
+        .agg(countDistinct(col("mid")).as("occ"))
 
       // greedy resolution in id order over only the pair-involved ids —
       // a doc in no pair and no index hit is retained unconditionally,
       // and every potential dropper of a pair endpoint is itself a pair
       // endpoint, so resolving the candidate set alone is complete
-      val nearOf = withinPairs.groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).toSet }
-      val contested = (indexHits ++ withinPairs.flatMap(p => Seq(p._1, p._2))).toSeq.sorted
-      val dropped = scala.collection.mutable.HashSet.empty[Long]
-      contested.foreach { id =>
-        val dupOfRetained = indexHits.contains(id) ||
-          nearOf.getOrElse(id, Set.empty).exists(a => !dropped.contains(a))
-        if (dupOfRetained) dropped += id
+      def resolveDropped(
+          indexHits: Set[Long], withinPairs: Array[(Long, Long)]): Set[Long] = {
+        val nearOf = withinPairs.groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).toSet }
+        val contested = (indexHits ++ withinPairs.flatMap(p => Seq(p._1, p._2))).toSeq.sorted
+        val dropped = scala.collection.mutable.HashSet.empty[Long]
+        contested.foreach { id =>
+          val dupOfRetained = indexHits.contains(id) ||
+            nearOf.getOrElse(id, Set.empty).exists(a => !dropped.contains(a))
+          if (dupOfRetained) dropped += id
+        }
+        if (dropped.nonEmpty)
+          log.info(s"dedupBatch($batchId): dropped ${dropped.size} near-duplicate doc(s)")
+        dropped.toSet
       }
-      if (dropped.nonEmpty)
-        log.info(s"dedupBatch($batchId): dropped ${dropped.size} near-duplicate doc(s)")
+      def writeOut(dropped: Set[Long]): DataFrame = {
+        // anti-join against the (small) dropped set; per-batch overwrite
+        // partitions make a foreachBatch replay idempotent
+        val droppedDf = broadcast(dropped.toSeq.toDF("doc_id"))
+        cachedBatch.join(droppedDf, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        droppedDf
+      }
 
-      // anti-join against the (small) dropped set; per-batch overwrite
-      // partitions make a foreachBatch replay idempotent
-      val droppedDf = broadcast(dropped.toSeq.toDF("doc_id"))
-      batch.join(droppedDf, Seq("doc_id"), "left_anti")
-        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      sigs.join(droppedDf, Seq("doc_id"), "left_anti")
-        .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
-    } finally sigs.unpersist()
+      val nDocs = sigs.count() // also materializes the signature cache
+      if (nDocs <= driverBatchCap) {
+        // ---------------- driver-resident batch kernel ----------------
+        // (see DefaultDriverBatchCap) — the batch's banded rows and b-bit
+        // signatures come to the driver once; everything pairwise happens
+        // in plain Scala with the EXACT arithmetic of the distributed
+        // spelling below (spec-asserted equivalent across the cap).
+        val sig8Local: Map[Long, Array[Long]] =
+          sigs.select(col("doc_id"), col("sig8")).as[(Long, Array[Long])]
+            .collect().toMap
+        val bandedLocal: Array[(Int, Long, Long)] =
+          banded.select(col("band"), col("bkey"), col("doc_id"))
+            .as[(Int, Long, Long)].collect()
+        def agrees(a: Array[Long], b: Array[Long]): Boolean = {
+          var c = 0; var i = 0
+          while (i < a.length) { if (a(i) == b(i)) c += 1; i += 1 }
+          c.toDouble / NumPerms >= tCorr
+        }
+
+        // batch vs index: candidates from the distributed probe, member
+        // signatures fetched for the candidates only — the hits, not the
+        // index; any agreeing hit drops the new doc (every index doc is
+        // by construction retained)
+        // ONE job resolves both the candidate pair set and the member
+        // signatures: the (small, batch-derived) candidate side is
+        // broadcast explicitly so the index side is never shuffled
+        val candWithSig: Array[(Long, Long, Array[Long])] = idxSigs
+          .withColumnRenamed("doc_id", "mid")
+          .join(broadcast(memberHits.select(col("nid"), col("mid")).distinct()), Seq("mid"))
+          .select(col("nid"), col("mid"), col("sig8"))
+          .as[(Long, Long, Array[Long])].collect()
+        val indexHits: Set[Long] = candWithSig.iterator
+          .filter { case (nid, _, msig) => agrees(sig8Local(nid), msig) }
+          .map(_._1).toSet
+
+        // batch vs earlier batch docs (da < db): per-bucket all-pairs
+        // under the cap, representative-star above it — the semantics of
+        // MinHashLSH.cappedBucketPairs — then the agreement refine on the
+        // deduped pair set
+        val pairSet = scala.collection.mutable.HashSet.empty[(Long, Long)]
+        bandedLocal.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+          val ds = rows.map(_._3).sorted
+          if (ds.length <= bucketCap) {
+            var i = 0
+            while (i < ds.length) {
+              var j = i + 1
+              while (j < ds.length) { pairSet += ((ds(i), ds(j))); j += 1 }
+              i += 1
+            }
+          } else ds.iterator.drop(1).foreach(d => pairSet += ((ds(0), d)))
+        }
+        val withinPairs = pairSet.iterator
+          .filter { case (a, b) => agrees(sig8Local(a), sig8Local(b)) }.toArray
+
+        val dropped = resolveDropped(indexHits, withinPairs)
+
+        // admission: a surviving doc enters each of its buckets only
+        // while the bucket is below cap — existing occupancy (from the
+        // probe join) + arrival rank among this batch's surviving
+        // entrants. Under monotone ids this equals the read-side "cap
+        // lowest-id members" truncation exactly. Single-partition local
+        // writes: one file per batch per table, not shuffle-partition
+        // many.
+        val occLocal: Map[(Int, Long), Long] = occupancy
+          .as[(Int, Long, Long)].collect().map { case (b, k, o) => (b, k) -> o }.toMap
+        val admitted: Seq[(Int, Long, Long)] = bandedLocal.iterator
+          .filter(t => !dropped.contains(t._3)).toSeq
+          .groupBy(t => (t._1, t._2)).iterator.flatMap { case ((band, bkey), rows) =>
+            val room = bucketCap - occLocal.getOrElse((band, bkey), 0L)
+            rows.map(_._3).sorted.take(math.max(0L, room).toInt)
+              .map(d => (band, bkey, d))
+          }.toSeq
+        val membersDf = admitted.toDF("band", "bkey", "doc_id")
+        // signatures only for docs reachable from the membership (a doc
+        // admitted to zero buckets can never be probed)
+        val sigsDf = admitted.map(_._3).distinct.map(d => (d, sig8Local(d).toSeq))
+          .toDF("doc_id", "sig8")
+        // the three writes are independent (survivors, membership,
+        // signatures) — run them as concurrent jobs; each is individually
+        // idempotent (overwrite of its own batch=<id> dir) so a failure
+        // in any of them fails the trigger and the replay heals all three
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future.sequence(Seq(
+          Future(writeOut(dropped)),
+          Future(membersDf.write.mode("overwrite")
+            .parquet(s"$indexDir/members/batch=$batchId")),
+          Future(sigsDf.write.mode("overwrite")
+            .parquet(s"$indexDir/sigs/batch=$batchId")))),
+          scala.concurrent.duration.Duration.Inf)
+      } else {
+        // ---------------- distributed spelling (over-cap) ----------------
+        // batch vs index: signatures are fetched for the candidate
+        // members only — the hits, not the index
+        val candIdx = memberHits.select(col("nid"), col("mid")).distinct()
+        val memberSigs = idxSigs.join(
+          broadcast(candIdx.select(col("mid").as("doc_id")).distinct()), Seq("doc_id"))
+        val indexHits = candIdx
+          .join(broadcast(sigs.select(col("doc_id").as("nid"), col("sig8").as("nsig"))), Seq("nid"))
+          .join(broadcast(memberSigs.select(col("doc_id").as("mid"), col("sig8").as("msig"))), Seq("mid"))
+          .filter(est8(col("nsig"), col("msig")) >= tCorr)
+          .select(col("nid")).distinct()
+          .as[Long].collect().toSet
+
+        // batch vs earlier batch docs through the SAME hot-bucket cap as
+        // the batch operators. dedup=true here (unlike Dedup's batch
+        // path): the refine is the interpreted est8 HOF, not a codegen'd
+        // popcount kernel, so evaluating it on the per-band duplicated
+        // multiset (up to `bands` copies per pair) costs far more than
+        // the batch-scale distinct that removes them (measured 10x)
+        val candidates = MinHashLSH.cappedBucketPairs(
+          banded, bucketCap, logOverflow = false, dedup = true, cache = false)
+        val sa = sigs.select(col("doc_id").as("da"), col("sig8").as("sa"))
+        val sb = sigs.select(col("doc_id").as("db"), col("sig8").as("sb"))
+        val withinPairs = candidates
+          .join(sa, Seq("da")).join(sb, Seq("db"))
+          .filter(est8(col("sa"), col("sb")) >= tCorr)
+          .select(col("da"), col("db")).distinct()
+          .as[(Long, Long)].collect()
+
+        val dropped = resolveDropped(indexHits, withinPairs)
+        val droppedDf = writeOut(dropped)
+
+        // admission via a window over BATCH rows only (same semantics as
+        // the driver kernel's local form)
+        val wAdm = Window.partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))
+        banded
+          .join(droppedDf, Seq("doc_id"), "left_anti")
+          .join(broadcast(occupancy), Seq("band", "bkey"), "left")
+          .withColumn("__r", row_number().over(wAdm))
+          .filter(col("__r") + coalesce(col("occ"), lit(0)) <= lit(bucketCap))
+          .select(col("band"), col("bkey"), col("doc_id"))
+          .write.mode("overwrite").parquet(s"$indexDir/members/batch=$batchId")
+        // read the written partition back rather than recomputing the
+        // admission window
+        val admittedIds = spark.read.parquet(s"$indexDir/members/batch=$batchId")
+          .select(col("doc_id")).distinct()
+        sigs.select(col("doc_id"), col("sig8"))
+          .join(admittedIds, Seq("doc_id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$indexDir/sigs/batch=$batchId")
+      }
+    } finally {
+      memberHits.unpersist()
+      banded.unpersist()
+      sigs.unpersist()
+      cachedBatch.unpersist()
+    }
     ()
   }
 }

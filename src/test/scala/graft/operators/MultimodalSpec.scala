@@ -51,4 +51,24 @@ class MultimodalSpec extends SparkSpec {
       .agg(min(col("n")), max(col("n"))).head()
     assert(sizes.getInt(1) <= 64)
   }
+
+  test("a custom MediaCodec plugs into the same operators (the deployment seam)") {
+    // "codec" that decodes every item to a constant vector and one frame —
+    // stands in for a JNI-backed implementation; proves the operators take
+    // their decode behavior from the trait, not from the stub
+    object ConstCodec extends MediaCodec {
+      override val featureDim: Int = 2
+      override def openSession(): MediaCodec.Session = new MediaCodec.Session {
+        override def decodeFeatures(bytes: Array[Byte]): Array[Float] =
+          Array(bytes.length.toFloat, 42f)
+        override def sampleFrames(bytes: Array[Byte], n: Int): IndexedSeq[Array[Byte]] =
+          IndexedSeq(bytes.take(2))
+      }
+    }
+    val f = Multimodal.extractFeatures(spark, binaries, ConstCodec)
+    assert(f.head().features.toSeq == Seq(f.head().nBytes.toFloat, 42f))
+    val frames = Multimodal.sampleFrames(spark, binaries, 4, ConstCodec)
+    assert(frames.count() == ClaimFixtures.NumDocs) // ConstCodec emits 1 frame
+    assert(frames.columns.toSeq == Seq("file_name", "frame_no", "frame_bytes"))
+  }
 }

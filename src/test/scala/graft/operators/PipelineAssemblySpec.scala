@@ -87,6 +87,22 @@ class PipelineAssemblySpec extends SparkSpec {
     assert(m("https://example.dev/e") == "example.dev")
   }
 
+  test("PSL-aware registered domain: 1-label and unparseable hosts fall back, not crash") {
+    import spark.implicits._
+    val suffixes = Seq("co.uk", "com").toDF("suffix")
+    val urls = Seq(
+      "http://localhost/x",            // 1-label host: no suffix candidates
+      "not a url at all",              // urlHost regex misses -> host ''
+      "https://www.example.co.uk/a"    // sanity: PSL path still works
+    ).toDF("url")
+    val out = DomainCaps.withRegisteredDomainPsl(urls, "url", suffixes)
+      .select($"url", $"domain").as[(String, String)].collect().toMap
+    assert(out.size == 3)
+    assert(out("http://localhost/x") == "")  // last-two-labels fallback on 1 label
+    assert(out("not a url at all") == "")
+    assert(out("https://www.example.co.uk/a") == "example.co.uk")
+  }
+
   test("hard negatives: same-label and below-band candidates are excluded, order by cosine") {
     import spark.implicits._
     val vecs = Seq(

@@ -76,4 +76,146 @@ class DedupStreamsSpec extends SparkSpec {
       .select(col("doc_id")).as[Long].collect().toSet
     assert(survivors == Set(1L, 2L, 4L, 7L))
   }
+
+  // fully distinct docs (disjoint token sets): no near-dups, so the index
+  // grows by the whole batch every trigger — the worst case for any
+  // per-trigger work that scales with index size
+  private def distinctDocs(ids: Seq[Long]): DataFrame =
+    ids.map { i =>
+      // seeded-random words: near-zero char-shingle overlap between docs
+      // (structured ids like "tok<i>x<k>" share most of their 3-grams)
+      val rng = new scala.util.Random(i)
+      i -> Seq.fill(30)(rng.alphanumeric.take(8).mkString).mkString(" ")
+    }.toDF("doc_id", "text")
+
+  test("per-batch shuffle work is O(batch), independent of index size") {
+    val root = Files.createTempDirectory("dedup_stream_obatch").toString
+    val out = s"$root/out"; val idx = s"$root/index"
+    val shuffled = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffled.addAndGet(t.taskMetrics.shuffleReadMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val perBatch = (0 until 24).map { i =>
+        val ids = (i * 20L) until (i * 20L + 20)
+        shuffled.set(0)
+        DedupStreams.dedupBatch(distinctDocs(ids), out, idx, threshold = 0.7,
+          batchId = i.toLong, compactEvery = 8)
+        org.apache.spark.sql.graft.ListenerBusHook.drain(spark.sparkContext)
+        shuffled.get()
+      }
+      // the old implementation re-banded + re-windowed the FULL index per
+      // trigger: its shuffle grew by ~batch*bands records every batch. The
+      // incremental index shuffles only batch-derived rows, so late batches
+      // must not exceed early ones beyond noise. Compaction batches (8, 16)
+      // legitimately shuffle nothing extra (pure concat reads), but AQE
+      // variance exists — compare medians of the two halves.
+      def median(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
+      val early = median(perBatch.slice(2, 10))
+      val late = median(perBatch.slice(16, 24))
+      assert(late <= early * 1.5 + 100,
+        s"per-batch shuffle grew with index size: early median $early, " +
+          s"late median $late (per-batch: ${perBatch.mkString(", ")})")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("compaction bounds the directory listing and preserves survivors") {
+    // same corpus drained with and without compaction must agree exactly
+    def drain(compactEvery: Int): (String, Set[Long]) = {
+      val root = Files.createTempDirectory("dedup_stream_compact").toString
+      (0 until 12).foreach { i =>
+        val docs =
+          if (i % 3 == 2) corpus.filter(col("doc_id") === (i % 7 + 1)) // re-sends: dups
+          else distinctDocs(Seq(100L + i))
+        DedupStreams.dedupBatch(docs, s"$root/out", s"$root/index", threshold = 0.7,
+          batchId = i.toLong, compactEvery = compactEvery)
+      }
+      val survivors = spark.read.parquet(s"$root/out")
+        .select(col("doc_id")).as[Long].collect().toSet
+      (root, survivors)
+    }
+    val (rootC, survC) = drain(compactEvery = 4)
+    val (_, survN) = drain(compactEvery = 0)
+    assert(survC == survN, "compaction changed the survivor set")
+    for (table <- Seq("members", "sigs")) {
+      val names = new java.io.File(s"$rootC/index/$table").list().toSeq
+      val batchDirs = names.filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+      assert(names.contains("compacted=7"),
+        s"$table: expected epoch compacted=7 in $names")
+      assert(batchDirs.forall(_ > 7),
+        s"$table: folded batch dirs must be deleted, saw $names")
+      assert(batchDirs.size <= 4, s"$table: listing not bounded: $names")
+    }
+  }
+
+  test("a replayed batch at a compaction boundary is idempotent") {
+    val root = Files.createTempDirectory("dedup_stream_compact_replay").toString
+    val out = s"$root/out"; val idx = s"$root/index"
+    def run(i: Long): Unit = DedupStreams.dedupBatch(
+      distinctDocs(Seq(i)), out, idx,
+      threshold = 0.7, batchId = i, compactEvery = 4)
+    (0L until 8L).foreach(run) // all distinct: every doc must survive once
+    run(7L) // foreachBatch redelivery of the compaction-triggering batch
+    run(4L) // and of an already-folded batch id (late duplicate delivery)
+    val rows = spark.read.parquet(out).select(col("doc_id")).as[Long].collect().toSeq
+    assert(rows.sorted == (0L until 8L),
+      s"replay across compaction must not duplicate or lose survivors: $rows")
+  }
+
+  test("driver-resident and distributed batch kernels agree across the cap boundary") {
+    def drain(dbCap: Long): (Set[Long], Map[String, Long]) = {
+      val root = Files.createTempDirectory("dedup_stream_paths").toString
+      Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(5L, 6L, 7L)).zipWithIndex.foreach { case (ids, i) =>
+        DedupStreams.dedupBatch(
+          corpus.filter(col("doc_id").isin(ids: _*)), s"$root/out", s"$root/index",
+          threshold = 0.7, batchId = i.toLong, driverBatchCap = dbCap)
+      }
+      val survivors = spark.read.parquet(s"$root/out")
+        .select(col("doc_id")).as[Long].collect().toSet
+      val index = Map(
+        "members" -> spark.read.parquet(s"$root/index/members/batch=*").count(),
+        "sigs" -> spark.read.parquet(s"$root/index/sigs/batch=*").count())
+      (survivors, index)
+    }
+    val (sDriver, iDriver) = drain(DedupStreams.DefaultDriverBatchCap)
+    val (sDist, iDist) = drain(0L) // cap 0: every batch takes the distributed path
+    assert(sDriver == sDist, "survivor sets diverge across the kernel cap")
+    assert(iDriver == iDist, "persisted index state diverges across the kernel cap")
+    assert(sDriver == Set(1L, 2L, 4L, 7L))
+  }
+
+  test("write-time bucket admission enforces the cap") {
+    val root = Files.createTempDirectory("dedup_stream_cap").toString
+    val out = s"$root/out"; val idx = s"$root/index"
+    // threshold > 1: nothing is ever dropped, so four identical docs (same
+    // signature => same 32 buckets) all survive — but only the first two
+    // may enter each bucket under cap=2
+    val docs = Seq(1L, 2L, 3L, 4L)
+      .map(_ -> "identical text shared by every document in this batch")
+      .toDF("doc_id", "text")
+    DedupStreams.dedupBatch(docs, out, idx, threshold = 1.5, batchId = 0,
+      bucketCap = 2)
+    val members = spark.read.parquet(s"$idx/members/batch=0")
+    val perBucket = members.groupBy(col("band"), col("bkey")).count()
+      .select(max(col("count"))).as[Long].head()
+    assert(perBucket <= 2, s"bucket admission exceeded cap: $perBucket")
+    assert(members.select(col("doc_id")).distinct().as[Long].collect().toSet
+      == Set(1L, 2L), "only the cap lowest-id docs may hold bucket membership")
+    // a later batch against the full buckets: the new doc is admitted
+    // nowhere, but all four earlier docs plus it are retained
+    DedupStreams.dedupBatch(
+      Seq(5L -> "identical text shared by every document in this batch")
+        .toDF("doc_id", "text"),
+      out, idx, threshold = 1.5, batchId = 1, bucketCap = 2)
+    val mem1 = new java.io.File(s"$idx/members/batch=1")
+    val admitted1 =
+      if (mem1.exists()) spark.read.parquet(s"$idx/members/batch=1").count() else 0L
+    assert(admitted1 == 0, s"full buckets must admit no new members: $admitted1")
+    val survivors = spark.read.parquet(out).select(col("doc_id")).as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 3L, 4L, 5L))
+  }
 }
