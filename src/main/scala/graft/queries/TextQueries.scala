@@ -165,52 +165,66 @@ object TextQueries {
       |  WHERE g.i <= length(text) - 2
       |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)""".stripMargin
 
-  /** Prefix-filtered EXACT pair derivation for the oracle texts — emits
+  /** Bitmap-popcount EXACT pair derivation for the oracle texts — emits
     * CTEs ending in `inter(da, db, i)` over a prior gram CTE `gram
-    * (doc_id, s)` with set semantics and its size CTE `szt(doc_id, n)`.
+    * (doc_id, s)` with set semantics.
     *
     * The naive spelling (`gram a JOIN gram b ON a.s = b.s`) pays
-    * df(g)^2 on every hot gram, which is quadratic-in-corpus on a
-    * bounded-alphabet gram space — the sf0.1 q103 oracle needed 92 s and
-    * no sf1 run could finish. Prefix filtering (Bayardo et al., WWW'07;
-    * Chaudhuri et al., ICDE'06) bounds it EXACTLY for any similarity
-    * threshold t with containment/Jaccard >= t: i >= t*n_a, so fewer
-    * than (1-t)*n_a + 1 of a's grams can miss b, so among a's
-    * floor((1-t)*n_a)+1 grams that are GLOBALLY RAREST (order: document
-    * frequency asc, gram asc — any total order works) at least one is in
-    * b. Candidates therefore come from prefix(a) x full(b) — hot grams
-    * stay out of prefixes (a prefix holds each doc's rarest grams), so
-    * the join cost is Σ_g df_prefix(g)*df(g), linear-ish in the corpus —
-    * and the exact intersection count is then computed per candidate
-    * pair only. Both directions are covered because every doc
-    * contributes a prefix. `factor` = 1 - threshold.
+    * df(g)^2 on every hot gram — quadratic-in-corpus on a
+    * bounded-alphabet gram space (the sf0.1 3-gram vocabulary saturates
+    * at ~377 grams with median df >1000; the old q103 oracle needed
+    * 92 s there and no sf1 run could finish). Prefix filtering was
+    * tried and degenerates for exactly the reason the
+    * PrefixFilterJoin scaladoc warns about: on a saturated vocabulary
+    * even each doc's RAREST grams are hot, so the candidate join
+    * re-explodes. What does scale is the same strategy the engine's own
+    * exact kernel uses (Dedup's bitmap popcount path): dense gram ids,
+    * one ceil(V/64)-word bitmap per doc, and a doc-pair join whose
+    * per-pair cost is a few AND+popcount words instead of a gram
+    * explosion — O(n^2 * V/64) total with a tiny constant, vs
+    * O(V * df^2) for the gram join. `lengthBand = Some(t)` adds the
+    * exact Jaccard size bound (J <= min(n_a,n_b)/max(n_a,n_b), so
+    * partners outside [t*n, n/t] are pruned before any popcount);
+    * containment has no such bound, so q103 passes None.
     */
-  private def prefixFilteredInter(gram: String, szt: String, factor: Double): String =
-    s"""gf AS (SELECT s, count(*) AS df FROM $gram GROUP BY 1),
-       |rk AS MATERIALIZED (
-       |  SELECT g.doc_id, g.s, z.n,
-       |         row_number() OVER (PARTITION BY g.doc_id ORDER BY gf.df, g.s) AS rk
-       |  FROM $gram g JOIN gf USING (s) JOIN $szt z USING (doc_id)
+  private def bitmapInter(gram: String, lengthBand: Option[Double]): String = {
+    val band = lengthBand.map(t =>
+      s"""
+         |   AND a.n >= CAST(ceil($t * b.n) AS BIGINT)
+         |   AND b.n >= CAST(ceil($t * a.n) AS BIGINT)""".stripMargin).getOrElse("")
+    s"""gid AS MATERIALIZED (
+       |  SELECT s, row_number() OVER (ORDER BY s) - 1 AS gi
+       |  FROM (SELECT DISTINCT s FROM $gram)
        |),
-       |pref AS MATERIALIZED (
-       |  SELECT doc_id, s FROM rk WHERE rk <= CAST(floor($factor * n) AS INT) + 1
+       |wv AS (
+       |  SELECT g.doc_id, gid.gi // 64 AS w,
+       |         bit_or(CAST(1 AS UBIGINT) << CAST(gid.gi % 64 AS INT)) AS val,
+       |         count(*) AS ng
+       |  FROM $gram g JOIN gid USING (s) GROUP BY 1, 2
        |),
-       |cand AS MATERIALIZED (
-       |  SELECT DISTINCT least(p.doc_id, b.doc_id) AS da,
-       |                  greatest(p.doc_id, b.doc_id) AS db
-       |  FROM pref p JOIN $gram b ON p.s = b.s AND p.doc_id <> b.doc_id
+       |grid AS (
+       |  SELECT d.doc_id, r.w
+       |  FROM (SELECT DISTINCT doc_id FROM $gram) d,
+       |       (SELECT unnest(range(0,
+       |          CAST((SELECT ceil((max(gi) + 1) / 64.0) FROM gid) AS BIGINT))) AS w) r
+       |),
+       |bm AS MATERIALIZED (
+       |  SELECT g.doc_id, list(coalesce(wv.val, 0) ORDER BY g.w) AS words,
+       |         CAST(sum(coalesce(wv.ng, 0)) AS BIGINT) AS n
+       |  FROM grid g LEFT JOIN wv ON wv.doc_id = g.doc_id AND wv.w = g.w
+       |  GROUP BY 1
        |),
        |inter AS (
-       |  SELECT c.da, c.db, count(*) AS i
-       |  FROM cand c
-       |  JOIN $gram a ON a.doc_id = c.da
-       |  JOIN $gram b ON b.doc_id = c.db AND b.s = a.s
-       |  GROUP BY 1, 2
+       |  SELECT a.doc_id AS da, b.doc_id AS db,
+       |         list_sum(list_transform(list_zip(a.words, b.words),
+       |           z -> bit_count(z[1] & z[2]))) AS i
+       |  FROM bm a JOIN bm b ON a.doc_id < b.doc_id$band
        |)""".stripMargin
+  }
 
   private val jaccardOracle =
     s"""WITH $shingleCte,
-       |${prefixFilteredInter("sh", "sz", factor = 0.3)}
+       |${bitmapInter("sh", lengthBand = Some(0.7))}
        |SELECT da, db,
        |       CAST(CAST(round(i * 1.0 / (sa.n + sb.n - i), 4) AS DECIMAL(18,4)) AS DOUBLE) AS jaccard
        |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
@@ -642,7 +656,7 @@ object TextQueries {
              |)""".stripMargin
         }.mkString(",\n")
         s"""WITH $shingleCte,
-           |${prefixFilteredInter("sh", "sz", factor = 0.3)},
+           |${bitmapInter("sh", lengthBand = Some(0.7))},
            |pairs AS (
            |  SELECT da, db
            |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
@@ -1218,7 +1232,7 @@ object TextQueries {
     QueryDef(
       "q76_fuzzy_decontam",
       s"""WITH $shingleCte,
-         |${prefixFilteredInter("sh", "sz", factor = 0.3)},
+         |${bitmapInter("sh", lengthBand = Some(0.7))},
          |cont AS (
          |  SELECT DISTINCT CASE WHEN da % 11 = 0 THEN db ELSE da END AS doc_id
          |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
@@ -2014,7 +2028,7 @@ object TextQueries {
          |  FROM documents, generate_series(1, 100000) g(i)
          |  WHERE g.i <= length(text) - 4
          |), sz5 AS (SELECT doc_id, count(*) AS n FROM sh5 GROUP BY 1),
-         |${prefixFilteredInter("sh5", "sz5", factor = 0.1)},
+         |${bitmapInter("sh5", lengthBand = None)},
          |sized AS (
          |  SELECT da, db, i, sa.n AS na, sb.n AS nb
          |  FROM inter JOIN sz5 sa ON sa.doc_id = da JOIN sz5 sb ON sb.doc_id = db
