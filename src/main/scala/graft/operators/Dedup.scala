@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   *    |A∩B| / |A∪B| with popcounts per pair. This is the fast path for
   *    vocabulary-bounded corpora (e.g. token-soup text), where the inverted
   *    index degenerates: every shingle appears in nearly every doc and the
-  *    index join explodes to ~all-pairs x shingles rows.
+  *    index join explodes to ~all-pairs x shingles rows. Dictionaries past
+  *    MaxBitmapDict whose docs × words product still fits MaxPackedWords
+  *    run the same kernel over packed Array[Long] bitmaps (no codegen
+  *    column-width limit) — the tier that keeps a 50k-doc / 18k-gram
+  *    corpus exact without touching the Σ df² cliff.
   *
   * The strategy switch is a one-scalar runtime statistic (distinct shingle
   * count) — the same adaptive-plan idea AQE applies to joins, applied here
@@ -31,6 +35,19 @@ object Dedup {
 
   /** Dictionary cap for the bitmap strategy: 4096 shingles = 64 longs/doc. */
   val MaxBitmapDict = 4096
+
+  /** Word budget for the PACKED bitmap tier: dictionaries past
+    * [[MaxBitmapDict]] — where the column form would need hundreds of
+    * codegen'd aggregate columns — still run the exact popcount kernel
+    * as long as docs × ceil(dict/64) fits this budget. Each doc's bitmap
+    * is ONE Array[Long] built by a typed aggregation (no codegen-width
+    * limit), and the collected table obeys the same metadata-scale
+    * broadcast contract as the kernels (≤ 128 MB of words at the cap).
+    * Past the budget the exact form falls back to the inverted index,
+    * whose Σ df² cost is what the log asks callers to route around by
+    * passing candidates.
+    */
+  val MaxPackedWords = 1L << 24
 
   /** Keep one deterministic survivor (min tieBreak) per exact content hash. */
   def exact(df: DataFrame, content: Column, tieBreak: Column): DataFrame = {
@@ -240,6 +257,15 @@ object Dedup {
     if (dict <= MaxBitmapDict) {
       log.info(s"jaccardPairs: exact bitmap strategy ($docs docs, $dict distinct shingles)")
       jaccardBitmap(bitmaps(sh, collectDict(sh)), None, threshold)
+    } else if (sh.schema("doc_id").dataType == org.apache.spark.sql.types.LongType &&
+        docs <= BroadcastRefineMaxDocs &&
+        docs * ((dict + 63) / 64) <= MaxPackedWords) {
+      // packed tier (see MaxPackedWords): dictionary too wide for the
+      // column bitmap form, corpus small enough for the broadcast
+      // kernel — Array[Long] bitmaps, upper-triangle popcount scan
+      log.info(s"jaccardPairs: exact packed-bitmap kernel ($docs docs, $dict distinct shingles)")
+      val (ids, ns, ws) = collectPacked(sh, collectDict(sh))
+      jaccardKernelCore(sh.sparkSession, ids, ns, ws, threshold)
     } else {
       log.info(s"jaccardPairs: exact inverted-index strategy ($docs docs, $dict distinct shingles)")
       jaccardInverted(sh, threshold)
@@ -303,8 +329,17 @@ object Dedup {
             .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
             .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
       }
-      case None => shingleDict(sh) match {
-        case Some(d) =>
+      case None =>
+        // one aggregation pass for both strategy statistics, as in
+        // jaccardPairs: distinct shingles pick the bitmap form, and
+        // (docs, dict) together decide whether the packed tier fits
+        val stats = sh.agg(
+          countDistinct(col("doc_id")).as("docs"),
+          countDistinct(col("s")).as("dict")).head()
+        val (docs, dict) = (stats.getLong(0), stats.getLong(1))
+        val longIds = sh.schema("doc_id").dataType ==
+          org.apache.spark.sql.types.LongType
+        if (dict <= MaxBitmapDict) {
           // bitmap popcount kernel — the same strategy that keeps
           // jaccardPairs' exact form off the Σ df² cliff on
           // bounded-alphabet shingles (a char-5-gram vocabulary saturates
@@ -317,11 +352,10 @@ object Dedup {
           // compiled Scala, so unlike the codegen'd join spelling its
           // hot loop can't be evicted from the codegen cache by a long
           // registry run); otherwise the equivalent join form
-          log.info(s"containmentPairs: bitmap strategy (${d.size} distinct shingles)")
+          log.info(s"containmentPairs: bitmap strategy ($dict distinct shingles)")
+          val d = collectDict(sh)
           val nWords = (d.size + 63) / 64
           val bm = bitmaps(sh, d).cache()
-          val longIds = bm.schema("doc_id").dataType ==
-            org.apache.spark.sql.types.LongType
           if (longIds && bm.count() <= BroadcastRefineMaxDocs)
             return containmentKernel(bm, nWords, threshold)
           val a = bm.select(col("doc_id").as("da") +: col("n").as("na") +:
@@ -334,7 +368,17 @@ object Dedup {
           a.join(broadcast(b), col("da") < col("db"))
             .select(col("da"), col("db"), inter.cast("long").as("i"),
               col("na"), col("nb"))
-        case None =>
+        } else if (longIds && docs <= BroadcastRefineMaxDocs &&
+            docs * ((dict + 63) / 64) <= MaxPackedWords) {
+          // packed tier: same upper-triangle kernel, bitmaps built as
+          // Array[Long] rows — covers e.g. an 18k-gram dictionary at
+          // 50k docs (286 words/doc, ~115 MB broadcast) that the column
+          // form can't reach and the inverted index can't survive
+          log.info(s"containmentPairs: packed bitmap kernel " +
+            s"($docs docs, $dict distinct shingles)")
+          val (ids, ns, ws) = collectPacked(sh, collectDict(sh))
+          return containmentKernelCore(sh.sparkSession, ids, ns, ws, threshold)
+        } else {
           log.warn("containmentPairs: dictionary too large for bitmaps — " +
             "inverted-index all-pairs (Σ df² on hot shingles; pass candidates at scale)")
           val a = sh.select(col("doc_id").as("da"), col("s").as("sa"))
@@ -345,7 +389,7 @@ object Dedup {
           inter
             .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
             .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
-      }
+        }
     }
     val aInB = sized.select(col("da").as("inner_doc"), col("db").as("outer_doc"),
       (col("i") / col("na")).as("containment"))
@@ -370,15 +414,19 @@ object Dedup {
     * threshold. Plain compiled Scala — no codegen, no join machinery.
     */
   private def containmentKernel(bm: DataFrame, nWords: Int, threshold: Double): DataFrame = {
-    val spark = bm.sparkSession
-    import spark.implicits._
     val idIdx = bm.schema.fieldIndex("doc_id")
     val nIdx = bm.schema.fieldIndex("n")
     val wIdx = (0 until nWords).map(w => bm.schema.fieldIndex(s"w$w")).toArray
     val rows = bm.collect()
-    val ids = rows.map(_.getLong(idIdx))
-    val sizes = rows.map(_.getLong(nIdx))
-    val words = rows.map(r => wIdx.map(r.getLong))
+    containmentKernelCore(bm.sparkSession,
+      rows.map(_.getLong(idIdx)), rows.map(_.getLong(nIdx)),
+      rows.map(r => wIdx.map(r.getLong)), threshold)
+  }
+
+  private def containmentKernelCore(
+      spark: org.apache.spark.sql.SparkSession, ids: Array[Long],
+      sizes: Array[Long], words: Array[Array[Long]], threshold: Double): DataFrame = {
+    import spark.implicits._
     val sc = spark.sparkContext
     val bIds = sc.broadcast(ids)
     val bNs = sc.broadcast(sizes)
@@ -407,6 +455,72 @@ object Dedup {
         out
       }
     }.toDF("inner_doc", "outer_doc", "containment")
+  }
+
+  /** Full upper-triangle exact-Jaccard scan over broadcast packed
+    * bitmaps — the no-candidate analogue of the jaccardBitmap kernel
+    * refine, same striped-slice balancing as containmentKernelCore. */
+  private def jaccardKernelCore(
+      spark: org.apache.spark.sql.SparkSession, ids: Array[Long],
+      sizes: Array[Long], words: Array[Array[Long]], threshold: Double): DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val bIds = sc.broadcast(ids)
+    val bNs = sc.broadcast(sizes)
+    val bW = sc.broadcast(words)
+    val nDocs = ids.length
+    val parts = math.max(1, math.min(sc.defaultParallelism * 4, nDocs))
+    sc.parallelize(0 until parts, parts).flatMap { p =>
+      val ids = bIds.value; val ns = bNs.value; val w = bW.value
+      (p until nDocs by parts).iterator.flatMap { i =>
+        val wi = w(i)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var j = i + 1
+        while (j < nDocs) {
+          // exact size bound: J <= min/max, so a pair whose sizes are
+          // further apart than the threshold never needs its popcount
+          if (math.min(ns(i), ns(j)) >= threshold * math.max(ns(i), ns(j))) {
+            val wj = w(j)
+            var inter = 0L
+            var k = 0
+            while (k < wi.length) { inter += java.lang.Long.bitCount(wi(k) & wj(k)); k += 1 }
+            val jac = inter.toDouble / (ns(i) + ns(j) - inter)
+            if (jac >= threshold) {
+              if (ids(i) < ids(j)) out += ((ids(i), ids(j), jac))
+              else out += ((ids(j), ids(i), jac))
+            }
+          }
+          j += 1
+        }
+        out
+      }
+    }.toDF("da", "db", "jaccard")
+  }
+
+  /** Collected packed-bitmap table — (ids, set sizes, one Array[Long]
+    * bitmap per doc), built by a typed aggregation so the dictionary
+    * width is bounded by [[MaxPackedWords]], not by codegen column
+    * count. Caller guarantees long doc ids and the docs × words budget.
+    */
+  private def collectPacked(
+      shingles: DataFrame,
+      dict: Map[String, Int]): (Array[Long], Array[Long], Array[Array[Long]]) = {
+    val nWords = (dict.size + 63) / 64
+    val spark = shingles.sparkSession
+    import spark.implicits._
+    val dictDf = dict.toSeq.toDF("s", "idx")
+    val packed = shingles.join(broadcast(dictDf), Seq("s"))
+      .select(col("doc_id").cast("long"), col("idx"))
+      .as[(Long, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val w = new Array[Long](nWords)
+        var n = 0L
+        it.foreach { t => val i = t._2; w(i >>> 6) |= 1L << (i & 63); n += 1 }
+        (id, n, w)
+      }
+      .collect()
+    (packed.map(_._1), packed.map(_._2), packed.map(_._3))
   }
 
   /** Exact Jaccard restricted to a candidate pair set (the LSH refine).

@@ -171,6 +171,39 @@ class OperatorsSpec extends SparkSpec {
     dist.foreach { case (v, d) => assert(math.abs(d - r(v)) < 1e-12, s"node $v: $d vs ${r(v)}") }
   }
 
+  test("packed-bitmap tier (dict > MaxBitmapDict) matches brute-force Jaccard and containment") {
+    import spark.implicits._
+    // 40 docs over a 6000-gram dictionary — past MaxBitmapDict (4096),
+    // inside the packed docs × words budget, so both exact operators
+    // take the packed Array[Long] kernel. Each odd doc holds a 280-gram
+    // subset of its even neighbor's 300 grams: J = 280/300 ≈ 0.933 and
+    // containment(odd in even) = 1.0 by construction.
+    val sets: Map[Long, Set[String]] = (0 until 40).map { d =>
+      val base = (d / 2 * 2) * 200
+      val n = if (d % 2 == 0) 300 else 280
+      d.toLong -> (0 until n).map(i => f"g${base + i}%05d").toSet
+    }.toMap
+    val dict = sets.values.flatten.toSet
+    assert(dict.size > Dedup.MaxBitmapDict, "fixture must exceed the column-bitmap cap")
+    val sh = sets.toSeq.flatMap { case (d, s) => s.map(d -> _) }.toDF("doc_id", "s")
+    def bruteJ(a: Set[String], b: Set[String]): Double =
+      (a & b).size.toDouble / (a | b).size
+    val expectedJ = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      j = bruteJ(sets(a), sets(b)) if j >= 0.8
+    } yield (a, b, j)).toSet
+    val gotJ = Dedup.jaccardPairs(sh, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expectedJ.nonEmpty && gotJ == expectedJ)
+    val expectedC = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      c = (sets(a) & sets(b)).size.toDouble / sets(a).size if c >= 0.95
+    } yield (a, b, c)).toSet
+    val gotC = Dedup.containmentPairs(sh, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expectedC.nonEmpty && gotC == expectedC)
+  }
+
   test("broadcast bitmap refine equals the join-shaped refine") {
     val sh = Dedup.charShingles(tables.documents, "doc_id", "text").cache()
     val cand = MinHashLSH.candidatePairs(MinHashLSH.signatures(sh))
