@@ -105,9 +105,10 @@ def main() -> None:
                l_shipdate::TIMESTAMP_MS AS l_shipdate
         FROM {base('lineitem')}, {r}""")
 
-    # events goes through pyarrow: the engine reads ts as parquet
-    # TIMESTAMP(NANOS) (Tables.events' nanosAsLong wrapper), and DuckDB's
-    # parquet writer silently downgrades TIMESTAMP_NS to micros
+    # events goes through pyarrow to pin ts at TIMESTAMP_MICROS — the
+    # spelling the driver's 2026-08-13 regeneration uses (Tables.events
+    # adapts to NANOS/NTZ/TZ, but generated tiers should mirror the
+    # driver's current data exactly so local runs exercise the same path)
     import pyarrow as pa
     import pyarrow.parquet as pq
     ev = con.execute(f"""
@@ -116,8 +117,8 @@ def main() -> None:
                user_id + r * {off['events_user']} AS user_id,
                event_type, value, props
         FROM {base('events')}, {r}""").arrow()
-    ts_ns = ev.column("ts").cast(pa.timestamp("ns"))
-    ev = ev.set_column(ev.schema.get_field_index("ts"), "ts", ts_ns)
+    ts_us = ev.column("ts").cast(pa.timestamp("us"))
+    ev = ev.set_column(ev.schema.get_field_index("ts"), "ts", ts_us)
     pq.write_table(ev, f"{a.out}/events.parquet")
     print(f"events: {ev.num_rows} rows")
 

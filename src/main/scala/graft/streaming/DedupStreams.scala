@@ -113,6 +113,20 @@ object DedupStreams {
     */
   val DefaultDriverBatchCap: Long = 65536L
 
+  /** Bound on the refined near-dup pair set [[resolveDropped]]
+    * materializes on the driver per trigger. Normal batches sit orders
+    * of magnitude below it (pairs come from capped buckets), but a
+    * pathological batch — e.g. one that is entirely duplicates of a few
+    * hot buckets — could otherwise balloon driver memory. Past the cap
+    * the trigger degrades to the conservative distributed resolution
+    * (drop every later endpoint of a refined pair): it never collects
+    * the pair set, still drops only genuine near-dups, and over-drops
+    * only chain tails (a<b<c with pairs (a,b),(b,c): exact greedy
+    * retains c, the conservative rule drops it) — the safe direction
+    * for a dedup filter under a degenerate batch. 4M pairs ~ 64 MB.
+    */
+  val MaxDriverPairs: Long = 4L * 1024 * 1024
+
   /** Start the checkpointed streaming ingest: retained docs land in
     * `outDir` (parquet), their signature index under `indexDir`.
     */
@@ -443,13 +457,26 @@ object DedupStreams {
           banded, bucketCap, logOverflow = false, dedup = true, cache = false)
         val sa = sigs.select(col("doc_id").as("da"), col("sig8").as("sa"))
         val sb = sigs.select(col("doc_id").as("db"), col("sig8").as("sb"))
-        val withinPairs = candidates
+        val refined = candidates
           .join(sa, Seq("da")).join(sb, Seq("db"))
           .filter(est8(col("sa"), col("sb")) >= tCorr)
           .select(col("da"), col("db")).distinct()
-          .as[(Long, Long)].collect()
-
-        val dropped = resolveDropped(indexHits, withinPairs)
+          .cache()
+        val nPairs = refined.count()
+        log.info(s"dedupBatch($batchId): $nPairs refined pairs, " +
+          s"${indexHits.size} index hits (driver pair cap $MaxDriverPairs)")
+        val dropped =
+          if (nPairs <= MaxDriverPairs)
+            resolveDropped(indexHits, refined.as[(Long, Long)].collect())
+          else {
+            // degenerate batch: see MaxDriverPairs — conservative
+            // resolution without materializing the pair set (the later
+            // endpoints alone are <= batch doc count)
+            log.warn(s"dedupBatch($batchId): pair set $nPairs exceeds " +
+              s"$MaxDriverPairs — using conservative distributed resolution")
+            indexHits ++ refined.select(col("db")).distinct().as[Long].collect()
+          }
+        refined.unpersist()
         val droppedDf = writeOut(dropped)
 
         // admission via a window over BATCH rows only (same semantics as

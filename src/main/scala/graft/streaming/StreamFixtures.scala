@@ -18,9 +18,13 @@ object StreamFixtures {
     * single-batch replay.
     */
   def writeReplayDir(spark: SparkSession, sfDir: String, outDir: String, nFiles: Int = 1): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
+    // derive from the canonical loader (schema-adaptive across the NANOS /
+    // NTZ / TZ testdata spellings — see Tables.events) rather than a raw
+    // read: the replay contract is always ts_ns nanos, whatever the
+    // parquet generation stored
+    val events = graft.Tables(spark, sfDir).events
+      .withColumn("ts_ns", org.apache.spark.sql.functions.expr("unix_micros(ts) * 1000"))
+      .drop("ts")
     // range-partition by time then sort within: file k holds an ordered,
     // contiguous time slice, and lexicographic file order == time order.
     events
