@@ -240,7 +240,14 @@ object Bench {
             val files = new java.util.ArrayList[Path]()
             parts.forEach(f => if (f.getFileName.toString.endsWith(".json")) { files.add(f); () })
             files.forEach { f =>
-              Files.move(f, in.resolve(s"c${name.stripPrefix("chunk=")}_${f.getFileName}"))
+              val tgt = in.resolve(s"c${name.stripPrefix("chunk=")}_${f.getFileName}")
+              Files.move(f, tgt)
+              // deterministic mtimes in chunk order: the file stream source
+              // orders by modification time, and parallel-write mtime ties
+              // would otherwise make batch assignment (and thus the exact
+              // retained count) vary run to run
+              Files.setLastModifiedTime(tgt, java.nio.file.attribute.FileTime.fromMillis(
+                1700000000000L + name.stripPrefix("chunk=").toLong * 1000L))
             }
           } finally parts.close()
         }

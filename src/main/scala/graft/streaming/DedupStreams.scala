@@ -205,9 +205,9 @@ object DedupStreams {
     def paths(dir: String): Seq[String] =
       m.map(e => s"$dir/compacted=$e").toSeq ++ fold.map(b => s"$dir/batch=$b")
     spark.read.parquet(paths(s"$indexDir/sigs"): _*)
-      .write.mode("overwrite").parquet(s"$indexDir/sigs/compacted=$upTo")
+      .coalesce(8).write.mode("overwrite").parquet(s"$indexDir/sigs/compacted=$upTo")
     spark.read.parquet(paths(s"$indexDir/members"): _*)
-      .write.mode("overwrite").parquet(s"$indexDir/members/compacted=$upTo")
+      .coalesce(8).write.mode("overwrite").parquet(s"$indexDir/members/compacted=$upTo")
     log.info(s"compacted signature index through batch $upTo " +
       s"(${fold.size} batch dir(s) + ${m.fold("no prior epoch")(e => s"epoch $e")})")
     // cleanup is best-effort: leftovers are ignored by readers (ids <=
@@ -247,17 +247,28 @@ object DedupStreams {
       driverBatchCap: Long = DefaultDriverBatchCap): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    // per-phase wall timing, printed once per trigger when
+    // SPARK_GRAFT_DRAIN_TIMING=1 — the knob that found the fixed
+    // per-trigger cost breakdown (see PLANS.md drain notes)
+    val timing = sys.env.get("SPARK_GRAFT_DRAIN_TIMING").contains("1")
+    val phases = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    def phase[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      phases += name -> ((System.nanoTime() - t0) / 1000000)
+      r
+    }
     // cached for the trigger's duration: the source frame is otherwise
     // re-read by the emptiness guard, the shingle pipeline AND the
     // survivor write — three scans of the same micro-batch input
     val cachedBatch = batch.cache()
-    if (cachedBatch.isEmpty) { cachedBatch.unpersist(); return }
+    if (phase("empty")(cachedBatch.isEmpty)) { cachedBatch.unpersist(); return }
     // compact FIRST (before this trigger's index read) so the listing
     // this very batch performs is already bounded. batchId is a pure
     // function of the trigger, so a replayed batch re-runs the same
     // compaction — which is then a no-op.
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      compact(spark, indexDir, upTo = batchId - 1)
+      phase("compact")(compact(spark, indexDir, upTo = batchId - 1))
 
     // batch signatures: full 64-bit components feed the band keys (full
     // key entropy — 8-bit banding would birthday-collide unrelated docs
@@ -302,20 +313,7 @@ object DedupStreams {
         spark.read.parquet(tablePaths("sigs"): _*)
       else Seq.empty[(Long, Array[Long])].toDF("doc_id", "sig8")
 
-    // probe the (write-time-capped) membership with the batch's band
-    // keys: broadcast the batch side, so the index side is a pruned
-    // columnar scan with NO shuffle, NO re-banding, NO window. Bucket
-    // occupancy for admission (below) falls out of the same join —
-    // counted over exactly the buckets this batch touches.
-    val memberHits = members
-      .join(broadcast(banded.withColumnRenamed("doc_id", "nid")), Seq("band", "bkey"))
-      .cache()
     try {
-      // bucket occupancy for admission, counted over exactly the buckets
-      // this batch touches (it falls out of the probe join)
-      val occupancy = memberHits.groupBy(col("band"), col("bkey"))
-        .agg(countDistinct(col("mid")).as("occ"))
-
       // greedy resolution in id order over only the pair-involved ids —
       // a doc in no pair and no index hit is retained unconditionally,
       // and every potential dropper of a pair endpoint is itself a pair
@@ -343,39 +341,60 @@ object DedupStreams {
         droppedDf
       }
 
-      val nDocs = sigs.count() // also materializes the signature cache
+      val nDocs = phase("sig_count")(sigs.count()) // also materializes the signature cache
       if (nDocs <= driverBatchCap) {
         // ---------------- driver-resident batch kernel ----------------
         // (see DefaultDriverBatchCap) — the batch's banded rows and b-bit
         // signatures come to the driver once; everything pairwise happens
         // in plain Scala with the EXACT arithmetic of the distributed
         // spelling below (spec-asserted equivalent across the cap).
-        val sig8Local: Map[Long, Array[Long]] =
+        val sig8Local: Map[Long, Array[Long]] = phase("sig_collect")(
           sigs.select(col("doc_id"), col("sig8")).as[(Long, Array[Long])]
-            .collect().toMap
-        val bandedLocal: Array[(Int, Long, Long)] =
+            .collect().toMap)
+        val bandedLocal: Array[(Int, Long, Long)] = phase("band_collect")(
           banded.select(col("band"), col("bkey"), col("doc_id"))
-            .as[(Int, Long, Long)].collect()
+            .as[(Int, Long, Long)].collect())
         def agrees(a: Array[Long], b: Array[Long]): Boolean = {
           var c = 0; var i = 0
           while (i < a.length) { if (a(i) == b(i)) c += 1; i += 1 }
           c.toDouble / NumPerms >= tCorr
         }
 
-        // batch vs index: candidates from the distributed probe, member
-        // signatures fetched for the candidates only — the hits, not the
-        // index; any agreeing hit drops the new doc (every index doc is
-        // by construction retained)
-        // ONE job resolves both the candidate pair set and the member
-        // signatures: the (small, batch-derived) candidate side is
-        // broadcast explicitly so the index side is never shuffled
-        val candWithSig: Array[(Long, Long, Array[Long])] = idxSigs
-          .withColumnRenamed("doc_id", "mid")
-          .join(broadcast(memberHits.select(col("nid"), col("mid")).distinct()), Seq("mid"))
-          .select(col("nid"), col("mid"), col("sig8"))
-          .as[(Long, Long, Array[Long])].collect()
-        val indexHits: Set[Long] = candWithSig.iterator
-          .filter { case (nid, _, msig) => agrees(sig8Local(nid), msig) }
+        // batch vs index: probe the membership with a LocalRelation
+        // broadcast of the batch's (already collected) band keys — a
+        // broadcast built from driver-local rows needs no exchange job,
+        // so the hits come back in ONE narrow-scan job over the members
+        // table. Bucket occupancy and the candidate (nid, mid) pairs are
+        // then derived from the hit rows in plain Scala; member
+        // signatures are fetched only when candidates exist (a second
+        // narrow-scan job), and an empty candidate set costs nothing.
+        // Measured (drain, 1000-doc batches): this removed a ~2s
+        // per-trigger distinct-shuffle + broadcast-exchange tax that the
+        // cached-DataFrame probe paid on every non-empty trigger.
+        val bandedDf = spark.createDataset(bandedLocal.toSeq)
+          .toDF("band", "bkey", "nid")
+        val hitsLocal: Array[(Int, Long, Long, Long)] = phase("probe_collect")(
+          members.join(broadcast(bandedDf), Seq("band", "bkey"))
+            .select(col("band"), col("bkey"), col("mid"), col("nid"))
+            .as[(Int, Long, Long, Long)].collect())
+        val occLocal: Map[(Int, Long), Long] = hitsLocal
+          .groupBy(t => (t._1, t._2))
+          .map { case (k, rows) => k -> rows.map(_._3).distinct.length.toLong }
+        val candPairs: Array[(Long, Long)] =
+          hitsLocal.map(t => (t._4, t._3)).distinct
+        val memberSig: Map[Long, Array[Long]] =
+          if (candPairs.isEmpty) Map.empty
+          else {
+            val midsDf = spark.createDataset(candPairs.map(_._2).distinct.toSeq)
+              .toDF("doc_id")
+            phase("msig_collect")(idxSigs
+              .join(broadcast(midsDf), Seq("doc_id"))
+              .select(col("doc_id"), col("sig8"))
+              .as[(Long, Array[Long])].collect().toMap)
+          }
+        val indexHits: Set[Long] = candPairs.iterator
+          .filter { case (nid, mid) =>
+            memberSig.get(mid).exists(m => agrees(sig8Local(nid), m)) }
           .map(_._1).toSet
 
         // batch vs earlier batch docs (da < db): per-bucket all-pairs
@@ -401,13 +420,12 @@ object DedupStreams {
 
         // admission: a surviving doc enters each of its buckets only
         // while the bucket is below cap — existing occupancy (from the
-        // probe join) + arrival rank among this batch's surviving
-        // entrants. Under monotone ids this equals the read-side "cap
-        // lowest-id members" truncation exactly. Single-partition local
-        // writes: one file per batch per table, not shuffle-partition
-        // many.
-        val occLocal: Map[(Int, Long), Long] = occupancy
-          .as[(Int, Long, Long)].collect().map { case (b, k, o) => (b, k) -> o }.toMap
+        // probe hits, counted distinct per bucket above) + arrival rank
+        // among this batch's surviving entrants. Under monotone ids this
+        // equals the read-side "cap lowest-id members" truncation
+        // exactly. Single-file local writes: one file per batch per
+        // table, not shuffle-partition many — the per-trigger probe scan
+        // is file-count-bound at this scale, not byte-bound.
         val admitted: Seq[(Int, Long, Long)] = bandedLocal.iterator
           .filter(t => !dropped.contains(t._3)).toSeq
           .groupBy(t => (t._1, t._2)).iterator.flatMap { case ((band, bkey), rows) =>
@@ -426,15 +444,25 @@ object DedupStreams {
         // in any of them fails the trigger and the replay heals all three
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
-        Await.result(Future.sequence(Seq(
+        phase("writes")(Await.result(Future.sequence(Seq(
           Future(writeOut(dropped)),
-          Future(membersDf.write.mode("overwrite")
+          Future(membersDf.coalesce(1).write.mode("overwrite")
             .parquet(s"$indexDir/members/batch=$batchId")),
-          Future(sigsDf.write.mode("overwrite")
+          Future(sigsDf.coalesce(1).write.mode("overwrite")
             .parquet(s"$indexDir/sigs/batch=$batchId")))),
-          scala.concurrent.duration.Duration.Inf)
+          scala.concurrent.duration.Duration.Inf))
       } else {
         // ---------------- distributed spelling (over-cap) ----------------
+        // probe the (write-time-capped) membership with the batch's band
+        // keys: broadcast the batch side, so the index side is a pruned
+        // columnar scan with NO shuffle, NO re-banding, NO window; bucket
+        // occupancy for admission falls out of the same join, counted
+        // over exactly the buckets this batch touches
+        val memberHits = members
+          .join(broadcast(banded.withColumnRenamed("doc_id", "nid")), Seq("band", "bkey"))
+          .cache()
+        val occupancy = memberHits.groupBy(col("band"), col("bkey"))
+          .agg(countDistinct(col("mid")).as("occ"))
         // batch vs index: signatures are fetched for the candidate
         // members only — the hits, not the index
         val candIdx = memberHits.select(col("nid"), col("mid")).distinct()
@@ -488,6 +516,7 @@ object DedupStreams {
           .withColumn("__r", row_number().over(wAdm))
           .filter(col("__r") + coalesce(col("occ"), lit(0)) <= lit(bucketCap))
           .select(col("band"), col("bkey"), col("doc_id"))
+          .coalesce(1)
           .write.mode("overwrite").parquet(s"$indexDir/members/batch=$batchId")
         // read the written partition back rather than recomputing the
         // admission window
@@ -495,13 +524,17 @@ object DedupStreams {
           .select(col("doc_id")).distinct()
         sigs.select(col("doc_id"), col("sig8"))
           .join(admittedIds, Seq("doc_id"), "left_semi")
+          .coalesce(1)
           .write.mode("overwrite").parquet(s"$indexDir/sigs/batch=$batchId")
+        memberHits.unpersist()
       }
     } finally {
-      memberHits.unpersist()
       banded.unpersist()
       sigs.unpersist()
       cachedBatch.unpersist()
+      if (timing) System.err.println(
+        s"[drain-timing] batch=$batchId " +
+          phases.map { case (n, ms) => s"$n=${ms}ms" }.mkString(" "))
     }
     ()
   }
