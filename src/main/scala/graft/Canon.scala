@@ -39,11 +39,16 @@ object Canon {
   def discounted(price: Column, discount: Column): Column =
     money(price) * (lit(1) - discount.cast(DecimalType(18, 4)))
 
-  /** Rounded double aggregate -> decimal -> DOUBLE; only for avg-style
-    * results where the FP error (~1e-11 rel) is far below the 2dp rounding
-    * grid. The decimal hop is what keeps both engines on the same value
-    * (Spark HALF_UP round vs DuckDB rounding agree once snapped to 2dp). */
-  def avg2(c: Column): Column = out(round(avg(c), 2).cast(Money))
+  /** Rounded double aggregate -> decimal -> DOUBLE. The average is snapped
+    * to a 6dp decimal grid BEFORE the 2dp round: an exact 2dp tie (e.g.
+    * avg = 82/80 = 1.025) sits just below its decimal value in binary, and
+    * Spark's Round (canonical-string BigDecimal, sees 1.025 -> 1.03) and
+    * DuckDB's round (raw binary 1.02499... -> 1.02) disagree on it. Both
+    * engines cast that binary double to DECIMAL(18,6) as exactly 1.025000,
+    * and both round the decimal half-up -> 1.03. Oracle SQL must mirror
+    * the hop: round(CAST(avg(x) AS DECIMAL(18,6)), 2). */
+  def avg2(c: Column): Column =
+    out(round(avg(c).cast(DecimalType(18, 6)), 2).cast(Money))
 
   /** Round + snap to a decimal grid at arbitrary scale; INTERNAL decimal
     * form — safe to `sum()` exactly. Convert with [[out]] at the edge. */

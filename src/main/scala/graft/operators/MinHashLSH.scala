@@ -39,8 +39,15 @@ object MinHashLSH {
     * bucket are only reached through the representative. Set the cap to
     * Int.MaxValue where unconditional recall matters more than bounded
     * cost.
+    *
+    * `SPARK_GRAFT_BUCKET_CAP` overrides the default for a whole JVM —
+    * the scale-tier gate runs use it to hash-compare the uncapped pair
+    * sets against the (cap-blind) SQL oracles at tiers where a hot
+    * bucket crosses 1024, while cap ENGAGEMENT itself is exercised by
+    * ScaleSmoke and the hot-bucket specs at the default.
     */
-  val DefaultBucketCap = 1024
+  val DefaultBucketCap: Int =
+    sys.env.get("SPARK_GRAFT_BUCKET_CAP").map(_.toInt).getOrElse(1024)
 
   /** Candidate pairs from banded rows (doc_id, band, bkey) with the
     * hot-bucket cap applied. Bucket statistics ride a window over the

@@ -69,7 +69,7 @@ object EventQueries {
         |  SELECT user_id, sid, count(*) AS n FROM sessions GROUP BY user_id, sid
         |)
         |SELECT user_id, count(*)::BIGINT AS n_sessions,
-        |       CAST(CAST(round(avg(n), 2) AS DECIMAL(18,2)) AS DOUBLE) AS avg_events
+        |       CAST(CAST(round(CAST(avg(n) AS DECIMAL(18,6)), 2) AS DECIMAL(18,2)) AS DOUBLE) AS avg_events
         |FROM per_session GROUP BY user_id ORDER BY user_id""",
     ) { (spark, dir) =>
       import spark.implicits._

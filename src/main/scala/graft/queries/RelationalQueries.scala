@@ -58,8 +58,8 @@ object RelationalQueries {
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |       CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_disc_price,
-        |       CAST(CAST(round(avg(l_quantity), 2) AS DECIMAL(18,2)) AS DOUBLE) AS avg_qty,
-        |       CAST(CAST(round(avg(l_extendedprice), 2) AS DECIMAL(18,2)) AS DOUBLE) AS avg_price,
+        |       CAST(CAST(round(CAST(avg(l_quantity) AS DECIMAL(18,6)), 2) AS DECIMAL(18,2)) AS DOUBLE) AS avg_qty,
+        |       CAST(CAST(round(CAST(avg(l_extendedprice) AS DECIMAL(18,6)), 2) AS DECIMAL(18,2)) AS DOUBLE) AS avg_price,
         |       CAST(CAST(round(avg(l_discount), 4) AS DECIMAL(18,4)) AS DOUBLE) AS avg_disc,
         |       count(*)::BIGINT AS count_order
         |FROM lineitem

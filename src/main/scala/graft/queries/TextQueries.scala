@@ -416,9 +416,9 @@ object TextQueries {
         |  GROUP BY 1, 2
         |)
         |SELECT lang, count(*)::BIGINT AS n_docs,
-        |       CAST(CAST(round(avg(n_tok), 2) AS DECIMAL(18,2)) AS DOUBLE) AS avg_tokens,
+        |       CAST(CAST(round(CAST(avg(n_tok) AS DECIMAL(18,6)), 2) AS DECIMAL(18,2)) AS DOUBLE) AS avg_tokens,
         |       CAST(CAST(round(avg(n_stop * 1.0 / n_tok), 4) AS DECIMAL(18,4)) AS DOUBLE) AS stopword_ratio,
-        |       CAST(CAST(round(avg(avg_len), 2) AS DECIMAL(18,2)) AS DOUBLE) AS avg_token_len
+        |       CAST(CAST(round(CAST(avg(avg_len) AS DECIMAL(18,6)), 2) AS DECIMAL(18,2)) AS DOUBLE) AS avg_token_len
         |FROM per_doc GROUP BY lang ORDER BY lang""",
     ) { (spark, dir) =>
       import spark.implicits._
@@ -441,7 +441,7 @@ object TextQueries {
     QueryDef(
       "q38_lang_source_stats",
       """SELECT lang, source, count(*)::BIGINT AS n_docs,
-        |       CAST(CAST(round(avg(n_chars), 2) AS DECIMAL(18,2)) AS DOUBLE) AS avg_chars,
+        |       CAST(CAST(round(CAST(avg(n_chars) AS DECIMAL(18,6)), 2) AS DECIMAL(18,2)) AS DOUBLE) AS avg_chars,
         |       max(n_chars) AS max_chars
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
     ) { (spark, dir) =>
@@ -1745,15 +1745,20 @@ object TextQueries {
         |  FROM t WHERE len(ts) > 0
         |)
         |SELECT doc_id, n_tokens, weight_sum,
-        |       CAST(CAST(round(weight_sum / (1000.0 * n_tokens), 6) AS DECIMAL(18,6)) AS DOUBLE)
-        |         AS score,
+        |       CAST(CAST(round(CAST(weight_sum / (1000.0 * n_tokens) AS DECIMAL(18,12)), 6)
+        |           AS DECIMAL(18,6)) AS DOUBLE) AS score,
         |       (weight_sum > 0) AS keep
         |FROM s ORDER BY doc_id""",
     ) { (spark, dir) =>
       import spark.implicits._
       QualityClassifier.score(Tables(spark, dir).documents, "doc_id", "text")
+        // 12dp decimal snap before the 6dp round: both engines agree on
+        // the DECIMAL(18,12) image of the same IEEE quotient, then round
+        // the exact decimal half-up — a raw round(double, 6) splits on
+        // exact 6dp ties (binary sits below; canonical string sits on)
         .select($"doc_id", $"n_tokens", $"weight_sum",
-          dec($"score", 6).as("score"), $"keep")
+          out(round($"score".cast(DecimalType(18, 12)), 6)
+            .cast(DecimalType(18, 6))).as("score"), $"keep")
         .orderBy($"doc_id")
     },
 
