@@ -70,7 +70,15 @@ object TextFunctions {
       when(length(text) > 0,
         length(regexp_replace(text, "[^a-zA-Z ]", "")).cast("double") / length(text))
         .otherwise(lit(0.0))
-    round(lengthOk * (lit(0.5) + lit(0.5) * distinctRatio) * alphaRatio, 4)
+    // 10dp decimal snap before the 4dp round: both engines agree on the
+    // DECIMAL(18,10) image of the same IEEE product, then round the exact
+    // decimal half-up — a raw round(double, 4) splits on exact 4dp ties
+    // (e.g. a score of exactly 0.48125: Spark's canonical-string round
+    // gives 0.4813, DuckDB's binary round 0.4812 — seen at the sf1 tier).
+    // Oracle SQL mirrors the hop.
+    round((lengthOk * (lit(0.5) + lit(0.5) * distinctRatio) * alphaRatio)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 10)), 4)
+      .cast("double")
   }
 
   /** Word n-grams as space-joined strings, row-local (no explode): the

@@ -574,9 +574,9 @@ object TextQueries {
            |  FROM documents
            |)
            |SELECT d.doc_id, d.lang, lid.lc AS lang_guess,
-           |       round((CASE WHEN q.n BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.2 END)
+           |       CAST(round(CAST((CASE WHEN q.n BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.2 END)
            |             * (0.5 + 0.5 * (CASE WHEN q.n > 0 THEN q.nd * 1.0 / q.n ELSE 0.0 END))
-           |             * q.ar, 4) AS quality
+           |             * q.ar AS DECIMAL(18,10)), 4) AS DOUBLE) AS quality
            |FROM documents d
            |JOIN lid ON lid.doc_id = d.doc_id AND lid.rn = 1
            |JOIN q ON q.doc_id = d.doc_id
