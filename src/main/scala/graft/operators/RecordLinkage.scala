@@ -123,10 +123,31 @@ object RecordLinkage {
   }
 
   private def pairsWithin(df: DataFrame, idCol: String, blockCols: Seq[String]): DataFrame = {
-    val aSide = df.select(df.columns.map(c =>
+    val aSide0 = df.select(df.columns.map(c =>
       if (blockCols.contains(c)) col(c) else col(c).as(s"a_$c")).toSeq: _*)
     val bSide = df.select(df.columns.map(c =>
       if (blockCols.contains(c)) col(c) else col(c).as(s"b_$c")).toSeq: _*)
+    // When the input is broadcast-small, the planner builds a hash
+    // relation from bSide and PROBES aSide in place — and a small table
+    // is typically a handful of files, so the probe (which fans out to
+    // the whole Σ|block|² pair space and carries the pairwise scoring
+    // the caller stacks on top) inherits single-digit parallelism.
+    // Measured on q108 at sf0.1: the 4.5M-pair levenshtein stage ran as
+    // ONE task, 8.5 s; hash-spreading the probe side first → 32 tasks,
+    // ~1 s. The pre-shuffle only moves the broadcast-small input, so
+    // it costs O(small); above the broadcast threshold the join plans
+    // as SMJ whose own blockCols exchange supplies the parallelism
+    // (#blocks >> partitions at any real scale) and the extra shuffle
+    // would be pure waste, so it is skipped. Explicit partition count
+    // pins REPARTITION_BY_NUM — AQE would coalesce the by-col spelling
+    // right back to one partition (the shuffle WRITE is tiny; it's the
+    // join fan-out after it that needs the width).
+    val conf = df.sparkSession.sessionState.conf
+    val aSide =
+      if (conf.autoBroadcastJoinThreshold > 0 &&
+          df.queryExecution.optimizedPlan.stats.sizeInBytes <= conf.autoBroadcastJoinThreshold)
+        aSide0.repartition(conf.numShufflePartitions, col(s"a_$idCol"))
+      else aSide0
     aSide.join(bSide, blockCols)
       .filter(col(s"a_$idCol") < col(s"b_$idCol"))
   }
