@@ -334,4 +334,44 @@ object SimilaritySearch {
         round(cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Embedding-quality audit: per-label centroid cohesion + the bottomK
+    * LEAST-central vectors per label — the mislabeled/garbage-embedding
+    * sweep a training pipeline runs before contrastive sampling trusts
+    * the labels ([[hardNegatives]] mines by label; a wrong label there
+    * poisons pairs, so this audit is its precondition).
+    *
+    * Output: one row per (label, vec) — (label, vec_id, cos, rn) where
+    * cos is the vector's cosine to its label centroid (6dp) and rn ranks
+    * ascending cohesion (rn <= bottomK selects the outliers).
+    *
+    * Determinism across engines (the reason for the decimal hop): the
+    * centroid component is sum(x as DECIMAL(28,10)) -> exact,
+    * order-independent -> cast DOUBLE once, / n in IEEE double. A plain
+    * double avg would expose partial-agg accumulation order. Per-row
+    * cosines are then sequential-double dot products (identical in any
+    * engine), ranked with a vec_id tiebreak.
+    *
+    * Scale shape: one explode (rows x dims) + one (label, dim) groupBy;
+    * centroids are labels x dims — metadata-scale, broadcast back; the
+    * scoring pass is shuffle-free; the rank window partitions by label.
+    */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val e = df.select(col(labelCol).as("label"), col(idCol).as("vid"),
+      toDouble(col(vecCol)).as("v"))
+    val comps = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+        .cast("double") / count(lit(1))).as("c"))
+    val cents = comps.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val scored = e.join(broadcast(cents), Seq("label"))
+      .select(col("label"), col("vid"),
+        round(cosinePrenormed(dot(col("v"), col("cv")), norm(col("v")), col("cn")), 6).as("cos"))
+    val w = Window.partitionBy(col("label")).orderBy(col("cos"), col("vid"))
+    scored.withColumn("rn", row_number().over(w))
+  }
 }

@@ -2286,5 +2286,300 @@ object TextQueries {
       chunked.unpersist()
       spark.read.parquet(s"$run/out").select($"doc_id").orderBy($"doc_id")
     },
+
+    // ---- q115: URL canonicalization + canonical-URL dedup
+    // (UrlFunctions scaladoc) — the crawl-hygiene step BEFORE URL-keyed
+    // dedup/domain caps: raw URLs are injected deterministically per the
+    // q69/q82 idiom in three messy spellings per page (tracking params /
+    // upper-cased host + default port + trailing slash / bare host +
+    // fbclid), plus a :8080 cohort whose explicit port must SURVIVE;
+    // canonicalization collapses each page's spellings to one URL,
+    // min-doc_id survivorship per canonical group. Entirely row-local
+    // builtins; the only shuffles are the two rollup groupBys. ----------
+    QueryDef(
+      "q115_url_canonicalize",
+      """WITH hosts(hid, h) AS (
+        |  VALUES (0,'example.com'),(1,'sample.org'),(2,'demo.io'),(3,'media.example.net')
+        |), raw AS (
+        |  SELECT doc_id, (doc_id // 3) AS page, (doc_id % 3) AS variant
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id, page,
+        |    CASE variant
+        |      WHEN 0 THEN 'https://www.' || h || '/articles/page' || page || '?id=' || page || '&utm_source=feed'
+        |      WHEN 1 THEN CASE WHEN page % 5 = 0
+        |        THEN 'HTTPS://WWW.' || upper(h) || ':8080/articles/page' || page || '/?id=' || page
+        |        ELSE 'HTTPS://WWW.' || upper(h) || ':443/articles/page' || page || '/?id=' || page END
+        |      ELSE 'https://' || h || '/articles/page' || page || '?utm_campaign=x&id=' || page || '&fbclid=abc'
+        |    END AS url
+        |  FROM raw JOIN hosts ON hid = page % 4
+        |), c AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^([^:]*)', 1)), '^www\.', '') AS host,
+        |    regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':([0-9]+)$', 1) AS port,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query0
+        |  FROM u
+        |), k AS (
+        |  SELECT doc_id, scheme, host, port,
+        |    CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+        |         ELSE regexp_replace(path0, '/+$', '') END AS path,
+        |    list_sort(list_filter(string_split(query0, '&'),
+        |      p -> p <> '' AND NOT (starts_with(p,'utm_') OR starts_with(p,'fbclid') OR starts_with(p,'gclid')))) AS params
+        |  FROM c
+        |), canon AS (
+        |  SELECT doc_id, host,
+        |    scheme || '://' || host ||
+        |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443')
+        |         THEN '' ELSE ':' || port END ||
+        |    path ||
+        |    CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS curl
+        |  FROM k
+        |), g AS (
+        |  SELECT host, curl, min(doc_id) AS survivor, count(*) AS n
+        |  FROM canon GROUP BY 1, 2
+        |)
+        |SELECT host, CAST(sum(n) AS BIGINT) AS n_urls,
+        |       count(*)::BIGINT AS n_canonical,
+        |       CAST(sum(survivor) AS BIGINT) AS survivor_checksum
+        |FROM g GROUP BY host ORDER BY host""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.UrlFunctions
+      val hosts = array(lit("example.com"), lit("sample.org"),
+        lit("demo.io"), lit("media.example.net"))
+      val base = Tables(spark, dir).documents
+        .select($"doc_id", expr("doc_id div 3").as("page"), ($"doc_id" % 3).as("variant"))
+      val h = element_at(hosts, ($"page" % 4).cast("int") + 1)
+      val p = $"page".cast("string")
+      val url = when($"variant" === 0,
+          concat(lit("https://www."), h, lit("/articles/page"), p, lit("?id="), p, lit("&utm_source=feed")))
+        .when($"variant" === 1, when($"page" % 5 === 0,
+            concat(lit("HTTPS://WWW."), upper(h), lit(":8080/articles/page"), p, lit("/?id="), p))
+          .otherwise(
+            concat(lit("HTTPS://WWW."), upper(h), lit(":443/articles/page"), p, lit("/?id="), p)))
+        .otherwise(
+          concat(lit("https://"), h, lit("/articles/page"), p, lit("?utm_campaign=x&id="), p, lit("&fbclid=abc")))
+      base.select($"doc_id", UrlFunctions.canonicalizeUrl(url).as("curl"))
+        .groupBy($"curl")
+        .agg(min($"doc_id").as("survivor"), count(lit(1)).as("n"))
+        .groupBy(UrlFunctions.canonicalHost($"curl").as("host"))
+        .agg(sum($"n").cast("long").as("n_urls"),
+          count(lit(1)).as("n_canonical"),
+          sum($"survivor").cast("long").as("survivor_checksum"))
+        .orderBy($"host")
+    },
+
+    // ---- q116: cross-document exact paragraph dedup, first-occurrence-
+    // wins (ParagraphDedup scaladoc) — the RefinedWeb granularity between
+    // q89's >=k-docs line boilerplate and q34's whole-doc hashes; the
+    // tiny shared vocabulary makes 15-word windows collide across docs
+    // naturally, so no injection is needed. One explode + md5-keyed
+    // window + one reassembly groupBy — linear, no pair enumeration. ----
+    QueryDef(
+      "q116_paragraph_dedup",
+      """WITH tok AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents
+        |), paras AS (
+        |  SELECT doc_id, source, i AS idx,
+        |         array_to_string(ts[i*15+1 : i*15+15], ' ') AS para
+        |  FROM tok, UNNEST(generate_series(0, CAST(ceil(len(ts) / 15.0) AS BIGINT) - 1)) AS t(i)
+        |), ranked AS (
+        |  SELECT doc_id, source, idx, para,
+        |         row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+        |  FROM paras
+        |), cleaned AS (
+        |  SELECT doc_id, any_value(source) AS source,
+        |         count(*) AS n_paras,
+        |         count(*) FILTER (WHERE rn > 1) AS n_dup,
+        |         coalesce(string_agg(para, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '') AS text2
+        |  FROM ranked GROUP BY doc_id
+        |)
+        |SELECT source, CAST(sum(n_paras) AS BIGINT) AS n_paras,
+        |       CAST(sum(n_dup) AS BIGINT) AS n_dup_paras,
+        |       count(*) FILTER (WHERE n_dup > 0)::BIGINT AS n_docs_affected,
+        |       CAST(sum(len(text2)) AS BIGINT) AS kept_chars,
+        |       CAST(sum(('0x' || substr(md5(text2), 1, 8))::BIGINT) AS BIGINT) AS cleaned_checksum
+        |FROM cleaned GROUP BY source ORDER BY source""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.ParagraphDedup
+        .stripFirstOccurrence(Tables(spark, dir).documents,
+          "doc_id", "text", wordsPerPara = 15, carryCols = Seq("source"))
+        .groupBy($"source")
+        .agg(sum($"n_paras").cast("long").as("n_paras"),
+          sum($"n_dup").cast("long").as("n_dup_paras"),
+          count(when($"n_dup" > 0, 1)).as("n_docs_affected"),
+          sum(length($"cleaned")).cast("long").as("kept_chars"),
+          sum(conv(substring(md5($"cleaned"), 1, 8), 16, 10).cast("long"))
+            .cast("long").as("cleaned_checksum"))
+        .orderBy($"source")
+    },
+
+    // ---- q117: embedding-quality audit — per-label centroid cohesion +
+    // bottom-5 outliers (SimilaritySearch.centroidOutliers scaladoc): the
+    // label-trust sweep that gates q98's label-driven hard-negative
+    // mining. Centroids use exact decimal component sums so both engines
+    // derive bit-identical centroids regardless of accumulation order. --
+    QueryDef(
+      "q117_embedding_outliers",
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), ex AS (
+        |  SELECT label, vec_id, i, v[i] AS x
+        |  FROM e, UNNEST(generate_series(1, len(v))) AS t(i)
+        |), comp AS (
+        |  SELECT label, i,
+        |         CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+        |  FROM ex GROUP BY label, i
+        |), cent AS (
+        |  SELECT label, list(c ORDER BY i) AS cv FROM comp GROUP BY label
+        |), scored AS (
+        |  SELECT e.label, e.vec_id,
+        |         round(list_inner_product(e.v, cent.cv)
+        |           / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cent.cv, cent.cv))), 6) AS cos
+        |  FROM e JOIN cent USING (label)
+        |), ranked AS (
+        |  SELECT label, vec_id, cos,
+        |         row_number() OVER (PARTITION BY label ORDER BY cos, vec_id) AS rn
+        |  FROM scored
+        |)
+        |SELECT label, count(*)::BIGINT AS n,
+        |       CAST(round(CAST(avg(cos) AS DECIMAL(18,6)), 4) AS DOUBLE) AS avg_cos,
+        |       CAST(CAST(min(cos) AS DECIMAL(18,6)) AS DOUBLE) AS min_cos,
+        |       CAST(sum(vec_id) FILTER (WHERE rn <= 5) AS BIGINT) AS outlier_checksum
+        |FROM ranked GROUP BY label ORDER BY label""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      SimilaritySearch
+        .centroidOutliers(Tables(spark, dir).embeddings, "vec_id", "embedding", "label")
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          out(round(avg($"cos").cast(DecimalType(18, 6)), 4)).as("avg_cos"),
+          out(min($"cos").cast(DecimalType(18, 6))).as("min_cos"),
+          sum(when($"rn" <= 5, $"vid")).cast("long").as("outlier_checksum"))
+        .orderBy($"label")
+    },
+
+    // ---- q118: corpus snapshot delta (SnapshotDelta scaladoc) — the
+    // data-versioning diff between two exports: snapshot B is derived
+    // deterministically from the documents table (doc_id%9==3 deleted,
+    // doc_id%7==2 edited in place, doc_id%13==5 re-added as new ids; all
+    // moduli coprime to the 20-way source cycle so every source sees all
+    // four statuses). The operator fingerprints BEFORE the full-outer
+    // join, so the diff shuffles (id, md5, len) rows, never text. -------
+    QueryDef(
+      "q118_snapshot_delta",
+      """WITH a AS (SELECT doc_id, text, source FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 2 THEN text || ' edited' ELSE text END AS text,
+        |         source
+        |  FROM documents WHERE doc_id % 9 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new document ' || doc_id, source
+        |  FROM documents WHERE doc_id % 13 = 5
+        |), j AS (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |         coalesce(a.source, b.source) AS source,
+        |         CASE
+        |           WHEN a.doc_id IS NULL THEN 'added'
+        |           WHEN b.doc_id IS NULL THEN 'removed'
+        |           WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+        |           ELSE 'retained' END AS status,
+        |         coalesce(length(b.text), 0) - coalesce(length(a.text), 0) AS char_delta
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |)
+        |SELECT source, status, count(*)::BIGINT AS n,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        |       CAST(sum(char_delta) AS BIGINT) AS char_delta
+        |FROM j GROUP BY source, status ORDER BY source, status""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val a = Tables(spark, dir).documents.select($"doc_id", $"text", $"source")
+      val edited = a.filter($"doc_id" % 9 =!= 3)
+        .withColumn("text",
+          when($"doc_id" % 7 === 2, concat($"text", lit(" edited"))).otherwise($"text"))
+      val added = a.filter($"doc_id" % 13 === 5)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat(lit("new document "), $"doc_id".cast("string")).as("text"), $"source")
+      graft.operators.SnapshotDelta
+        .delta(a, edited.unionByName(added), "doc_id", "text", carryCols = Seq("source"))
+        .groupBy($"source", $"status")
+        .agg(count(lit(1)).as("n"),
+          sum($"doc_id").cast("long").as("id_checksum"),
+          sum($"char_delta").cast("long").as("char_delta"))
+        .orderBy($"source", $"status")
+    },
+
+    // ---- q119: DSIR-style importance selection (NgramLm
+    // .importanceRatio scaladoc; Xie et al. 2023) — shift the corpus
+    // mixture toward the 'de' slice by mean bigram log importance ratio,
+    // then take the top fifth per language by deterministic
+    // (li desc, doc_id) rank — q64's quota idiom on an importance score
+    // instead of a hash. li is decimal-snapped to 6dp BEFORE ranking so
+    // duplicate-text docs (identical gram multisets, different float
+    // accumulation order per engine) can never flip a quota-boundary
+    // rank between the engines. ----------------------------------------
+    QueryDef(
+      "q119_dsir_selection",
+      """WITH tok AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS gram
+        |  FROM tok WHERE len(ts) >= 2
+        |), lmg AS (
+        |  SELECT gram, count(*)::DOUBLE AS cb FROM g GROUP BY 1
+        |), unig AS (
+        |  SELECT split_part(gram, ' ', 1) AS w1, sum(cb) AS cu FROM lmg GROUP BY 1
+        |), glog AS (
+        |  SELECT gram, -ln(cb / cu) AS lpg
+        |  FROM lmg JOIN unig ON split_part(lmg.gram, ' ', 1) = unig.w1
+        |), lmt AS (
+        |  SELECT gram, count(*)::DOUBLE AS cb FROM g WHERE lang = 'de' GROUP BY 1
+        |), unit AS (
+        |  SELECT split_part(gram, ' ', 1) AS w1, sum(cb) AS cu FROM lmt GROUP BY 1
+        |), tlog AS (
+        |  SELECT gram, -ln(cb / cu) AS lpt
+        |  FROM lmt JOIN unit ON split_part(lmt.gram, ' ', 1) = unit.w1
+        |), doc AS (
+        |  SELECT g.doc_id, g.lang,
+        |         round(CAST(avg(glog.lpg - tlog.lpt) AS DECIMAL(18,8)), 6) AS li
+        |  FROM g JOIN glog USING (gram) JOIN tlog USING (gram)
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT lang, doc_id, li,
+        |         row_number() OVER (PARTITION BY lang ORDER BY li DESC, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS nl
+        |  FROM doc
+        |)
+        |SELECT lang, count(*)::BIGINT AS n_scored,
+        |       count(*) FILTER (WHERE rn <= nl // 5)::BIGINT AS n_selected,
+        |       CAST(round(CAST(avg(li) FILTER (WHERE rn <= nl // 5) AS DECIMAL(18,6)), 4) AS DOUBLE) AS avg_li_sel,
+        |       CAST(sum(doc_id) FILTER (WHERE rn <= nl // 5) AS BIGINT) AS sel_checksum
+        |FROM ranked GROUP BY lang ORDER BY lang""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val li = graft.operators.NgramLm
+        .importanceRatio(docs, "text", $"lang" === "de", "doc_id", "lang")
+        .withColumn("li", round($"li".cast(DecimalType(18, 8)), 6))
+      val w = Window.partitionBy($"lang").orderBy($"li".desc, $"doc_id")
+      val ranked = li
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nl", count(lit(1)).over(Window.partitionBy($"lang")))
+      val quota = expr("nl div 5")
+      ranked.groupBy($"lang")
+        .agg(count(lit(1)).as("n_scored"),
+          count(when($"rn" <= quota, 1)).as("n_selected"),
+          out(round(avg(when($"rn" <= quota, $"li")).cast(DecimalType(18, 6)), 4)).as("avg_li_sel"),
+          sum(when($"rn" <= quota, $"doc_id")).cast("long").as("sel_checksum"))
+        .orderBy($"lang")
+    },
   )
 }
