@@ -115,6 +115,15 @@ object TextFunctions {
     ColumnBridge.toColumn(WordNgramStats(ColumnBridge.toExpression(text), n))
   }
 
+  /** Per-document codepoint-distribution statistics
+    * `struct(n_chars, n_distinct, entropy)`, row-local — see
+    * [[org.apache.spark.sql.graft.CharEntropyStats]] for why this beats
+    * the explode + double-groupBy spelling at corpus scale. */
+  def charEntropyStats(text: Column): Column = {
+    import org.apache.spark.sql.graft.{CharEntropyStats, ColumnBridge}
+    ColumnBridge.toColumn(CharEntropyStats(ColumnBridge.toExpression(text)))
+  }
+
   /** PII patterns, deliberately lookahead-free so the identical pattern
     * runs on both Java regex (Spark codegen) and RE2-based engines (the
     * DuckDB oracle): the same cross-engine differential q44c uses.

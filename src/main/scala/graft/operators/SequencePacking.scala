@@ -26,6 +26,58 @@ import org.apache.spark.sql.functions._
   */
 object SequencePacking {
 
+  /** Adds `outCol` = the EXCLUSIVE prefix sum of `weightCol` within each
+    * `keyCols` group, in `orderCols` order (keys empty → one global
+    * group). This is the skew-proof spelling of
+    * `sum(w) OVER (PARTITION BY keys ORDER BY ord ROWS UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)`: a plain partitioned window puts an
+    * ENTIRE key group in one task, so a handful of buckets/sources over
+    * a 100 TB corpus would serialize into a handful of tasks. Here the
+    * data is range-partitioned on (keys, order) — so every key group
+    * spans contiguous partitions and large groups split across MANY
+    * tasks — cumsummed partition-locally, then shifted by the per-
+    * (partition, key) totals. The totals frame is metadata-scale
+    * (≤ numParts + #keys rows, because groups are contiguous under the
+    * range partitioning), so its own offset window is trivial and is
+    * broadcast back. The result depends only on the (keys, order) total
+    * order, not the partition layout, so the same call verifies against
+    * a single-window oracle and scales to a cluster unchanged.
+    *
+    * `orderCols` must be a total order within each key group (callers
+    * pass a unique id as the last column).
+    */
+  def keyedPrefixSum(
+      df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+      weightCol: Column, outCol: String, numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val rangeCols = keyCols.map(col) ++ orderCols
+    val parted = df.withColumn("__w", weightCol.cast("long"))
+      .repartitionByRange(n, rangeCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    // partition-local inclusive cumsum; cached because the totals pass
+    // and the final projection both read it (cache-release contract:
+    // see Dedup.jaccardPairs)
+    val w = Window.partitionBy((col("__pid") +: keyCols.map(col)): _*)
+      .orderBy(orderCols: _*)
+    val local = parted.withColumn("__cum", sum(col("__w")).over(w)).cache()
+    // per-(partition, key) totals: metadata-scale, so the cross-partition
+    // offset is itself a trivial window over the totals frame — no
+    // driver-side collect at all
+    val totals = local.groupBy((col("__pid") +: keyCols.map(col)): _*)
+      .agg(sum(col("__w")).as("__tot"))
+    val wOff = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__pid"))
+    val offs = totals
+      .withColumn("__off", sum(col("__tot")).over(wOff) - col("__tot"))
+      .drop("__tot")
+    // the using-columns join moves the join keys first; restore the
+    // caller's column order (contract: input columns + outCol appended)
+    local.join(broadcast(offs), "__pid" +: keyCols)
+      .withColumn(outCol, col("__off") + col("__cum") - col("__w"))
+      .select(df.columns.map(col) :+ col(outCol): _*)
+  }
+
   /** Adds `tokens_before` (exclusive prefix sum of `weightCol` in
     * `idCol` order) and `chunk_id` (= tokens_before DIV capacity) to
     * `df`. `idCol` must be unique — it defines the packing order.
@@ -34,29 +86,7 @@ object SequencePacking {
       df: DataFrame, idCol: String, weightCol: Column, capacity: Long,
       numParts: Int = 0): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val n = if (numParts > 0) numParts
-      else spark.sessionState.conf.numShufflePartitions
-    val parted = df.withColumn("__w", weightCol.cast("long"))
-      .repartitionByRange(n, col(idCol))
-      .withColumn("__pid", spark_partition_id())
-    // partition-local inclusive cumsum; cached because the totals pass
-    // and the final projection both read it (cache-release contract:
-    // see Dedup.jaccardPairs)
-    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
-    val local = parted.withColumn("__cum", sum(col("__w")).over(w)).cache()
-    // the one collect: per-partition totals, <= numParts rows
-    val totals = local.groupBy(col("__pid")).agg(max(col("__cum")).as("__tot"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = {
-      var acc = 0L
-      totals.map { case (pid, tot) => val o = (pid, acc); acc += tot; o }
-    }
-    val offDf = offsets.toSeq.toDF("__pid", "__off")
-    local.join(broadcast(offDf), Seq("__pid"))
-      .withColumn("tokens_before", col("__off") + col("__cum") - col("__w"))
+    keyedPrefixSum(df, Nil, Seq(col(idCol)), weightCol, "tokens_before", numParts)
       .withColumn("chunk_id", expr(s"tokens_before DIV ${capacity}L"))
-      .drop("__w", "__pid", "__cum", "__off")
   }
 }

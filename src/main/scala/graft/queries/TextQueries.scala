@@ -2581,5 +2581,190 @@ object TextQueries {
           sum(when($"rn" <= quota, $"doc_id")).cast("long").as("sel_checksum"))
         .orderBy($"lang")
     },
+
+    // ---- q120: TF-IDF keyword extraction (TfIdf scaladoc) — the
+    // document-side complement of q70's BM25 retrieval: top-3 keywords
+    // per doc, rolled up to the top-20 keywords per language by
+    // document count. Scores are snapped to a 6dp decimal grid before
+    // ranking (q119 idiom) so no float ulp can flip a top-3 boundary. --
+    QueryDef(
+      "q120_tfidf_keywords",
+      """WITH tok AS (
+        |  SELECT doc_id, lang, t.tok AS term
+        |  FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) t(tok)
+        |  WHERE t.tok <> ''
+        |), tf AS (
+        |  SELECT doc_id, lang, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3
+        |), idf AS (
+        |  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+        |), n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang, term,
+        |         round(CAST(tf.tf * ln(n.n / idf.df) AS DECIMAL(18,8)), 6) AS s
+        |  FROM tf JOIN idf USING (term) CROSS JOIN n
+        |), top3 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rn
+        |  FROM scored
+        |), kw AS (
+        |  SELECT lang, term, count(*) AS n_docs, sum(s) AS ssum
+        |  FROM top3 WHERE rn <= 3 GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n_docs DESC, term) AS rnk
+        |  FROM kw
+        |)
+        |SELECT lang, term, n_docs::BIGINT AS n_docs, CAST(ssum AS DOUBLE) AS score_sum
+        |FROM ranked WHERE rnk <= 20 ORDER BY lang, n_docs DESC, term""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val kw = graft.operators.TfIdf
+        .topKeywords(docs, "doc_id", "text", k = 3, nDocs = docs.count(),
+          carryCols = Seq("lang"))
+        .groupBy($"lang", $"term")
+        .agg(count(lit(1)).as("n_docs"), sum($"score").as("ssum"))
+      val w = Window.partitionBy($"lang").orderBy($"n_docs".desc, $"term")
+      kw.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 20)
+        .select($"lang", $"term", $"n_docs", out($"ssum").as("score_sum"))
+        .orderBy($"lang", $"n_docs".desc, $"term")
+    },
+
+    // ---- q121: length-bucketed batch packing (Curriculum
+    // .lengthBucketPack scaladoc) — the padding-efficiency transform:
+    // pad-to-power-of-two buckets, 32 docs per batch within a bucket,
+    // exact integer bucket thresholds (no float log2 — its ln(x)/ln(2)
+    // spelling rounds differently across engines exactly at the
+    // power-of-two boundaries that DEFINE the buckets). The per-bucket
+    // rank is the keyed distributed prefix sum, not a per-bucket
+    // window: a handful of buckets over 100 TB would otherwise
+    // serialize into a handful of tasks. ------------------------------
+    QueryDef(
+      "q121_length_bucket_pack",
+      """WITH d AS (
+        |  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, n_tok,
+        |    CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+        |         WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+        |         WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+        |         ELSE 1024 END AS pad_len
+        |  FROM d
+        |), p AS (
+        |  SELECT *, row_number() OVER (PARTITION BY pad_len ORDER BY doc_id) - 1 AS rn
+        |  FROM b
+        |), a AS (SELECT *, rn // 32 AS batch_id FROM p)
+        |SELECT pad_len, count(*)::BIGINT AS n_docs,
+        |       count(DISTINCT batch_id)::BIGINT AS n_batches,
+        |       CAST(sum(n_tok) AS BIGINT) AS total_tok,
+        |       CAST(round(CAST(CAST(sum(n_tok) AS DOUBLE) / (count(*) * pad_len) AS DECIMAL(18,8)), 4) AS DOUBLE) AS fill_ratio,
+        |       CAST(sum(doc_id * (batch_id + 1)) AS BIGINT) AS batch_checksum
+        |FROM a GROUP BY pad_len ORDER BY pad_len""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val d = Tables(spark, dir).documents
+        .select($"doc_id", size(TextFunctions.tokens($"text")).cast("long").as("n_tok"))
+      graft.operators.Curriculum
+        .lengthBucketPack(d, "doc_id", $"n_tok", docsPerBatch = 32)
+        .groupBy($"pad_len")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"batch_id").as("n_batches"),
+          sum($"n_tok").cast("long").as("total_tok"),
+          out(round((sum($"n_tok").cast("double") / (count(lit(1)) * $"pad_len"))
+            .cast(DecimalType(18, 8)), 4)).as("fill_ratio"),
+          sum($"doc_id" * ($"batch_id" + 1)).cast("long").as("batch_checksum"))
+        .orderBy($"pad_len")
+    },
+
+    // ---- q122: curriculum interleave (Curriculum.interleave scaladoc)
+    // — "best first, sources round-robin": rank within source by
+    // (n_chars DESC, doc_id), global position = (rank-1)*20 + source
+    // index; verified per position-decile (early deciles must carry the
+    // long documents). Same keyed-prefix-sum scale posture as q121. ----
+    QueryDef(
+      "q122_curriculum_interleave",
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(substr(source, 4) AS BIGINT) AS sidx,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) - 1 AS rk
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, n_chars, rk * 20 + sidx AS position FROM r
+        |), n AS (SELECT count(*) AS n FROM documents)
+        |SELECT (position * 10) // n.n AS band, count(*)::BIGINT AS n_docs,
+        |       CAST(min(position) AS BIGINT) AS min_pos,
+        |       CAST(max(position) AS BIGINT) AS max_pos,
+        |       CAST(round(CAST(avg(n_chars) AS DECIMAL(18,6)), 2) AS DOUBLE) AS avg_chars,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM p CROSS JOIN n GROUP BY 1 ORDER BY 1""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val nTotal = docs.count()
+      graft.operators.Curriculum
+        .interleave(docs, "source", substring($"source", 4, 10).cast("long"),
+          $"n_chars", "doc_id", nGroups = 20)
+        .withColumn("band", expr(s"(position * 10) DIV ${nTotal}L"))
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"position").as("min_pos"),
+          max($"position").as("max_pos"),
+          out(round(avg($"n_chars").cast(DecimalType(18, 6)), 2)).as("avg_chars"),
+          sum($"doc_id").cast("long").as("id_checksum"))
+        .orderBy($"band")
+    },
+
+    // ---- q123: character-entropy bands (CharEntropyStats scaladoc) —
+    // the cheap gibberish filter: per-doc codepoint Shannon entropy in
+    // ONE row-local pass (the explode + double-groupBy spelling, which
+    // the oracle recomputes, shuffles a stream ~100x wider than the
+    // documents twice). Two degenerate cohorts are injected per the
+    // q69/q115 idiom (single-char repeat -> H=0 exactly by algebraic
+    // cancellation; five-char repeat -> H=log2(5)) so the low-entropy
+    // bands are populated; entropies are snapped to 6dp decimals
+    // before banding and averaging. -----------------------------------
+    QueryDef(
+      "q123_entropy_bands",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 11 = 0 THEN repeat('z', 200)
+        |         WHEN doc_id % 11 = 5 THEN repeat('spam ', 40)
+        |         ELSE text END AS text2
+        |  FROM documents
+        |), cx AS (
+        |  SELECT doc_id, lang, c, count(*)::DOUBLE AS cnt
+        |  FROM t, unnest(string_split(text2, '')) AS u(c)
+        |  GROUP BY 1, 2, 3
+        |), ent AS (
+        |  SELECT doc_id, lang, count(*) AS n_distinct,
+        |    round(CAST(
+        |      CASE WHEN ln(sum(cnt))/ln(2) - sum(cnt * ln(cnt)/ln(2)) / sum(cnt) <= 0 THEN 0.0
+        |           ELSE ln(sum(cnt))/ln(2) - sum(cnt * ln(cnt)/ln(2)) / sum(cnt) END
+        |      AS DECIMAL(18,8)), 6) AS h6
+        |  FROM cx GROUP BY 1, 2
+        |)
+        |SELECT lang, CAST(floor(h6) AS BIGINT) AS band, count(*)::BIGINT AS n_docs,
+        |       CAST(round(CAST(avg(h6) AS DECIMAL(18,6)), 4) AS DOUBLE) AS avg_entropy,
+        |       CAST(round(CAST(avg(n_distinct) AS DECIMAL(18,6)), 2) AS DOUBLE) AS avg_distinct,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM ent GROUP BY 1, 2 ORDER BY 1, 2""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val t2 = when($"doc_id" % 11 === 0, expr("repeat('z', 200)"))
+        .when($"doc_id" % 11 === 5, expr("repeat('spam ', 40)"))
+        .otherwise($"text")
+      val st = TextFunctions.charEntropyStats(t2)
+      Tables(spark, dir).documents
+        .select($"doc_id", $"lang", st.getField("n_distinct").as("n_distinct"),
+          round(st.getField("entropy").cast(DecimalType(18, 8)), 6)
+            .cast(DecimalType(18, 6)).as("h6"))
+        .withColumn("band", floor($"h6").cast("long"))
+        .groupBy($"lang", $"band")
+        .agg(count(lit(1)).as("n_docs"),
+          out(round(avg($"h6").cast(DecimalType(18, 6)), 4)).as("avg_entropy"),
+          out(round(avg($"n_distinct").cast(DecimalType(18, 6)), 2)).as("avg_distinct"),
+          sum($"doc_id").cast("long").as("id_checksum"))
+        .orderBy($"lang", $"band")
+    },
   )
 }
