@@ -44,7 +44,9 @@ object SequencePacking {
     * a single-window oracle and scales to a cluster unchanged.
     *
     * `orderCols` must be a total order within each key group (callers
-    * pass a unique id as the last column).
+    * pass a unique id as the last column). Project `df` down to the
+    * columns you need FIRST: the internal cache materializes the full
+    * input width, so extra columns ride the rank shuffle and the cache.
     */
   def keyedPrefixSum(
       df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],

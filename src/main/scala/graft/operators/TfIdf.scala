@@ -41,11 +41,19 @@ object TfIdf {
       carryCols: Seq[String] = Nil): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val carry = carryCols.map(col)
+    // cached: the scored join and the df derivation both read tf, and the
+    // two branches aggregate different key sets (column pruning strips the
+    // carry columns from the df branch), so exchange reuse can't kick in —
+    // without the cache the full tokenize + token-stream shuffle runs
+    // TWICE. jaccardPairs cache-release contract: the session running
+    // back-to-back pipelines clears the cache between them (Bench/Verify
+    // do).
     val tf = docs
       .select((col(idCol).as("doc_id") +: carry) :+
         explode(TextFunctions.alphaTokens(col(textCol))).as("term"): _*)
       .groupBy((col("doc_id") +: carry) :+ col("term"): _*)
       .agg(count(lit(1)).cast("double").as("tf"))
+      .cache()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     val scored = tf.join(df, Seq("term"))
       .withColumn("score",

@@ -2701,8 +2701,12 @@ object TextQueries {
       import spark.implicits._
       val docs = Tables(spark, dir).documents
       val nTotal = docs.count()
+      // project BEFORE the prefix sum: its internal cache materializes
+      // every input column, so a full-width frame would drag text
+      // through the rank shuffle
       graft.operators.Curriculum
-        .interleave(docs, "source", substring($"source", 4, 10).cast("long"),
+        .interleave(docs.select($"doc_id", $"source", $"n_chars"),
+          "source", substring($"source", 4, 10).cast("long"),
           $"n_chars", "doc_id", nGroups = 20)
         .withColumn("band", expr(s"(position * 10) DIV ${nTotal}L"))
         .groupBy($"band")
