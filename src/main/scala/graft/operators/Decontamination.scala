@@ -68,34 +68,77 @@ object Decontamination {
       shingleN: Int = 3,
       numPerms: Int = 128,
       bands: Int = 32,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4): DataFrame =
+    fuzzyCrossPairs(docs, idCol, textCol, isEval, threshold,
+      shingleN, numPerms, bands, rowsPerBand)
+      .select(col("da").as(idCol))
+      .distinct()
+
+  /** Incremental corpus-refresh admission — the BATCH analog of the
+    * streaming near-dedup (DedupStreams): ids of the `isNew` slice that
+    * are near-duplicates (exact shingle Jaccard >= `threshold`) of SOME
+    * existing document. Callers anti-join the result against the batch
+    * to admit only novel content.
+    *
+    * Same bipartite machinery as [[fuzzyContaminatedIds]] with the roles
+    * reversed: the NEW batch is the small broadcast side, the existing
+    * corpus is the 100 TB probe side, and the flagged ids come from the
+    * batch. A rejected batch doc keeps its flag as long as ANY partner
+    * clears the threshold, so marginal-recall partners can't flip an
+    * admission that an exact-duplicate partner already decided.
+    */
+  def batchNearDuplicateIds(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isNew: Column,
+      threshold: Double,
+      shingleN: Int = 3,
+      numPerms: Int = 128,
+      bands: Int = 32,
+      rowsPerBand: Int = 4): DataFrame =
+    fuzzyCrossPairs(docs, idCol, textCol, isNew, threshold,
+      shingleN, numPerms, bands, rowsPerBand)
+      .select(col("db").as(idCol))
+      .distinct()
+
+  /** Shared bipartite near-dup pair derivation: exact-thresholded
+    * (da = bulk side, db = `isSmall` side) pairs with J >= threshold.
+    */
+  private def fuzzyCrossPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isSmall: Column,
+      threshold: Double,
+      shingleN: Int,
+      numPerms: Int,
+      bands: Int,
+      rowsPerBand: Int): DataFrame = {
     MinHashLSH.requireBandsFit(numPerms, bands, rowsPerBand)
     // one shingle derivation for both sides: signature agg + the refine
     // re-read it, and a per-side re-derivation could never drift.
     // Cache-release contract: see Dedup.jaccardPairs.
     val sh = Dedup.charShingles(docs, idCol, textCol, shingleN).cache()
-    val flags = docs.select(col(idCol).as("doc_id"), isEval.as("__eval"))
-    // cached: the train and eval branches below would otherwise each
-    // re-run the whole shingle->signature->band derivation (measured as
-    // the query's dominant cost). One row per (doc, band) — doc-count
-    // scale; at 100 TB persist to disk or derive the (tiny) eval side
-    // from the eval slice alone. Cache-release contract: see
-    // Dedup.jaccardPairs.
+    val flags = docs.select(col(idCol).as("doc_id"), isSmall.as("__small"))
+    // cached: the two branches below would otherwise each re-run the
+    // whole shingle->signature->band derivation (measured as the query's
+    // dominant cost). One row per (doc, band) — doc-count scale; at
+    // 100 TB persist to disk or derive the (tiny) small side from its
+    // slice alone. Cache-release contract: see Dedup.jaccardPairs.
     val banded = MinHashLSH.bandKeys(
       MinHashLSH.signatures(sh, numPerms), bands, rowsPerBand)
       .select(col("doc_id"), col("band"), col("bkey"))
       .join(flags, Seq("doc_id"))
       .cache()
-    val train = banded.filter(!col("__eval"))
+    val bulk = banded.filter(!col("__small"))
       .select(col("doc_id").as("da"), col("band"), col("bkey"))
-    val eval_ = banded.filter(col("__eval"))
+    val small = banded.filter(col("__small"))
       .select(col("doc_id").as("db"), col("band"), col("bkey"))
-    val cand = train.join(broadcast(eval_), Seq("band", "bkey"))
+    val cand = bulk.join(broadcast(small), Seq("band", "bkey"))
       .select(col("da"), col("db"))
     // raw (per-band duplicated) candidates: the refine dedups after
     // thresholding, same trade as MinHashLSH.nearDuplicatePairs
     Dedup.jaccardForPairs(sh, cand, threshold, pairsDistinct = false)
-      .select(col("da").as(idCol))
-      .distinct()
   }
 }

@@ -187,7 +187,8 @@ object TextQueries {
     * partners outside [t*n, n/t] are pruned before any popcount);
     * containment has no such bound, so q103 passes None.
     */
-  private def bitmapInter(gram: String, lengthBand: Option[Double]): String = {
+  private def bitmapInter(gram: String, lengthBand: Option[Double],
+      pairPred: String = "a.doc_id < b.doc_id"): String = {
     val band = lengthBand.map(t =>
       s"""
          |   AND a.n >= CAST(ceil($t * b.n) AS BIGINT)
@@ -218,9 +219,55 @@ object TextQueries {
        |  SELECT a.doc_id AS da, b.doc_id AS db,
        |         list_sum(list_transform(list_zip(a.words, b.words),
        |           z -> bit_count(z[1] & z[2]))) AS i
-       |  FROM bm a JOIN bm b ON a.doc_id < b.doc_id$band
+       |  FROM bm a JOIN bm b ON $pairPred$band
        |)""".stripMargin
   }
+
+  /** q124 oracle: exact bipartite Jaccard admission over the augmented
+    * corpus (A = documents, B = derived refresh batch at ids +2000000),
+    * spelled with the same bitmap-popcount pair derivation as
+    * [[jaccardOracle]] restricted to cross-corpus pairs. The flag set is
+    * recall-robust by construction: every rejected batch doc has an
+    * exact- or near-duplicate partner at J ~ 1 (banding collision
+    * probability ~ 1), and the novel cohort tops out an order of
+    * magnitude below the 0.5 threshold, so no marginal-recall pair can
+    * flip an admission.
+    */
+  private val incrementalOracle =
+    s"""WITH bsrc AS (
+       |  SELECT doc_id AS oid, text,
+       |    CASE WHEN doc_id % 9 = 3 THEN 'exact'
+       |         WHEN doc_id % 7 = 2 THEN 'near'
+       |         WHEN doc_id % 13 = 5 THEN 'novel' END AS cohort
+       |  FROM documents
+       |  WHERE doc_id % 9 = 3 OR doc_id % 7 = 2 OR doc_id % 13 = 5
+       |), b AS (
+       |  SELECT oid + 2000000 AS doc_id, cohort,
+       |    CASE cohort WHEN 'exact' THEN text
+       |                WHEN 'near' THEN text || ' edited'
+       |                ELSE 'fresh item ' || oid || ' unseen content' END AS text
+       |  FROM bsrc
+       |), u AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM b
+       |), ug AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, substr(lower(text), g.i::INT, 3) AS s
+       |  FROM u, generate_series(1, 100000) g(i)
+       |  WHERE g.i <= length(text) - 2
+       |),
+       |${bitmapInter("ug", lengthBand = Some(0.5),
+            pairPred = "a.doc_id < 2000000 AND b.doc_id >= 2000000")},
+       |flagged AS (
+       |  SELECT DISTINCT x.db AS doc_id
+       |  FROM inter x JOIN bm ba ON ba.doc_id = x.da JOIN bm bb ON bb.doc_id = x.db
+       |  WHERE x.i * 1.0 / (ba.n + bb.n - x.i) >= 0.5
+       |)
+       |SELECT cohort, count(*)::BIGINT AS n_batch,
+       |       count(f.doc_id)::BIGINT AS n_flagged,
+       |       (count(*) - count(f.doc_id))::BIGINT AS n_admitted,
+       |       CAST(coalesce(sum(b.doc_id) FILTER (WHERE f.doc_id IS NULL), 0) AS BIGINT) AS admitted_checksum
+       |FROM b LEFT JOIN flagged f ON f.doc_id = b.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val jaccardOracle =
     s"""WITH $shingleCte,
@@ -2769,6 +2816,43 @@ object TextQueries {
           out(round(avg($"n_distinct").cast(DecimalType(18, 6)), 2)).as("avg_distinct"),
           sum($"doc_id").cast("long").as("id_checksum"))
         .orderBy($"lang", $"band")
+    },
+
+    // ---- q124: incremental corpus-refresh admission (Decontamination
+    // .batchNearDuplicateIds scaladoc) — the BATCH analog of the L8
+    // streaming near-dedup: a derived refresh batch (exact copies,
+    // lightly-edited copies, genuinely novel docs — first-match-wins
+    // cohorts at ids +2000000) is admitted against the existing corpus
+    // via bipartite MinHash-LSH with the batch as the broadcast side
+    // and an exact-Jaccard refine at 0.5. The oracle recomputes exact
+    // bipartite admission with the bitmap-popcount spelling; the flag
+    // set is recall-robust (see incrementalOracle scaladoc). ----------
+    QueryDef("q124_incremental_neardup", incrementalOracle) { (spark, dir) =>
+      import spark.implicits._
+      val a = Tables(spark, dir).documents.select($"doc_id", $"text")
+      val cohort = when($"doc_id" % 9 === 3, lit("exact"))
+        .when($"doc_id" % 7 === 2, lit("near"))
+        .when($"doc_id" % 13 === 5, lit("novel"))
+      val b = a.withColumn("cohort", cohort).filter($"cohort".isNotNull)
+        .select(($"doc_id" + 2000000L).as("doc_id"),
+          when($"cohort" === "exact", $"text")
+            .when($"cohort" === "near", concat($"text", lit(" edited")))
+            .otherwise(concat(lit("fresh item "), $"doc_id".cast("string"),
+              lit(" unseen content"))).as("text"),
+          $"cohort")
+      val u = a.withColumn("is_new", lit(false))
+        .unionByName(b.drop("cohort").withColumn("is_new", lit(true)))
+      val flagged = graft.operators.Decontamination
+        .batchNearDuplicateIds(u, "doc_id", "text", $"is_new", threshold = 0.5)
+        .withColumnRenamed("doc_id", "fid")
+      b.join(flagged, $"doc_id" === $"fid", "left")
+        .groupBy($"cohort")
+        .agg(count(lit(1)).as("n_batch"),
+          count($"fid").as("n_flagged"),
+          (count(lit(1)) - count($"fid")).as("n_admitted"),
+          coalesce(sum(when($"fid".isNull, $"doc_id")), lit(0L))
+            .cast("long").as("admitted_checksum"))
+        .orderBy($"cohort")
     },
   )
 }

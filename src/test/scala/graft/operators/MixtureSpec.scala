@@ -110,4 +110,29 @@ class MixtureSpec extends SparkSpec {
       .select($"da").distinct().as[Long].collect().toSet
     assert(lsh == exact, "LSH path lost a contaminated id vs the exact form")
   }
+
+  test("batchNearDuplicateIds flags the batch side, ≡ exact bipartite Jaccard") {
+    val docs = tables.documents
+    // synthetic refresh batch: one exact copy, one edit, one novel doc
+    val batch = Seq(
+      (2000001L, docs.filter($"doc_id" === 1).select("text").head().getString(0)),
+      (2000002L, docs.filter($"doc_id" === 2).select("text").head().getString(0) + " edited"),
+      (2000003L, "a genuinely novel refresh document about nothing in the corpus"))
+      .toDF("doc_id", "text")
+    val u = docs.select($"doc_id", $"text").withColumn("is_new", lit(false))
+      .unionByName(batch.withColumn("is_new", lit(true)))
+    val got = Decontamination
+      .batchNearDuplicateIds(u, "doc_id", "text", $"is_new", 0.5)
+      .as[Long].collect().toSet
+    // ids come from the BATCH side only
+    assert(got.forall(_ >= 2000000L))
+    // exact bipartite ground truth through the same refine
+    val sh = Dedup.charShingles(u, "doc_id", "text", 3)
+    val pairs = docs.select($"doc_id".as("da"))
+      .crossJoin(batch.select($"doc_id".as("db")))
+    val exact = Dedup.jaccardForPairs(sh, pairs, 0.5)
+      .select($"db").distinct().as[Long].collect().toSet
+    assert(got == exact, "LSH batch admission diverged from the exact form")
+    assert(got.contains(2000001L) && got.contains(2000002L) && !got.contains(2000003L))
+  }
 }
