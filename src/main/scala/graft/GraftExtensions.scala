@@ -65,6 +65,9 @@ object GraftExtensions {
     ("dominant_script", 1, cs => TextFunctions.dominantScript(cs.head)),
     ("classifier_weight", 1, cs => graft.operators.QualityClassifier.tokenWeight(cs.head)),
     ("dedup_lines", 1, cs => graft.operators.LineDedup.stripWithinDoc(cs.head)),
+    ("char_entropy_stats", 1, cs => TextFunctions.charEntropyStats(cs.head)),
+    ("canonicalize_url", 1, cs => graft.functions.UrlFunctions.canonicalizeUrl(cs.head)),
+    ("canonical_host", 1, cs => graft.functions.UrlFunctions.canonicalHost(cs.head)),
     ("graft_dot", 2, cs => DotProduct.column(cs(0), cs(1))))
 
   /** Register into an already-built session (same set as the injected

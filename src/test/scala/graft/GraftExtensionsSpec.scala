@@ -154,4 +154,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getAs[Long]("removed") == 1L)
     assert(row.getAs[String]("clean") == "a\nb")
   }
+
+  test("round-7 SQL additions: char entropy, URL canonicalization") {
+    val s = session
+    s.range(1).createOrReplaceTempView("one")
+    val row = s.sql(
+      """SELECT char_entropy_stats('abcd').entropy AS h,
+        |       char_entropy_stats('zzzz').n_distinct AS nd,
+        |       canonicalize_url('HTTPS://WWW.Example.COM:443/a/?utm_source=x&id=1#frag') AS cu,
+        |       canonical_host(canonicalize_url('https://www.example.com/p')) AS ch
+        |FROM one""".stripMargin).collect().head
+    assert(math.abs(row.getAs[Double]("h") - 2.0) < 1e-9)
+    assert(row.getAs[Long]("nd") == 1L)
+    assert(row.getAs[String]("cu") == "https://example.com/a?id=1")
+    assert(row.getAs[String]("ch") == "example.com")
+  }
 }

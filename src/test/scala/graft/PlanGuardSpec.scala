@@ -258,4 +258,35 @@ class PlanGuardSpec extends SparkSpec {
     assert(!orcSchema.contains("s_nationkey"),
       s"ORC scan reads the unprojected column: $orcSchema")
   }
+
+  test("q120: the tf diamond reads the cached frame, not the source twice") {
+    val plan = planOf("q120_tfidf_keywords")
+    // without the tf cache, the scored join and the df derivation each
+    // re-run tokenize + the token-stream shuffle: TWO numbered parquet
+    // scans and no cache node. With it, both branches read the
+    // InMemoryRelation, whose cached-plan printout contributes the one
+    // remaining numbered scan section.
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).size
+    assert(plan.contains("InMemoryRelation"), s"tf frame is not cached in:\n$plan")
+    assert(scans <= 1, s"tf diamond re-scans the source ($scans scans) in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+  }
+
+  test("q122: the interleave scan prunes to doc_id/source/n_chars") {
+    val plan = planOf("q122_curriculum_interleave")
+    val read = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
+      .map(_.group(1)).toList
+    assert(read.nonEmpty, s"no ReadSchema in:\n$plan")
+    read.foreach { s =>
+      assert(!s.contains("text"),
+        s"interleave drags text through the rank shuffle: $s")
+    }
+  }
+
+  test("q124: batch admission broadcasts the batch side, no cartesian") {
+    val plan = planOf("q124_incremental_neardup")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"batch-side banded frame must broadcast into the corpus stream:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+  }
 }
