@@ -171,5 +171,91 @@ object MappingQueries {
           md5(col("frame_bytes")).as("frame_hash"))
         .orderBy(col("file_name"), col("frame_no"))
     },
+    // L5 x L2: media near-dup by frame fingerprints — the video-dedup
+    // shape: every item yields 5 sampled-frame hashes; near-dup pairs
+    // fall out of a hash-EQUALITY self-join (bucket join — no all-pairs
+    // enumeration, the same posture as every text near-dup path; at
+    // corpus scale hot frame hashes are the skew case and land on AQE).
+    // Byte-histogram cosine was measured NON-discriminative on this
+    // corpus (unrelated pairs reach 0.9995); exact frame windows are
+    // fully discriminative (zero cross-file collisions). Derived
+    // cohorts: byte-identical copies (ids % 5 = 0 -> share all 5
+    // frames), tail-trimmed copies (ids % 7 = 1, last 100 bytes cut ->
+    // share exactly frame 0: later frame OFFSETS shift with the length),
+    // and their overlap (ids % 35 = 15 -> copy-trim pairs). ------------
+    QueryDef(
+      "q125_media_neardup",
+      s"""WITH raw AS (
+         |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, content
+         |  FROM read_text('${ClaimFixtures.EdiDir}/*.txt')
+         |), u AS (
+         |  SELECT file_name, content FROM raw
+         |  UNION ALL
+         |  SELECT file_name || '.copy', content FROM raw
+         |  WHERE CAST(regexp_extract(file_name, 'D(\\d+)', 1) AS INT) % 5 = 0
+         |  UNION ALL
+         |  SELECT file_name || '.trim', substr(content, 1, length(content) - 100) FROM raw
+         |  WHERE CAST(regexp_extract(file_name, 'D(\\d+)', 1) AS INT) % 7 = 1
+         |), fr AS (
+         |  SELECT DISTINCT file_name,
+         |         md5(substr(content,
+         |           CAST(floor(i * greatest(length(content) - 64, 0) / 4.0) AS INT) + 1,
+         |           64)) AS fh
+         |  FROM u, range(0, 5) t(i)
+         |), p AS (
+         |  SELECT a.file_name AS fa, b.file_name AS fb, count(DISTINCT a.fh) AS shared
+         |  FROM fr a JOIN fr b ON a.fh = b.fh AND a.file_name < b.file_name
+         |  GROUP BY 1, 2
+         |), cls AS (
+         |  SELECT shared,
+         |    CASE WHEN regexp_replace(fa, '\\.(copy|trim)$$', '')
+         |              <> regexp_replace(fb, '\\.(copy|trim)$$', '') THEN 'unrelated'
+         |         WHEN fb LIKE '%.copy' THEN 'orig-copy'
+         |         WHEN fa LIKE '%.copy' THEN 'copy-trim'
+         |         ELSE 'orig-trim' END AS relation,
+         |    CAST(regexp_extract(fa, 'D(\\d+)', 1) AS BIGINT) AS ia,
+         |    CAST(regexp_extract(fb, 'D(\\d+)', 1) AS BIGINT) AS ib
+         |  FROM p
+         |)
+         |SELECT relation, shared::BIGINT AS shared_frames, count(*)::BIGINT AS n_pairs,
+         |       CAST(sum(ia * 1009 + ib) AS BIGINT) AS pair_checksum
+         |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    ) { (spark, _) =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      ensure(spark)
+      val bin = graft.operators.Multimodal
+        .readBinaryDir(spark, ClaimFixtures.EdiDir, "*.txt")
+        .select(col("path"), col("length"), col("content"))
+      val fid = regexp_extract(col("path"), "D(\\d+)\\.txt$", 1).cast("int")
+      val copies = bin.filter(fid % 5 === 0)
+        .select(concat(col("path"), lit(".copy")).as("path"), col("content"))
+      val trims = bin.filter(fid % 7 === 1)
+        .select(concat(col("path"), lit(".trim")).as("path"),
+          expr("substring(content, 1, cast(length - 100 as int))").as("content"))
+      val corpus = bin.select(col("path"), col("content"))
+        .unionByName(copies).unionByName(trims)
+      val fr = graft.operators.Multimodal.sampleFrames(spark, corpus, 5)
+        .select(col("file_name"), md5(col("frame_bytes")).as("fh"))
+        .distinct()
+      val pairs = fr.as("a")
+        .join(fr.as("b"), $"a.fh" === $"b.fh" && $"a.file_name" < $"b.file_name")
+        .groupBy($"a.file_name".as("fa"), $"b.file_name".as("fb"))
+        .agg(countDistinct($"a.fh").as("shared"))
+      val base = (c: org.apache.spark.sql.Column) =>
+        regexp_replace(c, "\\.(copy|trim)$", "")
+      pairs
+        .select($"shared",
+          when(base($"fa") =!= base($"fb"), lit("unrelated"))
+            .when($"fb".endsWith(".copy"), lit("orig-copy"))
+            .when($"fa".endsWith(".copy"), lit("copy-trim"))
+            .otherwise(lit("orig-trim")).as("relation"),
+          regexp_extract($"fa", "D(\\d+)", 1).cast("long").as("ia"),
+          regexp_extract($"fb", "D(\\d+)", 1).cast("long").as("ib"))
+        .groupBy($"relation", $"shared".as("shared_frames"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"ia" * 1009 + $"ib").cast("long").as("pair_checksum"))
+        .orderBy($"relation", $"shared_frames")
+    },
   )
 }
