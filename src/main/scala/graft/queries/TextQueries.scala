@@ -269,6 +269,40 @@ object TextQueries {
        |FROM b LEFT JOIN flagged f ON f.doc_id = b.doc_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Shared CTE prefix for the cluster-assignment oracles (q56, q126):
+    * exact J >= 0.7 pair graph via the bitmap-popcount derivation, then
+    * 24 unrolled min-label-propagation rounds (2^24 >> any component
+    * diameter at the checked tiers; a longer chain fails LOUDLY with a
+    * non-converged label, never silently). AS MATERIALIZED on every
+    * round: each l_i references l_{i-1} twice, and an inlining planner
+    * would otherwise double the plan per round — 2^k expansions. Ends
+    * with [[ClusterLabelRel]](id, lbl); unlabeled docs are singletons.
+    */
+  private val ClusterLabelRel = "l24"
+  private lazy val clusterCtes: String = {
+    val k = 24
+    val rounds = (1 to k).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT id, min(lbl) AS lbl FROM (
+         |    SELECT id, lbl FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, l.lbl FROM edges e JOIN l${i - 1} l ON l.id = e.src
+         |  ) GROUP BY id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$shingleCte,
+       |${bitmapInter("sh", lengthBand = Some(0.7))},
+       |pairs AS (
+       |  SELECT da, db
+       |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+       |),
+       |edges AS MATERIALIZED (SELECT da AS src, db AS dst FROM pairs
+       |          UNION SELECT db, da FROM pairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+       |$rounds""".stripMargin
+  }
+
   private val jaccardOracle =
     s"""WITH $shingleCte,
        |${bitmapInter("sh", lengthBand = Some(0.7))}
@@ -688,35 +722,11 @@ object TextQueries {
     // chain-shaped component would make the gate fail LOUDLY, never pass
     // silently).
     QueryDef(
-      "q56_neardup_clusters", {
-        val k = 24
-        // AS MATERIALIZED on every round: each l_i references l_{i-1}
-        // twice, and an inlining planner would otherwise double the plan
-        // per round — 2^k expansions
-        val rounds = (1 to k).map { i =>
-          s"""l$i AS MATERIALIZED (
-             |  SELECT id, min(lbl) AS lbl FROM (
-             |    SELECT id, lbl FROM l${i - 1}
-             |    UNION ALL
-             |    SELECT e.dst AS id, l.lbl FROM edges e JOIN l${i - 1} l ON l.id = e.src
-             |  ) GROUP BY id
-             |)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH $shingleCte,
-           |${bitmapInter("sh", lengthBand = Some(0.7))},
-           |pairs AS (
-           |  SELECT da, db
-           |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
-           |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
-           |),
-           |edges AS MATERIALIZED (SELECT da AS src, db AS dst FROM pairs
-           |          UNION SELECT db, da FROM pairs),
-           |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM edges),
-           |$rounds
-           |SELECT d.doc_id, COALESCE(l$k.lbl, d.doc_id) AS cluster_id
-           |FROM documents d LEFT JOIN l$k ON d.doc_id = l$k.id
-           |ORDER BY d.doc_id""".stripMargin
-      },
+      "q56_neardup_clusters",
+      s"""WITH $clusterCtes
+         |SELECT d.doc_id, COALESCE($ClusterLabelRel.lbl, d.doc_id) AS cluster_id
+         |FROM documents d LEFT JOIN $ClusterLabelRel ON d.doc_id = $ClusterLabelRel.id
+         |ORDER BY d.doc_id""".stripMargin,
     ) { (spark, dir) =>
       import spark.implicits._
       val docs = Tables(spark, dir).documents
@@ -2853,6 +2863,74 @@ object TextQueries {
           coalesce(sum(when($"fid".isNull, $"doc_id")), lit(0L))
             .cast("long").as("admitted_checksum"))
         .orderBy($"cohort")
+    },
+
+    // ---- q126: leakage-aware train/val/test split — q62's md5 split
+    // rule applied to the NEAR-DUP CLUSTER representative instead of the
+    // document id, so a near-duplicate can never straddle train and
+    // test (the classic eval-contamination leak of doc-level splitting;
+    // Lee et al. 2021 §6.2 measure exactly this effect). Split is a
+    // pure function of cluster_id — zero shuffles beyond the cluster
+    // assignment itself; the two audit counts (cluster-level split
+    // straddles MUST be 0; the doc-level rule's would-be leak count is
+    // reported alongside) are cluster-cardinality metadata aggregates.
+    // Oracle: the q56 cluster CTEs + the same split arithmetic. --------
+    QueryDef(
+      "q126_leakage_safe_split",
+      s"""WITH $clusterCtes,
+         |asg AS (
+         |  SELECT d.doc_id, COALESCE($ClusterLabelRel.lbl, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN $ClusterLabelRel ON d.doc_id = $ClusterLabelRel.id
+         |), s AS (
+         |  SELECT doc_id, cluster_id,
+         |    CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+         |         WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+         |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         |         ELSE 'test' END AS naive_split
+         |  FROM asg
+         |), strad AS (
+         |  SELECT count(*) AS n FROM (
+         |    SELECT cluster_id FROM s GROUP BY 1 HAVING count(DISTINCT split) > 1)
+         |), leaky AS (
+         |  SELECT count(*) AS n FROM (
+         |    SELECT cluster_id FROM s GROUP BY 1 HAVING count(DISTINCT naive_split) > 1)
+         |)
+         |SELECT split, count(*)::BIGINT AS n_docs,
+         |       count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+         |       (SELECT n FROM strad)::BIGINT AS n_straddling,
+         |       (SELECT n FROM leaky)::BIGINT AS n_leaky_naive
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val pairs = Dedup.jaccardPairs(Dedup.charShingles(docs, "doc_id", "text"), 0.7)
+      val cl = Dedup.clusters(pairs)
+      def splitOf(c: org.apache.spark.sql.Column) = {
+        val h = substring(md5(c.cast("string")), 1, 2)
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+      }
+      // cached: the rollup and the two audit aggregates all read it
+      // (cache-release contract: see Dedup.jaccardPairs)
+      val s = docs.select($"doc_id")
+        .join(cl.withColumnRenamed("cluster_id", "__cl"), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"__cl", $"doc_id").as("cluster_id"))
+        .withColumn("split", splitOf($"cluster_id"))
+        .withColumn("naive_split", splitOf($"doc_id"))
+        .cache()
+      val nStraddling = s.groupBy($"cluster_id")
+        .agg(countDistinct($"split").as("ns")).filter($"ns" > 1).count()
+      val nLeakyNaive = s.groupBy($"cluster_id")
+        .agg(countDistinct($"naive_split").as("ns")).filter($"ns" > 1).count()
+      s.groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"cluster_id").as("n_clusters"),
+          sum($"doc_id").cast("long").as("id_checksum"))
+        .withColumn("n_straddling", lit(nStraddling))
+        .withColumn("n_leaky_naive", lit(nLeakyNaive))
+        .orderBy($"split")
     },
   )
 }
