@@ -57,4 +57,18 @@ object UrlFunctions {
   /** Host component of a canonical URL (for per-host rollups). */
   def canonicalHost(canonical: Column): Column =
     regexp_extract(canonical, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1)
+
+  /** Every dot-suffix of a host: `a.b.c` -> [`a.b.c`, `b.c`, `c`] — the
+    * equi-joinable spelling of "host ends with blocked domain". A
+    * blocklist match via `endsWith` is a non-equi predicate and plans as
+    * a nested loop against the list; exploding the (label-count-bounded,
+    * ≤ ~5 element) suffix chain instead turns it into a plain hash
+    * semi-join on the suffix key — broadcast against any realistic
+    * blocklist, shuffle-free over the corpus side.
+    */
+  def hostSuffixes(host: Column): Column = {
+    val parts = split(host, "\\.")
+    transform(sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts) - i + 1), "."))
+  }
 }

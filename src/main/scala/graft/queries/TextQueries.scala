@@ -2932,5 +2932,52 @@ object TextQueries {
         .withColumn("n_leaky_naive", lit(nLeakyNaive))
         .orderBy($"split")
     },
+
+    // ---- q127: domain-blocklist URL filter (UrlFunctions.hostSuffixes
+    // scaladoc) — the crawl-hygiene battery's other half next to q115's
+    // canonicalization: "host ends with a blocked registrable domain" is
+    // a NON-equi predicate that would plan as a nested loop against the
+    // list; exploding each host's (≤ ~5-element) dot-suffix chain turns
+    // it into a broadcast hash semi-join on the suffix key — shuffle-
+    // free over the corpus side at any blocklist size. Hosts derived per
+    // the q115 idiom, with a cdn. subdomain cohort so suffix matches at
+    // depth 2 and 3 are both live. -------------------------------------
+    QueryDef(
+      "q127_url_blocklist",
+      """WITH hosts(hid, h) AS (
+        |  VALUES (0,'example.com'),(1,'sample.org'),(2,'demo.io'),(3,'media.example.net')
+        |), d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN 'cdn.' || h ELSE h END AS host
+        |  FROM documents JOIN hosts ON hid = doc_id % 4
+        |), bl(dom) AS (VALUES ('example.com'),('demo.io'),('example.net')),
+        |sfx AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(string_split(host, '.')) + 1),
+        |           i -> array_to_string(string_split(host, '.')[i:], '.'))) AS s
+        |  FROM d
+        |), hit AS (SELECT DISTINCT sfx.doc_id FROM sfx JOIN bl ON s = dom)
+        |SELECT d.host, (h.doc_id IS NOT NULL) AS blocked, count(*)::BIGINT AS n_docs,
+        |       CAST(sum(d.doc_id) AS BIGINT) AS id_checksum
+        |FROM d LEFT JOIN hit h ON d.doc_id = h.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.UrlFunctions
+      val hosts = array(lit("example.com"), lit("sample.org"),
+        lit("demo.io"), lit("media.example.net"))
+      val base = element_at(hosts, ($"doc_id" % 4).cast("int") + 1)
+      val d = Tables(spark, dir).documents.select($"doc_id",
+        when($"doc_id" % 6 === 0, concat(lit("cdn."), base)).otherwise(base).as("host"))
+      val bl = Seq("example.com", "demo.io", "example.net").toDF("dom")
+      val hit = d.select($"doc_id", explode(UrlFunctions.hostSuffixes($"host")).as("s"))
+        .join(broadcast(bl), $"s" === $"dom", "left_semi")
+        .select($"doc_id").distinct()
+        .withColumnRenamed("doc_id", "hid2")
+      d.join(hit, $"doc_id" === $"hid2", "left")
+        .groupBy($"host", $"hid2".isNotNull.as("blocked"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"doc_id").cast("long").as("id_checksum"))
+        .orderBy($"host", $"blocked")
+    },
   )
 }

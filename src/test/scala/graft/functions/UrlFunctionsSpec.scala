@@ -51,4 +51,13 @@ class UrlFunctionsSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(hosts == Seq("example.com", "sub.demo.io"))
   }
+
+  test("hostSuffixes emits the full dot-suffix chain, longest first") {
+    val got = Seq("a.b.co.uk", "example.com", "localhost")
+      .toDF("h").select(UrlFunctions.hostSuffixes($"h"))
+      .as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("a.b.co.uk", "b.co.uk", "co.uk", "uk"))
+    assert(got(1) == Seq("example.com", "com"))
+    assert(got(2) == Seq("localhost"))
+  }
 }
