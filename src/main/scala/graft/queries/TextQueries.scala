@@ -2979,5 +2979,99 @@ object TextQueries {
           sum($"doc_id").cast("long").as("id_checksum"))
         .orderBy($"host", $"blocked")
     },
+
+    // ---- q128: cluster-survivor policy — when a near-dup cluster
+    // collapses, WHICH member survives is a real pipeline knob (keep-
+    // longest preserves the most content; keep-first is the usual
+    // default). Survivors by (n_chars DESC, doc_id) rank within the q56
+    // cluster assignment, with the min-id policy's kept-chars reported
+    // alongside so the policy difference is itself gated. The per-
+    // cluster window is bounded by near-dup cluster size (not corpus
+    // size) — hot clusters are exactly what the LSH hot-bucket caps
+    // bound upstream. ---------------------------------------------------
+    QueryDef(
+      "q128_cluster_survivors",
+      s"""WITH $clusterCtes,
+         |asg AS (
+         |  SELECT d.doc_id, COALESCE($ClusterLabelRel.lbl, d.doc_id) AS cluster_id, d.n_chars
+         |  FROM documents d LEFT JOIN $ClusterLabelRel ON d.doc_id = $ClusterLabelRel.id
+         |), r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS rn_minid
+         |  FROM asg
+         |)
+         |SELECT count(*)::BIGINT AS n_docs,
+         |       count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+         |       (count(*) - count(DISTINCT cluster_id))::BIGINT AS n_removed,
+         |       CAST(sum(doc_id) FILTER (WHERE rn = 1) AS BIGINT) AS survivor_checksum,
+         |       CAST(sum(n_chars) FILTER (WHERE rn = 1) AS BIGINT) AS kept_chars,
+         |       CAST(sum(n_chars) FILTER (WHERE rn_minid = 1) AS BIGINT) AS minid_kept_chars
+         |FROM r""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val pairs = Dedup.jaccardPairs(Dedup.charShingles(docs, "doc_id", "text"), 0.7)
+      val cl = Dedup.clusters(pairs)
+      val asg = docs.select($"doc_id", $"n_chars")
+        .join(cl.withColumnRenamed("cluster_id", "__cl"), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"__cl", $"doc_id").as("cluster_id"), $"n_chars")
+      val wLongest = Window.partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")
+      val wMinId = Window.partitionBy($"cluster_id").orderBy($"doc_id")
+      asg.withColumn("rn", row_number().over(wLongest))
+        .withColumn("rn_minid", row_number().over(wMinId))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"cluster_id").as("n_clusters"),
+          (count(lit(1)) - countDistinct($"cluster_id")).as("n_removed"),
+          sum(when($"rn" === 1, $"doc_id")).cast("long").as("survivor_checksum"),
+          sum(when($"rn" === 1, $"n_chars")).cast("long").as("kept_chars"),
+          sum(when($"rn_minid" === 1, $"n_chars")).cast("long").as("minid_kept_chars"))
+    },
+
+    // ---- q129: token-budget corpus selection — the data-selection
+    // step under a hard token budget: rank by quality DENSITY (distinct-
+    // token ratio, 6dp-snapped), admit the greedy prefix whose windows
+    // fit inside B = 16384 tokens. The global cumulative sum is the
+    // keyed prefix sum with no keys (range-partitioned two-pass — the
+    // same skew-proof machinery as q61's packing, here ordered by the
+    // score instead of the id). -----------------------------------------
+    QueryDef(
+      "q129_token_budget",
+      """WITH t AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, lang, len(ts) AS n_tok,
+        |    round(CAST(len(list_distinct(ts)) * 1.0 / greatest(len(ts), 1) AS DECIMAL(18,8)), 6) AS density
+        |  FROM t
+        |), c AS (
+        |  SELECT *,
+        |    coalesce(sum(n_tok) OVER (ORDER BY density DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+        |  FROM d
+        |), sel AS (SELECT * FROM c WHERE tok_before + n_tok <= 16384)
+        |SELECT lang, count(*)::BIGINT AS n_selected,
+        |       CAST(sum(n_tok) AS BIGINT) AS tok_selected,
+        |       CAST(round(CAST(avg(density) AS DECIMAL(18,6)), 4) AS DOUBLE) AS avg_density,
+        |       CAST(sum(doc_id) AS BIGINT) AS sel_checksum
+        |FROM sel GROUP BY lang ORDER BY lang""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val ts = TextFunctions.tokens($"text")
+      val d = Tables(spark, dir).documents
+        .select($"doc_id", $"lang", size(ts).cast("long").as("n_tok"),
+          round((size(array_distinct(ts)) * lit(1.0) /
+            greatest(size(ts), lit(1))).cast(DecimalType(18, 8)), 6)
+            .cast(DecimalType(18, 6)).as("density"))
+      val c = graft.operators.SequencePacking.keyedPrefixSum(
+        d, Nil, Seq($"density".desc, $"doc_id"), $"n_tok", "tok_before")
+      c.filter($"tok_before" + $"n_tok" <= 16384L)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_selected"),
+          sum($"n_tok").cast("long").as("tok_selected"),
+          out(round(avg($"density").cast(DecimalType(18, 6)), 4)).as("avg_density"),
+          sum($"doc_id").cast("long").as("sel_checksum"))
+        .orderBy($"lang")
+    },
   )
 }
