@@ -3073,5 +3073,88 @@ object TextQueries {
           sum($"doc_id").cast("long").as("sel_checksum"))
         .orderBy($"lang")
     },
+
+    // ---- q130: the corpus-REFRESH pipeline composed end to end in one
+    // query (the q63 idiom for the maintenance path): q118's snapshot
+    // delta classifies the new export, then q124's bipartite admission
+    // screens the changed/added docs against the retained corpus at
+    // J >= 0.7 (the q76-proven threshold where banding recall ~ 1;
+    // candidates ride a +2000000 id remap so the bipartite predicate is
+    // an id-range test), and the final mixture is rolled up per
+    // (source, status). Every stage is recomputed by the oracle, so the
+    // COMPOSITION is hash-gated, not just its pieces. -------------------
+    QueryDef(
+      "q130_refresh_pipeline",
+      s"""WITH a AS (SELECT doc_id, text, source FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 7 = 2 THEN text || ' edited' ELSE text END AS text,
+         |         source
+         |  FROM documents WHERE doc_id % 9 <> 3
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 'new document ' || doc_id, source
+         |  FROM documents WHERE doc_id % 13 = 5
+         |), st AS (
+         |  SELECT b.doc_id, b.text, b.source,
+         |         CASE WHEN a.doc_id IS NULL THEN 'added'
+         |              WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+         |              ELSE 'retained' END AS status
+         |  FROM b LEFT JOIN a ON a.doc_id = b.doc_id
+         |), u AS (
+         |  SELECT doc_id, text FROM st WHERE status = 'retained'
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text FROM st WHERE status <> 'retained'
+         |), ug AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, substr(lower(text), g.i::INT, 3) AS s
+         |  FROM u, generate_series(1, 100000) g(i)
+         |  WHERE g.i <= length(text) - 2
+         |),
+         |${bitmapInter("ug", lengthBand = Some(0.7),
+            pairPred = "a.doc_id < 2000000 AND b.doc_id >= 2000000")},
+         |flagged AS (
+         |  SELECT DISTINCT x.db - 2000000 AS doc_id
+         |  FROM inter x JOIN bm ba ON ba.doc_id = x.da JOIN bm bb ON bb.doc_id = x.db
+         |  WHERE x.i * 1.0 / (ba.n + bb.n - x.i) >= 0.7
+         |)
+         |SELECT st.source, st.status, count(*)::BIGINT AS n_docs,
+         |       count(f.doc_id)::BIGINT AS n_flagged,
+         |       (count(*) - count(f.doc_id))::BIGINT AS n_final,
+         |       CAST(coalesce(sum(st.doc_id) FILTER (WHERE f.doc_id IS NULL), 0) AS BIGINT) AS final_checksum
+         |FROM st LEFT JOIN flagged f ON f.doc_id = st.doc_id AND st.status <> 'retained'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val a = Tables(spark, dir).documents.select($"doc_id", $"text", $"source")
+      val edited = a.filter($"doc_id" % 9 =!= 3)
+        .withColumn("text",
+          when($"doc_id" % 7 === 2, concat($"text", lit(" edited"))).otherwise($"text"))
+      val added = a.filter($"doc_id" % 13 === 5)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat(lit("new document "), $"doc_id".cast("string")).as("text"), $"source")
+      val b = edited.unionByName(added)
+      val st = b.join(a.select($"doc_id", md5($"text").as("__ah")), Seq("doc_id"), "left")
+        .withColumn("status",
+          when($"__ah".isNull, lit("added"))
+            .when(md5($"text") =!= $"__ah", lit("changed"))
+            .otherwise(lit("retained")))
+        .drop("__ah")
+      val u = st.filter($"status" === "retained").select($"doc_id", $"text")
+        .withColumn("is_new", lit(false))
+        .unionByName(st.filter($"status" =!= "retained")
+          .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+          .withColumn("is_new", lit(true)))
+      val flagged = graft.operators.Decontamination
+        .batchNearDuplicateIds(u, "doc_id", "text", $"is_new", threshold = 0.7)
+        .select(($"doc_id" - 2000000L).as("fid"))
+      st.join(flagged,
+          $"doc_id" === $"fid" && $"status" =!= "retained", "left")
+        .groupBy($"source", $"status")
+        .agg(count(lit(1)).as("n_docs"),
+          count($"fid").as("n_flagged"),
+          (count(lit(1)) - count($"fid")).as("n_final"),
+          coalesce(sum(when($"fid".isNull, $"doc_id")), lit(0L))
+            .cast("long").as("final_checksum"))
+        .orderBy($"source", $"status")
+    },
   )
 }
