@@ -2912,24 +2912,36 @@ object TextQueries {
         val h = substring(md5(c.cast("string")), 1, 2)
         when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
       }
-      // cached: the rollup and the two audit aggregates all read it
-      // (cache-release contract: see Dedup.jaccardPairs)
+      // ONE aggregation tree, one job: per-cluster rollup first (doc and
+      // checksum partials plus the two audit distinct-counts ride the
+      // same shuffle), then the per-split rollup, then the two global
+      // audit scalars as an unbounded window over the 3-row aggregated
+      // frame — metadata scale, no extra action, no cache. split is a
+      // pure function of cluster_id, so grouping clusters by
+      // splitOf(cluster_id) reproduces the doc-level split grouping
+      // exactly (and n_straddling is structurally 0 — kept as a computed
+      // audit, not a constant, so a regression fails the hash gate).
       val s = docs.select($"doc_id")
         .join(cl.withColumnRenamed("cluster_id", "__cl"), Seq("doc_id"), "left")
         .select($"doc_id", coalesce($"__cl", $"doc_id").as("cluster_id"))
         .withColumn("split", splitOf($"cluster_id"))
         .withColumn("naive_split", splitOf($"doc_id"))
-        .cache()
-      val nStraddling = s.groupBy($"cluster_id")
-        .agg(countDistinct($"split").as("ns")).filter($"ns" > 1).count()
-      val nLeakyNaive = s.groupBy($"cluster_id")
-        .agg(countDistinct($"naive_split").as("ns")).filter($"ns" > 1).count()
-      s.groupBy($"split")
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct($"cluster_id").as("n_clusters"),
-          sum($"doc_id").cast("long").as("id_checksum"))
-        .withColumn("n_straddling", lit(nStraddling))
-        .withColumn("n_leaky_naive", lit(nLeakyNaive))
+      val perCluster = s.groupBy($"cluster_id")
+        .agg(count(lit(1)).as("__nd"),
+          sum($"doc_id").cast("long").as("__ids"),
+          countDistinct($"split").as("__nsp"),
+          countDistinct($"naive_split").as("__nnv"))
+      val wAll = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      perCluster.groupBy(splitOf($"cluster_id").as("split"))
+        .agg(sum($"__nd").cast("long").as("n_docs"),
+          count(lit(1)).as("n_clusters"),
+          sum($"__ids").cast("long").as("id_checksum"),
+          sum(when($"__nsp" > 1, 1L).otherwise(0L)).as("__str"),
+          sum(when($"__nnv" > 1, 1L).otherwise(0L)).as("__lk"))
+        .withColumn("n_straddling", sum($"__str").over(wAll))
+        .withColumn("n_leaky_naive", sum($"__lk").over(wAll))
+        .drop("__str", "__lk")
         .orderBy($"split")
     },
 
