@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH signature index — THE corpus-side artifact the
+  * 100 TB refresh story needs: shingle → signature → band-key derivation
+  * runs over the retained corpus ONCE (at build or ingest time), and
+  * every subsequent batch admission probes the persisted banded
+  * membership instead of re-deriving O(corpus) shingles per refresh.
+  *
+  * == Layout (shared with the streaming ingest) ==
+  *
+  * {{{
+  * indexDir/members/{compacted=<M> | batch=<id>}/   (band, bkey, doc_id)
+  * indexDir/sigs/   {compacted=<M> | batch=<id>}/   (doc_id, sig8)
+  * }}}
+  *
+  * This is exactly the table pair [[graft.streaming.DedupStreams]]
+  * maintains incrementally — the listing/epoch logic lives HERE and the
+  * stream delegates to it, so a batch-built index can seed a stream and
+  * a stream-built index can serve batch admission probes. A batch build
+  * writes one `compacted=-1` epoch (streaming batch ids are >= 0, so
+  * batch dirs stack strictly after it and the stream's own batch 0 is
+  * never shadowed). On a cluster the same two tables sit behind a
+  * key-value/state-store interface for point lookups — bucket-keyed
+  * membership + doc-keyed signatures, both append-only, is deliberately
+  * a KV schema.
+  *
+  * Members files are range-partitioned and sorted by `bkey`, so a probe
+  * that pushes a bkey predicate prunes files by footer min/max and row
+  * groups by stats — the columnar approximation of the point lookup.
+  *
+  * == Probe semantics ==
+  *
+  * [[probeNearDuplicateIds]] is the index-backed spelling of
+  * [[Decontamination.batchNearDuplicateIds]] and produces the IDENTICAL
+  * flag set (spec-asserted): candidates come from (band, bkey) equality
+  * against the persisted membership — the same collisions the recompute
+  * path derives from its in-plan corpus banding, because signatures are
+  * a deterministic function of text — and the refine is the same EXACT
+  * shingle-Jaccard kernel ([[Dedup.jaccardForPairs]]), evaluated only on
+  * the candidate corpus docs (their text is fetched by a candidate-id
+  * semi-join; at 100 TB an id-bucketed corpus table makes that fetch a
+  * bucket-pruned scan). The index affects WORK, never the result:
+  * per-refresh cost drops from O(corpus + batch) to O(batch + hits).
+  *
+  * Id contract: corpus and batch ids must be disjoint (the refine keys
+  * shingles by id across both sides — the same contract the recompute
+  * path's union frame carries).
+  */
+object SignatureIndex {
+
+  /** Derivation parameters; must match between build and probe (and are
+    * persisted alongside the index for validation). Defaults are the
+    * library-wide banding (see MinHashLSH scaladoc).
+    */
+  final case class Config(
+      shingleN: Int = 3, numPerms: Int = 128, bands: Int = 32, rowsPerBand: Int = 4) {
+    MinHashLSH.requireBandsFit(numPerms, bands, rowsPerBand)
+  }
+
+  // ---- listing / epoch selection (shared with DedupStreams) -------------
+
+  /** List one index table dir: newest complete `compacted=<M>` epoch
+    * (must carry `_SUCCESS` — a crashed compaction write is invisible)
+    * and the live `batch=<id>` dirs after it. Hadoop FileSystem API —
+    * java.nio would silently see nothing on hdfs:///s3a:// paths and
+    * disable cross-batch dedup without an error. Non-numeric strays are
+    * ignored rather than fatal.
+    */
+  private[graft] def listTable(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): (Option[Long], Seq[Long]) = {
+    if (!fs.exists(dir)) return (None, Nil)
+    val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    def ids(prefix: String): Seq[Long] = names.filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
+    val epochs = ids("compacted=").filter(m =>
+      fs.exists(new org.apache.hadoop.fs.Path(dir, s"compacted=$m/_SUCCESS")))
+    val m = if (epochs.nonEmpty) Some(epochs.max) else None
+    (m, ids("batch=").filter(b => m.forall(b > _)).sorted)
+  }
+
+  /** Readable paths of one index table (`members` or `sigs`), newest
+    * epoch + live batch dirs, optionally excluding one batch id (the
+    * stream's current trigger excludes its own about-to-be-overwritten
+    * partition).
+    */
+  private[graft] def tablePaths(
+      spark: SparkSession, indexDir: String, table: String,
+      excludeBatch: Option[Long] = None): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val (epoch, batches) = listTable(fs, dir)
+    epoch.map(e => s"$indexDir/$table/compacted=$e").toSeq ++
+      batches.filterNot(excludeBatch.contains).map(b => s"$indexDir/$table/batch=$b")
+  }
+
+  /** The banded membership (band, bkey, doc_id) across all epochs. */
+  def members(spark: SparkSession, indexDir: String): DataFrame = {
+    val paths = tablePaths(spark, indexDir, "members")
+    require(paths.nonEmpty, s"no signature index at $indexDir/members")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** The 1-byte-component signature table (doc_id, sig8) across all
+    * epochs — b-bit minwise estimates for consumers that want a cheap
+    * similarity screen (the streaming path); the exact-refine probe
+    * below never reads it.
+    */
+  def sigs(spark: SparkSession, indexDir: String): DataFrame = {
+    val paths = tablePaths(spark, indexDir, "sigs")
+    require(paths.nonEmpty, s"no signature index at $indexDir/sigs")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Build the index over `docs` in one batch pass: one shingle +
+    * signature + band derivation, written as the `compacted=-1` base
+    * epoch. `bucketCap` (default uncapped) applies the same write-side
+    * lowest-id bucket admission the streaming ingest enforces — leave
+    * uncapped when probe results must exactly match an uncapped
+    * recompute; cap when hot-bucket cost bounds matter more than
+    * unconditional recall (MinHashLSH.DefaultBucketCap scaladoc).
+    */
+  def build(
+      docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      cfg: Config = Config(), bucketCap: Int = Int.MaxValue): Unit = {
+    val sigs = MinHashLSH
+      .signatures(Dedup.charShingles(docs, idCol, textCol, cfg.shingleN), cfg.numPerms)
+      .withColumn("sig8", transform(col("sig"), x => x.bitwiseAND(lit(255L))))
+      .cache()
+    try {
+      val bandedAll = MinHashLSH.bandKeys(sigs, cfg.bands, cfg.rowsPerBand)
+        .select(col("doc_id"), col("band"), col("bkey"))
+      val banded =
+        if (bucketCap == Int.MaxValue) bandedAll
+        else {
+          val w = Window.partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))
+          bandedAll.withColumn("__r", row_number().over(w))
+            .filter(col("__r") <= bucketCap).drop("__r")
+        }
+      // range-partition + sort by bkey: probe predicates prune files by
+      // min/max and row groups by stats (see scaladoc). 8 files keeps the
+      // per-probe footer count constant at this scale; a cluster build
+      // would size this by corpus bytes.
+      banded.repartitionByRange(8, col("bkey")).sortWithinPartitions(col("bkey"))
+        .write.mode("overwrite").parquet(s"$indexDir/members/compacted=-1")
+      // signatures only for docs reachable from the membership (under a
+      // cap, a doc admitted to zero buckets can never be probed)
+      val sigOut =
+        if (bucketCap == Int.MaxValue) sigs.select(col("doc_id"), col("sig8"))
+        else sigs.select(col("doc_id"), col("sig8")).join(
+          banded.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      sigOut.coalesce(8).write.mode("overwrite").parquet(s"$indexDir/sigs/compacted=-1")
+    } finally { sigs.unpersist(); () }
+  }
+
+  /** Raw candidate (da = corpus member, db = batch doc) pairs from the
+    * persisted membership: batch band keys derived in-plan (through the
+    * shared MinHashLSH.bandKeys, so banding can never drift from the
+    * build), broadcast against the index scan — one narrow pass over the
+    * members table, no corpus re-shingling. Per-band duplicates kept;
+    * the exact refine dedups after thresholding (MinHashLSH
+    * .candidatePairsRaw trade).
+    */
+  private def probeCandidates(
+      spark: SparkSession, indexDir: String, batchSh: DataFrame,
+      cfg: Config): DataFrame = {
+    val batchBanded = MinHashLSH.bandKeys(
+      MinHashLSH.signatures(batchSh, cfg.numPerms), cfg.bands, cfg.rowsPerBand)
+      .select(col("doc_id").as("db"), col("band"), col("bkey"))
+    members(spark, indexDir)
+      .select(col("band"), col("bkey"), col("doc_id").as("da"))
+      .join(broadcast(batchBanded), Seq("band", "bkey"))
+      .select(col("da"), col("db"))
+  }
+
+  /** Ids of `batch` docs whose exact shingle Jaccard against SOME
+    * indexed corpus doc reaches `threshold` — the index-backed spelling
+    * of [[Decontamination.batchNearDuplicateIds]] (identical flag set
+    * when the index was built uncapped over the same corpus; see object
+    * scaladoc). `corpus` supplies the TEXT of candidate corpus docs
+    * only — it is filtered to candidate ids by a semi-join before any
+    * shingle is derived.
+    */
+  def probeNearDuplicateIds(
+      spark: SparkSession, indexDir: String,
+      corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      cfg: Config = Config()): DataFrame = {
+    // one batch shingle derivation feeds the signature agg AND the
+    // refine (cache-release contract: see Dedup.jaccardPairs)
+    val batchSh = Dedup.charShingles(batch, idCol, textCol, cfg.shingleN).cache()
+    val cand = probeCandidates(spark, indexDir, batchSh, cfg)
+    val candIds = cand.select(col("da").as(idCol)).distinct()
+    // candidate corpus text only: hits-scale, not corpus-scale
+    val corpusSh = Dedup.charShingles(
+      corpus.join(candIds, Seq(idCol), "left_semi"), idCol, textCol, cfg.shingleN)
+    Dedup.jaccardForPairs(
+      corpusSh.union(batchSh), cand.select(col("da"), col("db")),
+      threshold, pairsDistinct = false)
+      .select(col("db").as(idCol))
+      .distinct()
+  }
+}

@@ -166,25 +166,15 @@ object DedupStreams {
       zip_with(sa, sb, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, m) => acc + m).cast("double") / lit(NumPerms)
 
-  /** List one index table dir: newest complete `compacted=<M>` epoch
-    * (must carry `_SUCCESS` — a crashed compaction write is invisible)
-    * and the live `batch=<id>` dirs after it. Hadoop FileSystem API —
-    * java.nio would silently see nothing on hdfs:///s3a:// paths and
-    * disable cross-batch dedup without an error. Non-numeric strays are
-    * ignored rather than fatal.
+  /** Index listing/epoch selection lives in [[graft.operators
+    * .SignatureIndex]] (the shared on-disk layout — a batch-built index
+    * seeds a stream, a stream-built index serves batch probes); this is
+    * the same table pair, maintained incrementally.
     */
   private def listTable(
       fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): (Option[Long], Seq[Long]) = {
-    if (!fs.exists(dir)) return (None, Nil)
-    val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-    def ids(prefix: String): Seq[Long] = names.filter(_.startsWith(prefix))
-      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
-    val epochs = ids("compacted=").filter(m =>
-      fs.exists(new org.apache.hadoop.fs.Path(dir, s"compacted=$m/_SUCCESS")))
-    val m = if (epochs.nonEmpty) Some(epochs.max) else None
-    (m, ids("batch=").filter(b => m.forall(b > _)).sorted)
-  }
+      dir: org.apache.hadoop.fs.Path): (Option[Long], Seq[Long]) =
+    graft.operators.SignatureIndex.listTable(fs, dir)
 
   /** Fold `batch=*` dirs with id <= `upTo` (plus the previous compacted
     * epoch) into `compacted=<upTo>` for both index tables, then delete

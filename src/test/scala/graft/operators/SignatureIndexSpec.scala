@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SignatureIndex: the persisted banded corpus index and its probe must
+  * be a pure WORK optimization — index-backed admission ≡ the in-plan
+  * recompute — and the on-disk layout must interoperate with the
+  * streaming ingest in both directions (stream-built index probed by
+  * batch; batch-built index seeding a stream).
+  */
+class SignatureIndexSpec extends SparkSpec {
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_sigidx_$tag").toString
+
+  /** q124-shaped scenario over the sf0.001 documents: corpus = documents,
+    * batch = exact/near/novel cohorts at ids +2000000.
+    */
+  private def scenario() = {
+    import spark.implicits._
+    val a = tables.documents.select($"doc_id", $"text")
+    val cohort = when($"doc_id" % 9 === 3, lit("exact"))
+      .when($"doc_id" % 7 === 2, lit("near"))
+      .when($"doc_id" % 13 === 5, lit("novel"))
+    val b = a.withColumn("cohort", cohort).filter($"cohort".isNotNull)
+      .select(($"doc_id" + 2000000L).as("doc_id"),
+        when($"cohort" === "exact", $"text")
+          .when($"cohort" === "near", concat($"text", lit(" edited")))
+          .otherwise(concat(lit("fresh item "), $"doc_id".cast("string"),
+            lit(" unseen content"))).as("text"))
+    (a, b)
+  }
+
+  test("index-backed probe flags exactly the ids the in-plan recompute flags") {
+    import spark.implicits._
+    val (corpus, batch) = scenario()
+    val dir = tmpDir("equiv")
+    SignatureIndex.build(corpus, "doc_id", "text", dir)
+    val indexed = Decontamination
+      .batchNearDuplicateIdsIndexed(corpus, batch, "doc_id", "text", dir, threshold = 0.7)
+      .as[Long].collect().toSet
+    val u = corpus.withColumn("is_new", lit(false))
+      .unionByName(batch.withColumn("is_new", lit(true)))
+    val recomputed = Decontamination
+      .batchNearDuplicateIds(u, "doc_id", "text", $"is_new", threshold = 0.7)
+      .as[Long].collect().toSet
+    assert(indexed.nonEmpty, "scenario must produce at least one flagged batch doc")
+    assert(indexed == recomputed,
+      s"index-backed flag set diverged: only-indexed=${(indexed -- recomputed).take(5)} " +
+        s"only-recomputed=${(recomputed -- indexed).take(5)}")
+  }
+
+  test("capped build admits the lowest-id docs per bucket, never more than cap") {
+    import spark.implicits._
+    // four exact duplicates collide in every band's bucket
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      (2L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      (3L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      (4L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      (9L, "a completely unrelated document about spark partitioning")).toDF("doc_id", "text")
+    val dir = tmpDir("cap")
+    SignatureIndex.build(docs, "doc_id", "text", dir, bucketCap = 2)
+    val byBucket = SignatureIndex.members(spark, dir)
+      .groupBy($"band", $"bkey").agg(collect_set($"doc_id").as("ids"))
+      .select($"ids").as[Seq[Long]].collect()
+    assert(byBucket.forall(_.size <= 2), "bucket over cap")
+    // the duplicate quartet's buckets must keep {1, 2} (lowest ids)
+    val dupBuckets = byBucket.filter(ids => ids.exists(Set(1L, 2L, 3L, 4L)))
+    assert(dupBuckets.nonEmpty && dupBuckets.forall(_.toSet.subsetOf(Set(1L, 2L, 9L))),
+      s"capped admission must keep lowest ids: ${dupBuckets.take(3)}")
+    // sigs only for admitted (reachable) docs
+    val sigIds = SignatureIndex.sigs(spark, dir).select($"doc_id").as[Long].collect().toSet
+    assert(!sigIds.contains(3L) && !sigIds.contains(4L),
+      "sigs must exclude docs admitted to zero buckets")
+  }
+
+  test("a stream-built index is probe-able through SignatureIndex") {
+    import spark.implicits._
+    val corpus = tables.documents.select($"doc_id", $"text").limit(200)
+    val out = tmpDir("streamout"); val idx = tmpDir("streamidx")
+    graft.streaming.DedupStreams.dedupOnce(corpus, out, idx, threshold = 0.7)
+    val m = SignatureIndex.members(spark, idx)
+    assert(m.columns.toSet == Set("band", "bkey", "doc_id"))
+    assert(m.count() > 0, "stream-built members table must be readable")
+    // probing the stream-built index with an exact copy of a retained doc
+    // flags it (the retained corpus is indexed under the same banding)
+    val retained = spark.read.parquet(out)
+    val one = retained.orderBy($"doc_id").limit(1)
+      .select(($"doc_id" + 5000000L).as("doc_id"), $"text")
+    val flagged = SignatureIndex.probeNearDuplicateIds(
+      spark, idx, retained.select($"doc_id", $"text"), one, "doc_id", "text", 0.7)
+      .as[Long].collect()
+    assert(flagged.length == 1, s"exact copy of an indexed doc must be flagged: $flagged")
+  }
+
+  test("a batch-built index seeds the streaming ingest (epoch -1 precedes batch 0)") {
+    import spark.implicits._
+    val corpus = tables.documents.select($"doc_id", $"text").limit(100)
+    val out = tmpDir("seedout"); val idx = tmpDir("seedidx")
+    SignatureIndex.build(corpus, "doc_id", "text", idx)
+    // stream batch 0 carries one exact duplicate of an indexed doc and
+    // one novel doc: the duplicate must be dropped against the seeded
+    // index, the novel doc retained
+    val dup = corpus.orderBy($"doc_id").limit(1)
+      .select(($"doc_id" + 5000000L).as("doc_id"), $"text")
+    val novel = Seq((9000000L, "a genuinely novel document with fresh unseen content entirely"))
+      .toDF("doc_id", "text")
+    graft.streaming.DedupStreams.dedupOnce(dup.unionByName(novel), out, idx, threshold = 0.7)
+    val kept = spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(9000000L),
+      s"seeded stream must drop the indexed duplicate and keep the novel doc: $kept")
+  }
+}
