@@ -42,6 +42,37 @@ object IvfIndex {
     Model(assigned, centroids)
   }
 
+  /** Persist a built index: assignments as a cell-partitioned parquet
+    * table (the probe's broadcast (probe, cell) join then prunes to the
+    * probed cells — dynamic partition pruning makes the read an INDEX
+    * SCAN of nProbe/nLists of the corpus, and at 100 TB the cell dirs
+    * are the co-location unit), centroids as a metadata-scale side
+    * table. Training happens once at build; every subsequent session
+    * [[load]]s and probes.
+    */
+  def persist(m: Model, dir: String): Unit = {
+    m.assignments.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$dir/assignments")
+    val spark = m.assignments.sparkSession
+    import spark.implicits._
+    m.centroids.toSeq.toDF("cell", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Load a persisted index. The centroid table is nLists rows —
+    * collected once; assignments stay a lazy partitioned scan.
+    */
+  def load(spark: SparkSession, dir: String): Model = {
+    val assigned = spark.read.parquet(s"$dir/assignments")
+      .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell"), col("cv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    Model(assigned, centroids)
+  }
+
   /** Cosine top-k restricted to each probe's nProbe nearest cells. */
   def topK(spark: SparkSession, m: Model, probeIds: Seq[Long], k: Int,
       nProbe: Int = 4): DataFrame = {

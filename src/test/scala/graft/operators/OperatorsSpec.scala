@@ -322,6 +322,20 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("IVF persist/load roundtrip probes identically to the in-memory model") {
+    val e = tables.embeddings
+    val m = IvfIndex.build(spark, e, "vec_id", "embedding", nLists = 12)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    IvfIndex.persist(m, dir)
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.centroids.map(_._1).toSeq == m.centroids.map(_._1).toSeq)
+    assert(loaded.centroids.zip(m.centroids).forall { case ((_, a), (_, b)) =>
+      a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-12 } })
+    def res(mm: IvfIndex.Model) = IvfIndex.topK(spark, mm, (0L until 10L).toSeq, 5, nProbe = 4)
+      .select("qid", "rn", "cid").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(res(loaded) == res(m), "persisted index must answer exactly like the built model")
+  }
+
   test("SequencePacking's distributed prefix sum equals the global-window formulation") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
