@@ -30,12 +30,21 @@ object Curriculum {
       df: DataFrame, groupCol: String, groupIdxCol: Column,
       scoreCol: Column, idCol: String, nGroups: Int): DataFrame = {
     require(nGroups >= 1, s"nGroups must be >= 1, got $nGroups")
+    // guard the index contract row-locally: an out-of-range group index
+    // would otherwise produce silently colliding / non-monotone
+    // positions — the worst failure mode for a training schedule. A
+    // raise_error inside the position expression costs nothing on valid
+    // input (codegen'd conditional) and fails LOUDLY on the first bad row.
+    val gidx = col("__gidx")
+    val checked = when(gidx.isNull || gidx < 0 || gidx >= nGroups,
+      raise_error(concat(lit(s"Curriculum.interleave: group index out of [0, $nGroups) for "),
+        col(idCol).cast("string")))).otherwise(gidx)
     val ranked = SequencePacking.keyedPrefixSum(
       df.withColumn("__gidx", groupIdxCol.cast("long")),
       Seq(groupCol), Seq(scoreCol.desc, col(idCol)), lit(1L), "__before")
     ranked
       .withColumn("rank", col("__before") + 1L)
-      .withColumn("position", col("__before") * nGroups + col("__gidx"))
+      .withColumn("position", col("__before") * nGroups + checked)
       .drop("__before", "__gidx")
   }
 

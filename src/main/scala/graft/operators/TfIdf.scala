@@ -54,7 +54,13 @@ object TfIdf {
       .groupBy((col("doc_id") +: carry) :+ col("term"): _*)
       .agg(count(lit(1)).cast("double").as("tf"))
       .cache()
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    // df = distinct DOCS containing the term, not tf rows: with doc-
+    // constant carryCols the two are identical, but a caller passing a
+    // non-doc-constant carry column would otherwise silently inflate df
+    // (and deflate every idf). countDistinct keeps the contract robust
+    // instead of unstated; it still reads the aggregated tf frame, never
+    // the token stream.
+    val df = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).cast("double").as("df"))
     val scored = tf.join(df, Seq("term"))
       .withColumn("score",
         round(((col("tf") * log(lit(nDocs.toDouble) / col("df")))

@@ -2837,13 +2837,21 @@ object TextQueries {
         |  SELECT doc_id, lang, c, count(*)::DOUBLE AS cnt
         |  FROM t, unnest(string_split(text2, '')) AS u(c)
         |  GROUP BY 1, 2, 3
-        |), ent AS (
-        |  SELECT doc_id, lang, count(*) AS n_distinct,
+        |), ag AS (
+        |  SELECT doc_id, count(*) AS n_distinct,
         |    round(CAST(
         |      CASE WHEN ln(sum(cnt))/ln(2) - sum(cnt * ln(cnt)/ln(2)) / sum(cnt) <= 0 THEN 0.0
         |           ELSE ln(sum(cnt))/ln(2) - sum(cnt * ln(cnt)/ln(2)) / sum(cnt) END
         |      AS DECIMAL(18,8)), 6) AS h6
-        |  FROM cx GROUP BY 1, 2
+        |  FROM cx GROUP BY 1
+        |), ent AS (
+        |  -- LEFT JOIN from t: an empty/zero-char doc produces no cx rows
+        |  -- but must still band at (n_distinct=0, H=0), exactly as the
+        |  -- engine's CharEntropyStats emits — the parity must not depend
+        |  -- on the generator never emitting empty text
+        |  SELECT t.doc_id, t.lang, coalesce(ag.n_distinct, 0) AS n_distinct,
+        |         coalesce(ag.h6, 0) AS h6
+        |  FROM t LEFT JOIN ag ON ag.doc_id = t.doc_id
         |)
         |SELECT lang, CAST(floor(h6) AS BIGINT) AS band, count(*)::BIGINT AS n_docs,
         |       CAST(round(CAST(avg(h6) AS DECIMAL(18,6)), 4) AS DOUBLE) AS avg_entropy,

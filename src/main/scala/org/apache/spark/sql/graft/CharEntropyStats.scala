@@ -45,28 +45,46 @@ case class CharEntropyStats(child: Expression)
     if (bytes.isEmpty) return InternalRow(0L, 0L, 0.0)
     // codepoint histogram in one byte walk: UTF-8 lead byte determines
     // the encoded width; continuation bytes all have the high bits 10,
-    // so decoding by width is exact on well-formed input
+    // so decoding by width is exact on well-formed input. Malformed
+    // input (stray continuation byte, truncated or broken multi-byte
+    // sequence — possible when the column is a binary cast, never from
+    // a real string) counts ONE U+FFFD per bogus byte and resynchronizes
+    // at the next byte: deterministic, and identical to the well-formed
+    // walk wherever the input is well-formed.
     val counts = new java.util.HashMap[Int, Long]()
     var n = 0L
     var i = 0
     while (i < bytes.length) {
       val b = bytes(i) & 0xff
-      val width =
-        if (b < 0x80) 1
-        else if (b < 0xe0) 2
-        else if (b < 0xf0) 3
-        else 4
-      var cp = b & (width match {
-        case 1 => 0x7f; case 2 => 0x1f; case 3 => 0x0f; case _ => 0x07
-      })
-      var j = 1
-      while (j < width && i + j < bytes.length) {
-        cp = (cp << 6) | (bytes(i + j) & 0x3f)
-        j += 1
+      if (b < 0x80) {
+        counts.merge(b, 1L, (a, b2) => a + b2)
+        i += 1
+      } else if (b < 0xc0) { // continuation byte in lead position
+        counts.merge(0xfffd, 1L, (a, b2) => a + b2)
+        i += 1
+      } else {
+        val width = if (b < 0xe0) 2 else if (b < 0xf0) 3 else 4
+        var ok = i + width <= bytes.length
+        var j = 1
+        while (ok && j < width) {
+          if ((bytes(i + j) & 0xc0) != 0x80) ok = false
+          j += 1
+        }
+        if (!ok) { // truncated tail or non-continuation byte inside
+          counts.merge(0xfffd, 1L, (a, b2) => a + b2)
+          i += 1
+        } else {
+          var cp = b & (if (width == 2) 0x1f else if (width == 3) 0x0f else 0x07)
+          var k = 1
+          while (k < width) {
+            cp = (cp << 6) | (bytes(i + k) & 0x3f)
+            k += 1
+          }
+          counts.merge(cp, 1L, (a, b2) => a + b2)
+          i += width
+        }
       }
-      counts.merge(cp, 1L, (a, b2) => a + b2)
       n += 1
-      i += width
     }
     // Σ c·log2(c): iteration order only perturbs the sum at the ulp
     // level, which the caller's decimal snap absorbs (same posture as

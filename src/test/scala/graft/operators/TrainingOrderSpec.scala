@@ -125,6 +125,25 @@ class TrainingOrderSpec extends SparkSpec {
     assert(math.abs(h - (math.log(3) / math.log(2) - 2.0 / 3.0)) < 1e-9)
   }
 
+  test("CharEntropyStats maps malformed UTF-8 to U+FFFD deterministically") {
+    import spark.implicits._
+    // binary -> string cast reinterprets bytes without validation — the
+    // one route malformed sequences can reach the expression
+    val rows = Seq(
+      (0L, Array[Byte](0x61, 0xc3.toByte)),          // 'a' + truncated 2-byte lead
+      (1L, Array[Byte](0x80.toByte, 0x61)),          // stray continuation + 'a'
+      (2L, Array[Byte](0xe4.toByte, 0x61, 0x61)),    // 3-byte lead, non-continuation inside
+      (3L, Array[Byte](0xc3.toByte, 0xa9.toByte)))   // well-formed 'é' control
+      .toDF("id", "b")
+    val st = TextFunctions.charEntropyStats(col("b").cast("string"))
+    val got = rows.select(col("id"), st.getField("n_chars"), st.getField("n_distinct"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L) == ((2L, 2L)), s"truncated tail: ${got(0L)}") // 'a' + U+FFFD
+    assert(got(1L) == ((2L, 2L)), s"stray continuation: ${got(1L)}")
+    assert(got(2L) == ((3L, 2L)), s"broken interior: ${got(2L)}") // U+FFFD a a
+    assert(got(3L) == ((1L, 1L)), s"well-formed control: ${got(3L)}")
+  }
+
   test("CharEntropyStats equals the explode + double-groupBy spelling on the corpus") {
     import spark.implicits._
     val docs = tables.documents
