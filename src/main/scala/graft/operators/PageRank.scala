@@ -51,7 +51,8 @@ object PageRank {
   def ranks(
       edges: DataFrame, iterations: Int = 10, alpha: Double = 0.85,
       checkpointDir: Option[String] = None,
-      broadcastNodeCap: Long = 1000000L): DataFrame = {
+      broadcastNodeCap: Long = 1000000L,
+      driverEdgeCap: Long = DriverEdgeCap): DataFrame = {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def materialize(df: DataFrame): DataFrame =
@@ -77,7 +78,8 @@ object PageRank {
       require(n > 0, "PageRank over an empty edge list")
       val teleport = (1.0 - alpha) / n
       if (n <= broadcastNodeCap) {
-        val out = ranksDriverResident(weighted, nodes, n, iterations, alpha, teleport)
+        val out = ranksDriverResident(
+          weighted, nodes, n, iterations, alpha, teleport, driverEdgeCap)
         nodes.unpersist()
         out
       } else {
@@ -116,9 +118,21 @@ object PageRank {
     * with the dangling default. Per-task scratch = one 8B x n dense
     * accumulator (8 MB at the 1M-node cap).
     */
+  /** Edge-count bound under which the PACKED edge arrays themselves come
+    * to the driver and the whole iteration runs as plain Scala — ZERO
+    * jobs inside the loop, so the per-round action boundary (scheduler +
+    * codegen + GC latency x iterations, the source of q87's in-sweep
+    * drift) disappears entirely. 4M edges = 64 MB of primitive arrays —
+    * the same metadata-scale broadcast-parameters contract as the exact
+    * dedup/cosine kernels. Above it, the rank VECTOR still broadcasts
+    * per round while edges stay distributed (one job per round).
+    */
+  val DriverEdgeCap: Long = 4L * 1024 * 1024
+
   private def ranksDriverResident(
       weighted: DataFrame, nodes: DataFrame, n: Long,
-      iterations: Int, alpha: Double, teleport: Double): DataFrame = {
+      iterations: Int, alpha: Double, teleport: Double,
+      driverEdgeCap: Long): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     import scala.jdk.CollectionConverters._
@@ -143,26 +157,46 @@ object PageRank {
         }
         Iterator.single((ss.result(), dd.result(), gg.result()))
       }.cache()
-    packed.count()
-    var ranks: Array[Double] = Array.fill(nodeVals.length)(1.0 / n)
-    for (_ <- 1 to iterations) {
-      val bR = sc.broadcast(ranks)
-      val contrib = packed.mapPartitions { it =>
-        val r = bR.value
-        val acc = new Array[Double](r.length)
-        it.foreach { case (ss, dd, gg) =>
-          var i = 0
-          while (i < ss.length) { acc(dd(i)) += r(ss(i)) / gg(i); i += 1 }
-        }
-        Iterator.single(acc)
-      }.treeReduce { (a, b) =>
-        var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
-      }
-      bR.unpersist()
-      val next = new Array[Double](ranks.length)
+    // one tiny job materializes the cache AND yields the edge count that
+    // routes between the all-driver loop and the per-round broadcast loop
+    val nEdges = packed.map(_._1.length.toLong).fold(0L)(_ + _)
+    def applyContrib(contrib: Array[Double]): Array[Double] = {
+      val next = new Array[Double](contrib.length)
       var i = 0
       while (i < next.length) { next(i) = teleport + alpha * contrib(i); i += 1 }
-      ranks = next
+      next
+    }
+    var ranks: Array[Double] = Array.fill(nodeVals.length)(1.0 / n)
+    if (nEdges <= driverEdgeCap) {
+      // sub-cap: edges land on the driver once (<= 64 MB primitive
+      // arrays); all rounds run loop-locally — identical arithmetic,
+      // zero per-round jobs
+      val parts = packed.collect()
+      for (_ <- 1 to iterations) {
+        val acc = new Array[Double](ranks.length)
+        parts.foreach { case (ss, dd, gg) =>
+          var i = 0
+          while (i < ss.length) { acc(dd(i)) += ranks(ss(i)) / gg(i); i += 1 }
+        }
+        ranks = applyContrib(acc)
+      }
+    } else {
+      for (_ <- 1 to iterations) {
+        val bR = sc.broadcast(ranks)
+        val contrib = packed.mapPartitions { it =>
+          val r = bR.value
+          val acc = new Array[Double](r.length)
+          it.foreach { case (ss, dd, gg) =>
+            var i = 0
+            while (i < ss.length) { acc(dd(i)) += r(ss(i)) / gg(i); i += 1 }
+          }
+          Iterator.single(acc)
+        }.treeReduce { (a, b) =>
+          var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+        }
+        bR.unpersist()
+        ranks = applyContrib(contrib)
+      }
     }
     packed.unpersist()
     bIndex.unpersist()

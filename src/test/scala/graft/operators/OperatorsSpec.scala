@@ -169,6 +169,12 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert(dist.keySet == r.keySet)
     dist.foreach { case (v, d) => assert(math.abs(d - r(v)) < 1e-12, s"node $v: $d vs ${r(v)}") }
+    // the middle tier (sub-node-cap, over the driver EDGE cap: rank
+    // vector broadcast per round, edges distributed) must also agree
+    val mid = PageRank.ranks(edges, iterations = 3, driverEdgeCap = 0L)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(mid.keySet == r.keySet)
+    mid.foreach { case (v, d) => assert(math.abs(d - r(v)) < 1e-12, s"node $v: $d vs ${r(v)}") }
   }
 
   test("packed-bitmap tier (dict > MaxBitmapDict) matches brute-force Jaccard and containment") {
