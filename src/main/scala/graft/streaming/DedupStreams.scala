@@ -127,6 +127,70 @@ object DedupStreams {
     */
   val MaxDriverPairs: Long = 4L * 1024 * 1024
 
+  /** Literal-count bound for the pushed bkey In-filter on the index
+    * probe: past it the probe reverts to the full members scan (the
+    * pre-bloom shape) rather than planning a multi-thousand-literal
+    * predicate. The bound is a STACK limit, not a taste choice:
+    * parquet-mr evaluates the pushed In as a left-nested OR chain whose
+    * recursion depth equals the literal count — measured on this JVM,
+    * 1024 evaluates fine and 2048 StackOverflows the scan task. Normal
+    * batches sit far below it — only the bloom's true hits plus ~1%
+    * false positives survive the gate.
+    */
+  private val MaxProbeKeyLiterals = 1024
+
+  /** Driver-resident Bloom filter over the index's bucket keys (bkey
+    * already encodes the band — it is xxhash64(band, slice)), the
+    * structure that makes per-trigger index-probe cost O(batch + hits)
+    * in BYTES, not just in rows: a batch bucket key that the bloom
+    * rejects cannot be in the index, so the members scan runs only for
+    * the (few) keys that might hit, with a pushed In-filter that the
+    * bkey-sorted epoch files prune by row-group stats. Without this the
+    * probe re-scanned the whole compacted epoch every trigger — the
+    * +7-16% linear drain-slope term.
+    *
+    * Lifecycle: built from the on-disk members table on first touch
+    * (one-time O(index), amortized over the stream), updated with each
+    * trigger's admitted keys AFTER their write lands (a crash between
+    * write and update is healed by the next rebuild — a missing update
+    * can only happen in a JVM that died, and a fresh JVM rebuilds).
+    * False positives only cost a scan; a false NEGATIVE is impossible
+    * while `items <= capacity` (no eviction, puts precede reads of the
+    * same keys). Past capacity the state is marked saturated and the
+    * probe reverts to full scans until the next rebuild sizes it 4x.
+    * The over-cap distributed path doesn't maintain the bloom, so it
+    * invalidates the state and the next driver-kernel trigger rebuilds.
+    */
+  private final class ProbeIndexState(
+      var bloom: org.apache.spark.util.sketch.BloomFilter,
+      var capacity: Long, var items: Long)
+  private val probeState =
+    scala.collection.concurrent.TrieMap.empty[String, ProbeIndexState]
+
+  private def rebuildProbeState(
+      spark: SparkSession, indexDir: String): ProbeIndexState = {
+    val paths = graft.operators.SignatureIndex.tablePaths(spark, indexDir, "members")
+    if (paths.isEmpty)
+      new ProbeIndexState(
+        org.apache.spark.util.sketch.BloomFilter.create(1L << 20, 0.01), 1L << 20, 0L)
+    else {
+      val m = spark.read.parquet(paths: _*).select(col("bkey"))
+      val n = m.count()
+      val cap = math.max(1L << 20, 4 * n)
+      new ProbeIndexState(m.stat.bloomFilter("bkey", cap, 0.01), cap, n)
+    }
+  }
+
+  /** Bound the state map: each bloom is MBs; a JVM cycling many streams
+    * (bench + specs) must not accumulate them. */
+  private def cacheProbeState(indexDir: String, s: ProbeIndexState): Unit = {
+    if (probeState.size >= 4)
+      probeState.keys.filterNot(_ == indexDir).take(probeState.size - 3)
+        .foreach(probeState.remove)
+    probeState.put(indexDir, s)
+    ()
+  }
+
   /** Start the checkpointed streaming ingest: retained docs land in
     * `outDir` (parquet), their signature index under `indexDir`.
     */
@@ -194,10 +258,16 @@ object DedupStreams {
     if (fold.isEmpty) return // already compacted through upTo (e.g. a replay)
     def paths(dir: String): Seq[String] =
       m.map(e => s"$dir/compacted=$e").toSeq ++ fold.map(b => s"$dir/batch=$b")
+    // epochs are written KEY-SORTED (sigs by doc_id, members by bkey):
+    // the per-trigger probe pushes In-filters on exactly these columns,
+    // so tight row-group min/max stats turn the epoch scan into a
+    // point-lookup approximation instead of a full read
     spark.read.parquet(paths(s"$indexDir/sigs"): _*)
-      .coalesce(8).write.mode("overwrite").parquet(s"$indexDir/sigs/compacted=$upTo")
+      .repartitionByRange(8, col("doc_id")).sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$indexDir/sigs/compacted=$upTo")
     spark.read.parquet(paths(s"$indexDir/members"): _*)
-      .coalesce(8).write.mode("overwrite").parquet(s"$indexDir/members/compacted=$upTo")
+      .repartitionByRange(8, col("bkey")).sortWithinPartitions(col("bkey"))
+      .write.mode("overwrite").parquet(s"$indexDir/members/compacted=$upTo")
     log.info(s"compacted signature index through batch $upTo " +
       s"(${fold.size} batch dir(s) + ${m.fold("no prior epoch")(e => s"epoch $e")})")
     // cleanup is best-effort: leftovers are ignored by readers (ids <=
@@ -237,6 +307,14 @@ object DedupStreams {
       driverBatchCap: Long = DefaultDriverBatchCap): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    // the probe's bkey/doc_id In-filters carry up to MaxProbeKeyLiterals
+    // values; the default threshold (10) would fall back to a min/max
+    // range push, which prunes nothing when probe keys span the key
+    // space. Session conf, restored after the trigger — the bench JVM
+    // shares this session with the registry sweep.
+    val inFilterKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val prevInFilter = spark.conf.getOption(inFilterKey)
+    spark.conf.set(inFilterKey, MaxProbeKeyLiterals.toString)
     // per-phase wall timing, printed once per trigger when
     // SPARK_GRAFT_DRAIN_TIMING=1 — the knob that found the fixed
     // per-trigger cost breakdown (see PLANS.md drain notes)
@@ -350,23 +428,38 @@ object DedupStreams {
           c.toDouble / NumPerms >= tCorr
         }
 
-        // batch vs index: probe the membership with a LocalRelation
-        // broadcast of the batch's (already collected) band keys — a
-        // broadcast built from driver-local rows needs no exchange job,
-        // so the hits come back in ONE narrow-scan job over the members
-        // table. Bucket occupancy and the candidate (nid, mid) pairs are
-        // then derived from the hit rows in plain Scala; member
-        // signatures are fetched only when candidates exist (a second
-        // narrow-scan job), and an empty candidate set costs nothing.
-        // Measured (drain, 1000-doc batches): this removed a ~2s
-        // per-trigger distinct-shuffle + broadcast-exchange tax that the
-        // cached-DataFrame probe paid on every non-empty trigger.
+        // batch vs index: the driver-resident bucket-key bloom rejects
+        // batch keys that CANNOT be in the index, so most triggers scan
+        // only the handful of possibly-hitting keys (pushed In-filter on
+        // bkey; the bkey-sorted epoch files prune by row-group stats) —
+        // per-trigger probe BYTES stay O(hits) instead of O(index), the
+        // fix for the linear drain-slope term. The probe itself is still
+        // the LocalRelation-broadcast join of the batch's collected band
+        // keys: no exchange job, hits back in ONE narrow-scan job,
+        // occupancy and candidate pairs derived in plain Scala.
+        val state = probeState.getOrElse(indexDir, {
+          val s = phase("bloom_build")(rebuildProbeState(spark, indexDir))
+          cacheProbeState(indexDir, s); s
+        })
+        val saturated = state.items > state.capacity
+        val batchKeys = bandedLocal.map(_._2).distinct
+        val probeKeys =
+          if (state.items == 0L) Array.empty[Long]
+          else if (saturated) batchKeys
+          else batchKeys.filter(state.bloom.mightContainLong)
         val bandedDf = spark.createDataset(bandedLocal.toSeq)
           .toDF("band", "bkey", "nid")
-        val hitsLocal: Array[(Int, Long, Long, Long)] = phase("probe_collect")(
-          members.join(broadcast(bandedDf), Seq("band", "bkey"))
-            .select(col("band"), col("bkey"), col("mid"), col("nid"))
-            .as[(Int, Long, Long, Long)].collect())
+        val hitsLocal: Array[(Int, Long, Long, Long)] =
+          if (probeKeys.isEmpty || (epoch.isEmpty && live.isEmpty)) Array.empty
+          else phase("probe_collect") {
+            val src =
+              if (!saturated && probeKeys.length <= MaxProbeKeyLiterals)
+                members.filter(col("bkey").isin(probeKeys.map(Long.box).toSeq: _*))
+              else members
+            src.join(broadcast(bandedDf), Seq("band", "bkey"))
+              .select(col("band"), col("bkey"), col("mid"), col("nid"))
+              .as[(Int, Long, Long, Long)].collect()
+          }
         val occLocal: Map[(Int, Long), Long] = hitsLocal
           .groupBy(t => (t._1, t._2))
           .map { case (k, rows) => k -> rows.map(_._3).distinct.length.toLong }
@@ -375,9 +468,15 @@ object DedupStreams {
         val memberSig: Map[Long, Array[Long]] =
           if (candPairs.isEmpty) Map.empty
           else {
-            val midsDf = spark.createDataset(candPairs.map(_._2).distinct.toSeq)
-              .toDF("doc_id")
-            phase("msig_collect")(idxSigs
+            val mids = candPairs.map(_._2).distinct
+            val midsDf = spark.createDataset(mids.toSeq).toDF("doc_id")
+            // same pruning trade as the members probe: a pushed In on
+            // doc_id lets the doc_id-sorted sig epochs skip row groups
+            val sigSrc =
+              if (mids.length <= MaxProbeKeyLiterals)
+                idxSigs.filter(col("doc_id").isin(mids.map(Long.box).toSeq: _*))
+              else idxSigs
+            phase("msig_collect")(sigSrc
               .join(broadcast(midsDf), Seq("doc_id"))
               .select(col("doc_id"), col("sig8"))
               .as[(Long, Array[Long])].collect().toMap)
@@ -441,8 +540,16 @@ object DedupStreams {
           Future(sigsDf.coalesce(1).write.mode("overwrite")
             .parquet(s"$indexDir/sigs/batch=$batchId")))),
           scala.concurrent.duration.Duration.Inf))
+        // bloom update strictly AFTER the members write lands (crash
+        // before this point -> rebuild covers it; a replay re-put is
+        // idempotent). Extra puts on a replay only add false positives.
+        admitted.foreach(t => state.bloom.putLong(t._2))
+        state.items += admitted.size
       } else {
         // ---------------- distributed spelling (over-cap) ----------------
+        // this path doesn't maintain the probe bloom — invalidate so the
+        // next driver-kernel trigger rebuilds from disk
+        probeState.remove(indexDir)
         // probe the (write-time-capped) membership with the batch's band
         // keys: broadcast the batch side, so the index side is a pruned
         // columnar scan with NO shuffle, NO re-banding, NO window; bucket
@@ -522,6 +629,10 @@ object DedupStreams {
       banded.unpersist()
       sigs.unpersist()
       cachedBatch.unpersist()
+      prevInFilter match {
+        case Some(v) => spark.conf.set(inFilterKey, v)
+        case None => spark.conf.unset(inFilterKey)
+      }
       if (timing) System.err.println(
         s"[drain-timing] batch=$batchId " +
           phases.map { case (n, ms) => s"$n=${ms}ms" }.mkString(" "))
