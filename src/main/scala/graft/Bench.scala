@@ -220,7 +220,10 @@ object Bench {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.codegen.cache.maxEntries", "10000")
-    .config("spark.sql.streaming.numRecentProgressUpdates", "256")
+    // 512: the 400-batch drain must keep EVERY trigger's progress —
+    // r8's first 400-batch run silently measured only the ring buffer's
+    // last 255 batches
+    .config("spark.sql.streaming.numRecentProgressUpdates", "512")
     .getOrCreate()
 
   // 400 batches / 400k docs: double the r7 horizon, the scale at which a

@@ -4,7 +4,7 @@ import graft.QueryDef
 import graft.edi.ClaimMapping
 import graft.fixtures.{ClaimFixtures, Evaluator}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, posexplode}
 
 /** The reference-fidelity mapping queries (SURVEY.md §2.14 Q41–Q43): parse
   * the generated 837P corpus, normalize to claims / claim_services /
@@ -256,6 +256,47 @@ object MappingQueries {
         .agg(count(lit(1)).as("n_pairs"),
           sum($"ia" * 1009 + $"ib").cast("long").as("pair_checksum"))
         .orderBy($"relation", $"shared_frames")
+    },
+
+    // ---- q132: REAL image decode through the codec seam (BmpCodec
+    // scaladoc) — the L5 gate the stub can't give: 40 deterministic
+    // 24-bit BMPs (BmpFixtures; closed-form pixels, non-mult-of-4
+    // widths) decoded executor-side into 4x4 channel-weighted cell sums,
+    // while the oracle recomputes the SAME sums from the pixel formula
+    // with integer arithmetic — no image library on either side, real
+    // bottom-up/BGR/stride-padded binary in between. n_bytes doubles as
+    // the encoder gate (54 + stride*h). ---------------------------------
+    QueryDef(
+      "q132_bmp_decode",
+      """WITH d AS (
+        |  SELECT k, 16 + (7*k)%49 AS w, 12 + (5*k)%37 AS h FROM range(0, 40) t(k)
+        |), px AS (
+        |  SELECT d.k, d.w, d.h,
+        |         ((y.j*4)//d.h)*4 + (x.i*4)//d.w AS cell,
+        |         (11*d.k + 3*x.i + 7*y.j)%256
+        |           + 2*((13*d.k + 5*x.i + 11*y.j)%256)
+        |           + 4*((17*d.k + 7*x.i + 13*y.j)%256) AS s
+        |  FROM d, range(0, 64) x(i), range(0, 48) y(j)
+        |  WHERE x.i < d.w AND y.j < d.h
+        |)
+        |SELECT 'img' || k || '.bmp' AS file_name,
+        |       CAST(54 + ((w*3+3)//4)*4*h AS BIGINT) AS n_bytes,
+        |       CAST(cell AS INT) AS cell,
+        |       CAST(sum(s) AS BIGINT) AS cell_sum
+        |FROM px GROUP BY k, w, h, cell
+        |ORDER BY file_name, cell""".stripMargin,
+    ) { (spark, _) =>
+      graft.fixtures.BmpFixtures.ensure()
+      val bin = graft.operators.Multimodal.readBinaryDir(
+        spark, graft.fixtures.BmpFixtures.Dir, "*.bmp")
+      graft.operators.Multimodal
+        .extractFeatures(spark, bin, graft.operators.BmpCodec)
+        .toDF()
+        .select(col("fileName").as("file_name"), col("nBytes").cast("long").as("n_bytes"),
+          posexplode(col("features")))
+        .select(col("file_name"), col("n_bytes"),
+          col("pos").cast("int").as("cell"), col("col").cast("long").as("cell_sum"))
+        .orderBy(col("file_name"), col("cell"))
     },
   )
 }

@@ -160,6 +160,27 @@ object TextQueries {
     */
   private val bpeMergesByDir = scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
 
+  /** Scale-tier doc slice (`SPARK_GRAFT_DOC_SLICE=<hex prefix>`, e.g.
+    * "0" = the md5-selected 1/16 of documents): restricts the PAIR-
+    * ENUMERATION queries' document set identically on BOTH sides — the
+    * engine plans and the dumped DuckDB oracle texts — so their
+    * quadratic oracles become host-feasible at sf1 as a sampled
+    * differential (EXACT on the slice; the engine still runs its full
+    * distributed machinery over it). Unset — every driver/default run —
+    * means full corpus and byte-identical behavior to before. Only the
+    * queries whose oracles enumerate pairs interpolate [[docRel]] /
+    * filter through [[slicedDocs]]: q34b/c, q35/b, q56, q76, q103,
+    * q126, q128.
+    */
+  private val docSlice: Option[String] = sys.env.get("SPARK_GRAFT_DOC_SLICE")
+  private val docRel: String = docSlice.fold("documents")(pfx =>
+    s"(SELECT * FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, ${pfx.length}) = '$pfx')")
+  private def slicedDocs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = Tables(spark, dir).documents
+    docSlice.fold(d)(pfx =>
+      d.filter(substring(md5(col("doc_id").cast("string")), 1, pfx.length) === pfx))
+  }
+
   /** Exact substring-dedup span oracle, shared by q102 (Direct plan) and
     * q113 (Strided plan) — the two plans must reach identical boundaries.
     * The engine's xxhash64 keys are intermediate-only, so the oracle
@@ -196,10 +217,10 @@ object TextQueries {
   /** Shared DuckDB shingle CTE (3-gram, set semantics). DuckDB 1.0's
     * generate_series only takes constants, hence the bound+filter form.
     */
-  private val shingleCte =
-    """sh AS MATERIALIZED (
+  private lazy val shingleCte =
+    s"""sh AS MATERIALIZED (
       |  SELECT DISTINCT doc_id, substr(lower(text), g.i::INT, 3) AS s
-      |  FROM documents, generate_series(1, 100000) g(i)
+      |  FROM $docRel, generate_series(1, 100000) g(i)
       |  WHERE g.i <= length(text) - 2
       |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)""".stripMargin
 
@@ -390,8 +411,8 @@ object TextQueries {
     // ---- Q34b: SimHash Hamming-distance histogram (L2 sketch) -------------
     QueryDef(
       "q34b_simhash_histogram",
-      """WITH tok AS (
-        |  SELECT DISTINCT doc_id, t.tok FROM documents, unnest(string_split(text, ' ')) t(tok)
+      s"""WITH tok AS (
+        |  SELECT DISTINCT doc_id, t.tok FROM $docRel, unnest(string_split(text, ' ')) t(tok)
         |  WHERE t.tok <> ''
         |), bits AS (
         |  SELECT doc_id, g.p::INT AS pos,
@@ -411,7 +432,7 @@ object TextQueries {
         |FROM ham GROUP BY 1 ORDER BY 1""",
     ) { (spark, dir) =>
       import spark.implicits._
-      SimHash.hammingHistogram(Tables(spark, dir).documents, "doc_id", "text")
+      SimHash.hammingHistogram(slicedDocs(spark, dir), "doc_id", "text")
         .select($"h".cast("int").as("h"), $"n_pairs")
         .orderBy($"h")
     },
@@ -420,8 +441,8 @@ object TextQueries {
     // the exact Hamming pair set at distance <= 3 ----------------------------
     QueryDef(
       "q34c_simhash_banded",
-      """WITH tok AS (
-        |  SELECT DISTINCT doc_id, t.tok FROM documents, unnest(string_split(text, ' ')) t(tok)
+      s"""WITH tok AS (
+        |  SELECT DISTINCT doc_id, t.tok FROM $docRel, unnest(string_split(text, ' ')) t(tok)
         |  WHERE t.tok <> ''
         |), bits AS (
         |  SELECT doc_id, g.p::INT AS pos,
@@ -439,7 +460,7 @@ object TextQueries {
         |ORDER BY da, db""",
     ) { (spark, dir) =>
       import spark.implicits._
-      SimHash.nearDuplicates(Tables(spark, dir).documents, "doc_id", "text", maxDist = 3)
+      SimHash.nearDuplicates(slicedDocs(spark, dir), "doc_id", "text", maxDist = 3)
         .select($"da", $"db", $"h".cast("long").as("h"))
         .orderBy($"da", $"db")
     },
@@ -447,7 +468,7 @@ object TextQueries {
     // ---- Q35: exact n-gram Jaccard near-dup pairs (L2 oracle) -------------
     QueryDef("q35_jaccard_pairs", jaccardOracle) { (spark, dir) =>
       import spark.implicits._
-      val sh = Dedup.charShingles(Tables(spark, dir).documents, "doc_id", "text")
+      val sh = Dedup.charShingles(slicedDocs(spark, dir), "doc_id", "text")
       Dedup.jaccardPairs(sh, 0.7)
         .select($"da", $"db", dec($"jaccard", 4).as("jaccard"))
         .orderBy($"da", $"db")
@@ -456,7 +477,7 @@ object TextQueries {
     // ---- Q35b: MinHash-LSH path — must equal the exact pair set -----------
     QueryDef("q35b_minhash_lsh", jaccardOracle) { (spark, dir) =>
       import spark.implicits._
-      val sh = Dedup.charShingles(Tables(spark, dir).documents, "doc_id", "text")
+      val sh = Dedup.charShingles(slicedDocs(spark, dir), "doc_id", "text")
       MinHashLSH.nearDuplicatePairs(sh, threshold = 0.7)
         .select($"da", $"db", dec($"jaccard", 4).as("jaccard"))
         .orderBy($"da", $"db")
@@ -766,11 +787,11 @@ object TextQueries {
       "q56_neardup_clusters",
       s"""WITH $clusterCtes
          |SELECT d.doc_id, COALESCE($ClusterLabelRel.lbl, d.doc_id) AS cluster_id
-         |FROM documents d LEFT JOIN $ClusterLabelRel ON d.doc_id = $ClusterLabelRel.id
+         |FROM $docRel d LEFT JOIN $ClusterLabelRel ON d.doc_id = $ClusterLabelRel.id
          |ORDER BY d.doc_id""".stripMargin,
     ) { (spark, dir) =>
       import spark.implicits._
-      val docs = Tables(spark, dir).documents
+      val docs = slicedDocs(spark, dir)
       val pairs = Dedup.jaccardPairs(Dedup.charShingles(docs, "doc_id", "text"), 0.7)
       val cl = Dedup.clusters(pairs)
       docs.select($"doc_id")
@@ -1339,11 +1360,11 @@ object TextQueries {
          |)
          |SELECT d.lang, count(*)::BIGINT AS n_contaminated,
          |       CAST(sum(d.doc_id) AS BIGINT) AS id_checksum
-         |FROM documents d JOIN cont USING (doc_id)
+         |FROM $docRel d JOIN cont USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     ) { (spark, dir) =>
       import spark.implicits._
-      val docs = Tables(spark, dir).documents
+      val docs = slicedDocs(spark, dir)
       val ids = graft.operators.Decontamination.fuzzyContaminatedIds(
         docs, "doc_id", "text", $"doc_id" % 11 === 0, 0.7)
       docs.join(ids, Seq("doc_id"), "left_semi")
@@ -2128,7 +2149,7 @@ object TextQueries {
       "q103_containment",
       s"""WITH sh5 AS MATERIALIZED (
          |  SELECT DISTINCT doc_id, substr(lower(text), g.i::INT, 5) AS s
-         |  FROM documents, generate_series(1, 100000) g(i)
+         |  FROM $docRel, generate_series(1, 100000) g(i)
          |  WHERE g.i <= length(text) - 4
          |), sz5 AS (SELECT doc_id, count(*) AS n FROM sh5 GROUP BY 1),
          |${bitmapInter("sh5", lengthBand = None)},
@@ -2144,7 +2165,7 @@ object TextQueries {
     ) { (spark, dir) =>
       import spark.implicits._
       Dedup.containmentPairs(
-          Dedup.charShingles(Tables(spark, dir).documents, "doc_id", "text", n = 5), 0.9)
+          Dedup.charShingles(slicedDocs(spark, dir), "doc_id", "text", n = 5), 0.9)
         .select($"inner_doc", $"outer_doc", dec($"containment", 4).as("containment"))
         .orderBy($"inner_doc", $"outer_doc")
     },
@@ -2929,7 +2950,7 @@ object TextQueries {
       s"""WITH $clusterCtes,
          |asg AS (
          |  SELECT d.doc_id, COALESCE($ClusterLabelRel.lbl, d.doc_id) AS cluster_id
-         |  FROM documents d LEFT JOIN $ClusterLabelRel ON d.doc_id = $ClusterLabelRel.id
+         |  FROM $docRel d LEFT JOIN $ClusterLabelRel ON d.doc_id = $ClusterLabelRel.id
          |), s AS (
          |  SELECT doc_id, cluster_id,
          |    CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
@@ -2954,7 +2975,7 @@ object TextQueries {
          |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     ) { (spark, dir) =>
       import spark.implicits._
-      val docs = Tables(spark, dir).documents
+      val docs = slicedDocs(spark, dir)
       val pairs = Dedup.jaccardPairs(Dedup.charShingles(docs, "doc_id", "text"), 0.7)
       val cl = Dedup.clusters(pairs)
       def splitOf(c: org.apache.spark.sql.Column) = {
@@ -3055,7 +3076,7 @@ object TextQueries {
       s"""WITH $clusterCtes,
          |asg AS (
          |  SELECT d.doc_id, COALESCE($ClusterLabelRel.lbl, d.doc_id) AS cluster_id, d.n_chars
-         |  FROM documents d LEFT JOIN $ClusterLabelRel ON d.doc_id = $ClusterLabelRel.id
+         |  FROM $docRel d LEFT JOIN $ClusterLabelRel ON d.doc_id = $ClusterLabelRel.id
          |), r AS (
          |  SELECT *,
          |    row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn,
@@ -3071,7 +3092,7 @@ object TextQueries {
          |FROM r""".stripMargin,
     ) { (spark, dir) =>
       import spark.implicits._
-      val docs = Tables(spark, dir).documents
+      val docs = slicedDocs(spark, dir)
       val pairs = Dedup.jaccardPairs(Dedup.charShingles(docs, "doc_id", "text"), 0.7)
       val cl = Dedup.clusters(pairs)
       val asg = docs.select($"doc_id", $"n_chars")

@@ -41,8 +41,8 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * == Incremental index layout ==
   *
   * {{{
-  * indexDir/members/{compacted=<M> | batch=<id>}/   (band, bkey, doc_id)
-  * indexDir/sigs/   {compacted=<M> | batch=<id>}/   (doc_id, sig8)
+  * indexDir/members/{compacted=<M> | run=<R> | batch=<id>}/   (band, bkey, doc_id)
+  * indexDir/sigs/   {compacted=<M> | run=<R> | batch=<id>}/   (doc_id, sig8)
   * }}}
   *
   * The membership table is banded AND capped when written: under the
@@ -60,15 +60,18 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * (bucket-keyed membership + doc-keyed signatures, both append-only)
   * is exactly a KV schema, which is the deliberate seam.
   *
-  * Every `compactEvery` batches the `batch=<id>` partition dirs are
-  * folded into a single `compacted=<M>` dir (M = highest batch id
-  * included), so the per-trigger directory listing and file count stay
-  * bounded regardless of stream age. Compaction is pure concatenation —
-  * the cap was enforced at write time — and is crash-safe: the sigs dir
-  * is written before the members dir, readers key the current compaction
-  * epoch off the members listing (newest `compacted=` with `_SUCCESS`),
-  * and batch dirs are only deleted after both writes land; a replayed
-  * trigger re-runs the same deterministic compaction.
+  * Every `compactEvery` batches the `batch=<id>` partition dirs fold —
+  * two-level and size-tiered (see [[compact]]): normally a MINOR fold
+  * into a `run=<R>` dir (O(folded batches)), a MAJOR fold into a new
+  * `compacted=<M>` epoch only when the runs reach 1/4 of the epoch's
+  * bytes. Per-trigger listing stays O(compactEvery + MaxRuns) dirs and
+  * amortized fold work stays O(batch), with each row epoch-rewritten
+  * O(log) times over the stream's life. Folds are pure concatenation —
+  * the cap was enforced at write time — and crash-safe: each fold's
+  * sigs dir is written before its members dir, readers require
+  * `_SUCCESS` on folded dirs and ignore batch dirs a fold covers, and
+  * covered dirs are only deleted after both writes land; a replayed
+  * trigger re-runs the same deterministic fold.
   *
   * PRECONDITION for cross-run agreement: doc ids must arrive
   * monotonically non-decreasing across batches (ingest-time-assigned
@@ -237,50 +240,78 @@ object DedupStreams {
     */
   private def listTable(
       fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): (Option[Long], Seq[Long]) =
+      dir: org.apache.hadoop.fs.Path): graft.operators.SignatureIndex.TableListing =
     graft.operators.SignatureIndex.listTable(fs, dir)
 
-  /** Fold `batch=*` dirs with id <= `upTo` (plus the previous compacted
-    * epoch) into `compacted=<upTo>` for both index tables, then delete
-    * the folded dirs. Pure concatenation — caps were enforced at write
-    * time. Deterministic for a given `upTo`, so a foreachBatch replay
-    * that re-runs it is harmless; the sigs epoch is written before the
-    * members epoch so any members epoch a reader selects has its sigs
-    * counterpart on disk.
+  /** Maximum `run=` dirs before a minor fold absorbs the existing runs
+    * too — bounds the per-trigger dir/footer count between majors. */
+  private val MaxRuns = 8
+
+  /** Two-level size-tiered compaction (the LSM shape). Every
+    * `compactEvery` triggers the live `batch=*` dirs fold — but into a
+    * `run=<upTo>` MINOR dir (cost O(folded batches)) unless the
+    * accumulated runs have reached 1/4 of the epoch's bytes, at which
+    * point everything folds into a new `compacted=<upTo>` epoch (MAJOR).
+    * The geometric trigger means each row is epoch-rewritten O(log)
+    * times over the stream's life; the previous every-fold-is-major
+    * scheme rewrote the ENTIRE (linearly growing) epoch every 16
+    * batches — the measured +6% drain-slope term. Minor folds absorb
+    * existing runs once [[MaxRuns]] accumulate, so the reader's dir
+    * count stays bounded.
+    *
+    * All folds are pure concatenation (caps were enforced at write
+    * time), written KEY-SORTED (sigs by doc_id, members by bkey) so the
+    * probe's pushed In-filters prune row groups. Deterministic for a
+    * given `upTo`, so a foreachBatch replay re-running one is harmless;
+    * each fold's sigs dir is written before its members dir, readers
+    * require `_SUCCESS` on folded dirs, and covered batch dirs are only
+    * deleted after both writes land.
     */
   private def compact(spark: SparkSession, indexDir: String, upTo: Long): Unit = {
+    import graft.operators.SignatureIndex.TableListing
     val conf = spark.sessionState.newHadoopConf()
     val membersDir = new org.apache.hadoop.fs.Path(s"$indexDir/members")
     val sigsDir = new org.apache.hadoop.fs.Path(s"$indexDir/sigs")
     val fs = membersDir.getFileSystem(conf)
-    val (m, batches) = listTable(fs, membersDir)
-    val fold = batches.filter(_ <= upTo)
-    if (fold.isEmpty) return // already compacted through upTo (e.g. a replay)
-    def paths(dir: String): Seq[String] =
-      m.map(e => s"$dir/compacted=$e").toSeq ++ fold.map(b => s"$dir/batch=$b")
-    // epochs are written KEY-SORTED (sigs by doc_id, members by bkey):
-    // the per-trigger probe pushes In-filters on exactly these columns,
-    // so tight row-group min/max stats turn the epoch scan into a
-    // point-lookup approximation instead of a full read
+    val l = listTable(fs, membersDir)
+    val foldB = l.batches.filter(_ <= upTo)
+    if (foldB.isEmpty) return // already folded through upTo (e.g. a replay)
+    def bytesOf(name: String): Long =
+      scala.util.Try(fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(membersDir, name)).getLength).getOrElse(0L)
+    val epochBytes = l.epoch.map(e => bytesOf(s"compacted=$e")).getOrElse(0L)
+    val pendingBytes = l.runs.map(r => bytesOf(s"run=$r")).sum +
+      foldB.map(b => bytesOf(s"batch=$b")).sum
+    val major = l.epoch.isEmpty || pendingBytes * 4 >= epochBytes
+    val mergeRuns = major || l.runs.size >= MaxRuns
+    val src = TableListing(
+      if (major) l.epoch else None,
+      if (mergeRuns) l.runs else Nil,
+      foldB)
+    val target = if (major) s"compacted=$upTo" else s"run=$upTo"
+    def paths(dir: String): Seq[String] = src.dirNames.map(n => s"$dir/$n")
     spark.read.parquet(paths(s"$indexDir/sigs"): _*)
       .repartitionByRange(8, col("doc_id")).sortWithinPartitions(col("doc_id"))
-      .write.mode("overwrite").parquet(s"$indexDir/sigs/compacted=$upTo")
+      .write.mode("overwrite").parquet(s"$indexDir/sigs/$target")
     spark.read.parquet(paths(s"$indexDir/members"): _*)
       .repartitionByRange(8, col("bkey")).sortWithinPartitions(col("bkey"))
-      .write.mode("overwrite").parquet(s"$indexDir/members/compacted=$upTo")
-    log.info(s"compacted signature index through batch $upTo " +
-      s"(${fold.size} batch dir(s) + ${m.fold("no prior epoch")(e => s"epoch $e")})")
-    // cleanup is best-effort: leftovers are ignored by readers (ids <=
-    // the new epoch) and retried by the next compaction. Raw listing, not
-    // listTable — that helper hides exactly the now-folded ids (<= the
-    // epoch just written) that need deleting.
+      .write.mode("overwrite").parquet(s"$indexDir/members/$target")
+    log.info(s"${if (major) "MAJOR" else "minor"} fold of signature index through " +
+      s"batch $upTo (${foldB.size} batch dir(s)" +
+      s"${if (mergeRuns && l.runs.nonEmpty) s" + ${l.runs.size} run(s)" else ""}" +
+      s"${if (major) l.epoch.fold("")(e => s" + epoch $e") else ""} -> $target)")
+    // cleanup is best-effort: leftovers are ignored by readers (covered
+    // ids) and retried by the next fold. Raw listing, not listTable —
+    // that helper hides exactly the now-covered ids that need deleting.
     for (dir <- Seq(membersDir, sigsDir) if fs.exists(dir)) {
       val stale = fs.listStatus(dir).toSeq.map(_.getPath.getName).filter { n =>
         def id(prefix: String): Option[Long] =
           if (n.startsWith(prefix))
             scala.util.Try(n.stripPrefix(prefix).toLong).toOption
           else None
-        id("batch=").exists(_ <= upTo) || id("compacted=").exists(_ < upTo)
+        id("batch=").exists(_ <= upTo) ||
+          id("run=").exists(r => if (major) r <= upTo else mergeRuns && r < upTo) ||
+          (major && id("compacted=").exists(_ < upTo))
       }
       stale.foreach(n => scala.util.Try(
         fs.delete(new org.apache.hadoop.fs.Path(dir, n), true)))
@@ -366,18 +397,17 @@ object DedupStreams {
 
     val hPath = new org.apache.hadoop.fs.Path(s"$indexDir/members")
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val (epoch, liveBatches) = listTable(fs, hPath)
-    val live = liveBatches.filter(_ != batchId)
+    val listing = listTable(fs, hPath)
+    val live = listing.copy(batches = listing.batches.filter(_ != batchId))
     def tablePaths(table: String): Seq[String] =
-      epoch.map(e => s"$indexDir/$table/compacted=$e").toSeq ++
-        live.map(b => s"$indexDir/$table/batch=$b")
+      live.dirNames.map(n => s"$indexDir/$table/$n")
     val members =
-      if (epoch.nonEmpty || live.nonEmpty)
+      if (!live.isEmpty)
         spark.read.parquet(tablePaths("members"): _*)
           .select(col("band"), col("bkey"), col("doc_id").as("mid"))
       else Seq.empty[(Int, Long, Long)].toDF("band", "bkey", "mid")
     val idxSigs =
-      if (epoch.nonEmpty || live.nonEmpty)
+      if (!live.isEmpty)
         spark.read.parquet(tablePaths("sigs"): _*)
       else Seq.empty[(Long, Array[Long])].toDF("doc_id", "sig8")
 
@@ -449,8 +479,12 @@ object DedupStreams {
           else batchKeys.filter(state.bloom.mightContainLong)
         val bandedDf = spark.createDataset(bandedLocal.toSeq)
           .toDF("band", "bkey", "nid")
+        if (sys.env.contains("GRAFT_PROBE_DEBUG")) System.err.println(
+          s"[probe-debug] batch=$batchId items=${state.items} sat=$saturated " +
+            s"batchKeys=${batchKeys.length} probeKeys=${probeKeys.length} " +
+            s"liveEmpty=${live.isEmpty} dirs=${live.dirNames.mkString(",")}")
         val hitsLocal: Array[(Int, Long, Long, Long)] =
-          if (probeKeys.isEmpty || (epoch.isEmpty && live.isEmpty)) Array.empty
+          if (probeKeys.isEmpty || live.isEmpty) Array.empty
           else phase("probe_collect") {
             val src =
               if (!saturated && probeKeys.length <= MaxProbeKeyLiterals)

@@ -152,6 +152,33 @@ class DedupStreamsSpec extends SparkSpec {
     }
   }
 
+  test("size-tiered folds: minors write run= dirs, probe still hits them, major re-absorbs") {
+    val root = Files.createTempDirectory("dedup_stream_tiered").toString
+    val out = s"$root/out"; val idx = s"$root/index"
+    var sawRun = false
+    (0 until 40).foreach { i =>
+      DedupStreams.dedupBatch(distinctDocs(Seq(i.toLong)), out, idx,
+        threshold = 0.7, batchId = i.toLong, compactEvery = 2)
+      sawRun ||= new java.io.File(s"$idx/members").list().exists(_.startsWith("run="))
+    }
+    assert(sawRun, "the geometric trigger never took the minor-fold path in 20 folds")
+    // a duplicate of doc 0 (folded long ago, possibly sitting in a run=
+    // dir right now) must still be dropped through the probe
+    DedupStreams.dedupBatch(
+      distinctDocs(Seq(0L)).select(lit(900L).as("doc_id"), col("text")),
+      out, idx, threshold = 0.7, batchId = 40L, compactEvery = 2)
+    val survivors = spark.read.parquet(out).select(col("doc_id")).as[Long].collect().toSet
+    assert(survivors == (0L until 40L).toSet,
+      s"tiered folds lost or duplicated survivors: ${survivors.size}")
+    for (table <- Seq("members", "sigs")) {
+      val names = new java.io.File(s"$idx/$table").list().toSeq
+      assert(names.count(_.startsWith("compacted=")) == 1,
+        s"$table: exactly one epoch expected: $names")
+      assert(names.count(_.startsWith("run=")) <= 8, s"$table: runs unbounded: $names")
+      assert(names.count(_.startsWith("batch=")) <= 3, s"$table: batches unbounded: $names")
+    }
+  }
+
   test("a replayed batch at a compaction boundary is idempotent") {
     val root = Files.createTempDirectory("dedup_stream_compact_replay").toString
     val out = s"$root/out"; val idx = s"$root/index"
