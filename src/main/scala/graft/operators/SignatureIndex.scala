@@ -216,7 +216,12 @@ object SignatureIndex {
     // one batch shingle derivation feeds the signature agg AND the
     // refine (cache-release contract: see Dedup.jaccardPairs)
     val batchSh = Dedup.charShingles(batch, idCol, textCol, cfg.shingleN).cache()
-    val cand = probeCandidates(spark, indexDir, batchSh, cfg)
+    // cached: the candidate-id semi-join AND the refine both consume the
+    // candidate pairs, and each re-derivation would re-run the batch
+    // signature aggregation (the probe's dominant compute — measured
+    // 5.8 s -> see PLANS.md r8 notes). Hits-scale rows.
+    // Cache-release contract: see Dedup.jaccardPairs.
+    val cand = probeCandidates(spark, indexDir, batchSh, cfg).cache()
     val candIds = cand.select(col("da").as(idCol)).distinct()
     // candidate corpus text only: hits-scale, not corpus-scale
     val corpusSh = Dedup.charShingles(
