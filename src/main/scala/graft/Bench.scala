@@ -339,8 +339,33 @@ object Bench {
         val (h1, h2) = warmB.splitAt(warmB.size / 2)
         val ratio =
           if (p50(h1) > 0) p50(h2).toDouble / p50(h1) else 0.0
+        // The half-ratio is sensitive to warmup: a page-cache-warm run can
+        // start fast and converge UP to steady state, reading as "slope" when
+        // the tail is flat (observed 0.95/1.01/1.13 across three otherwise
+        // identical 400-batch runs). Two companion views disambiguate:
+        // per-quartile p50s (is the TAIL flat?) and a Theil–Sen fit, whose
+        // median-of-pairwise-slopes estimator ignores compaction spikes.
+        val quart = (0 until 4).map { i =>
+          p50(warmB.slice(i * warmB.size / 4, (i + 1) * warmB.size / 4))
+        }
+        val fitRatio =
+          if (warmB.size < 8) 0.0
+          else {
+            val w = warmB.toIndexedSeq
+            val n = w.size
+            val slopes = for {
+              i <- 0 until n; j <- (i + 1) until n
+            } yield (w(j) - w(i)).toDouble / (j - i)
+            val slope = slopes.sorted.apply(slopes.size / 2)
+            val resid = warmB.zipWithIndex.map { case (y, x) => y - slope * x }
+            val icept = resid.sorted.apply(resid.size / 2)
+            val y0 = icept
+            val yN = icept + slope * (n - 1)
+            if (y0 > 0) yN / y0 else 0.0
+          }
         val sec = String.format(java.util.Locale.ROOT, "%.3f", Double.box(dt))
         val rs = String.format(java.util.Locale.ROOT, "%.2f", Double.box(ratio))
+        val fr = String.format(java.util.Locale.ROOT, "%.2f", Double.box(fitRatio))
         System.err.println(
           s"[bench:drain] near-dedup $nDocs docs -> $retained retained in $sec s " +
             s"(${batchMs.size} batches, p50 ${p50(batchMs)} ms, max ${batchMs.max} ms, " +
@@ -348,7 +373,8 @@ object Bench {
         s"""{"docs":$nDocs,"retained":$retained,"sec":$sec,"batches":${batchMs.size},""" +
           s""""batch_p50_ms":${p50(batchMs)},"batch_max_ms":${batchMs.max},""" +
           s""""p50_first_half_ms":${p50(h1)},"p50_second_half_ms":${p50(h2)},""" +
-          s""""slope_ratio":$rs}"""
+          s""""slope_ratio":$rs,"quartile_p50_ms":[${quart.mkString(",")}],""" +
+          s""""theilsen_fit_ratio":$fr}"""
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench:drain] FAILED: ${e.getMessage}")

@@ -61,6 +61,49 @@ object SignatureIndex {
     MinHashLSH.requireBandsFit(numPerms, bands, rowsPerBand)
   }
 
+  private val ParamsFile = "params.json"
+
+  /** Persist the derivation params beside the index (first writer wins;
+    * [[build]] overwrites — it also overwrites the base epoch). Probes
+    * validate against this file: a banding mismatch between build and
+    * probe otherwise finds zero (band, bkey) collisions and silently
+    * admits every duplicate.
+    */
+  private[graft] def writeParams(
+      fs: org.apache.hadoop.fs.FileSystem, indexDir: String, cfg: Config,
+      overwrite: Boolean = false): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/$ParamsFile")
+    if (overwrite || !fs.exists(p)) {
+      val out = fs.create(p, true)
+      try out.write(
+        (s"""{"shingleN":${cfg.shingleN},"numPerms":${cfg.numPerms},""" +
+          s""""bands":${cfg.bands},"rowsPerBand":${cfg.rowsPerBand}}""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** Fail loudly when a probe's params disagree with the persisted ones.
+    * A missing file (pre-params index) validates vacuously.
+    */
+  private[graft] def validateParams(
+      spark: SparkSession, indexDir: String, cfg: Config): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/$ParamsFile")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def field(name: String): Option[Int] =
+      s""""$name":(\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    val persisted = (field("shingleN"), field("numPerms"), field("bands"), field("rowsPerBand"))
+    val given = (Some(cfg.shingleN), Some(cfg.numPerms), Some(cfg.bands), Some(cfg.rowsPerBand))
+    require(persisted == given,
+      s"SignatureIndex at $indexDir was built with params $txt but probed with $cfg — " +
+        "band keys would never collide; rebuild the index or pass the matching Config")
+  }
+
   // ---- listing / epoch selection (shared with DedupStreams) -------------
 
   /** One index table's live components: the newest complete
@@ -177,6 +220,9 @@ object SignatureIndex {
         else sigs.select(col("doc_id"), col("sig8")).join(
           banded.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
       sigOut.coalesce(8).write.mode("overwrite").parquet(s"$indexDir/sigs/compacted=-1")
+      val p = new org.apache.hadoop.fs.Path(indexDir)
+      writeParams(p.getFileSystem(docs.sparkSession.sessionState.newHadoopConf()),
+        indexDir, cfg, overwrite = true)
     } finally { sigs.unpersist(); () }
   }
 
@@ -213,6 +259,7 @@ object SignatureIndex {
       corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, threshold: Double,
       cfg: Config = Config()): DataFrame = {
+    validateParams(spark, indexDir, cfg)
     // one batch shingle derivation feeds the signature agg AND the
     // refine (cache-release contract: see Dedup.jaccardPairs)
     val batchSh = Dedup.charShingles(batch, idCol, textCol, cfg.shingleN).cache()

@@ -158,29 +158,50 @@ object DedupStreams {
     * write and update is healed by the next rebuild — a missing update
     * can only happen in a JVM that died, and a fresh JVM rebuilds).
     * False positives only cost a scan; a false NEGATIVE is impossible
-    * while `items <= capacity` (no eviction, puts precede reads of the
-    * same keys). Past capacity the state is marked saturated and the
-    * probe reverts to full scans until the next rebuild sizes it 4x.
-    * The over-cap distributed path doesn't maintain the bloom, so it
-    * invalidates the state and the next driver-kernel trigger rebuilds.
+    * for keys that were put (no eviction, puts precede reads of the
+    * same keys) — load past capacity only degrades the FP rate. Three
+    * events force a rebuild at the next driver-kernel trigger:
+    * (a) `items > capacity` — resized 4x from the tracked count, so
+    * rebuilds are geometric (O(log) over the stream's life, never a
+    * permanently saturated pass-everything filter); (b) the live
+    * listing contains member components the state never covered
+    * (`known`) — an out-of-band writer, e.g. a batch
+    * [[graft.operators.SignatureIndex.build]] seeding this dir after
+    * first touch, whose keys a cached bloom would silently
+    * false-negative; (c) the over-cap distributed path ran (it doesn't
+    * maintain the bloom, so it removes the state). Our own minor/major
+    * compactions only RENAME covered components, so they resync `known`
+    * instead of rebuilding — but only after a pre-compact novelty check
+    * proves nothing out-of-band is about to be folded under our names.
     */
   private final class ProbeIndexState(
       var bloom: org.apache.spark.util.sketch.BloomFilter,
-      var capacity: Long, var items: Long)
+      var capacity: Long, var items: Long, var known: Set[String])
   private val probeState =
     scala.collection.concurrent.TrieMap.empty[String, ProbeIndexState]
 
+  /** `excludeBatch`: the rebuilding trigger's own about-to-be-overwritten
+    * partition must not feed the bloom (same exclusion the index read
+    * applies). `sizeHint`: skip the count pass when the caller already
+    * tracks the row count (the saturation-resize rebuild) — the count is
+    * footer-cheap (no column pages decoded for a count-only scan) but
+    * free is better than cheap on a per-stream-lifecycle path.
+    */
   private def rebuildProbeState(
-      spark: SparkSession, indexDir: String): ProbeIndexState = {
-    val paths = graft.operators.SignatureIndex.tablePaths(spark, indexDir, "members")
+      spark: SparkSession, indexDir: String,
+      excludeBatch: Option[Long] = None,
+      sizeHint: Option[Long] = None): ProbeIndexState = {
+    val paths = graft.operators.SignatureIndex
+      .tablePaths(spark, indexDir, "members", excludeBatch)
     if (paths.isEmpty)
       new ProbeIndexState(
-        org.apache.spark.util.sketch.BloomFilter.create(1L << 20, 0.01), 1L << 20, 0L)
+        org.apache.spark.util.sketch.BloomFilter.create(1L << 20, 0.01),
+        1L << 20, 0L, Set.empty)
     else {
       val m = spark.read.parquet(paths: _*).select(col("bkey"))
-      val n = m.count()
+      val n = sizeHint.getOrElse(m.count())
       val cap = math.max(1L << 20, 4 * n)
-      new ProbeIndexState(m.stat.bloomFilter("bkey", cap, 0.01), cap, n)
+      new ProbeIndexState(m.stat.bloomFilter("bkey", cap, 0.01), cap, n, paths.toSet)
     }
   }
 
@@ -345,7 +366,10 @@ object DedupStreams {
     // shares this session with the registry sweep.
     val inFilterKey = "spark.sql.parquet.pushdown.inFilterThreshold"
     val prevInFilter = spark.conf.getOption(inFilterKey)
-    spark.conf.set(inFilterKey, MaxProbeKeyLiterals.toString)
+    // the override itself is applied as the FIRST statement of the main
+    // try below: its finally is the only restore point, so the
+    // empty-batch early return and any pre-listing failure can never
+    // leak the override onto the shared session
     // per-phase wall timing, printed once per trigger when
     // SPARK_GRAFT_DRAIN_TIMING=1 — the knob that found the fixed
     // per-trigger cost breakdown (see PLANS.md drain notes)
@@ -366,8 +390,20 @@ object DedupStreams {
     // this very batch performs is already bounded. batchId is a pure
     // function of the trigger, so a replayed batch re-runs the same
     // compaction — which is then a no-op.
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      phase("compact")(compact(spark, indexDir, upTo = batchId - 1))
+    val didCompact = compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
+    if (didCompact) {
+      // pre-compact novelty check: if out-of-band member components are
+      // about to be folded, the cached bloom must not survive the fold —
+      // post-fold they'd sit under our own run=/compacted= names and the
+      // post-compact resync below would mask their (un-put) keys forever
+      probeState.get(indexDir).foreach { s =>
+        val pre = graft.operators.SignatureIndex
+          .tablePaths(spark, indexDir, "members", excludeBatch = Some(batchId)).toSet
+        if ((pre -- s.known).nonEmpty) probeState.remove(indexDir)
+      }
+      try phase("compact")(compact(spark, indexDir, upTo = batchId - 1))
+      catch { case e: Throwable => cachedBatch.unpersist(); throw e }
+    }
 
     // batch signatures: full 64-bit components feed the band keys (full
     // key entropy — 8-bit banding would birthday-collide unrelated docs
@@ -397,21 +433,31 @@ object DedupStreams {
 
     val hPath = new org.apache.hadoop.fs.Path(s"$indexDir/members")
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // derivation params land beside the index once (first writer wins):
+    // a later batch-probe with different banding fails loudly instead of
+    // silently finding zero collisions (SignatureIndex.validateParams)
+    graft.operators.SignatureIndex.writeParams(
+      fs, indexDir, graft.operators.SignatureIndex.Config(3, NumPerms, Bands, RowsPerBand))
     val listing = listTable(fs, hPath)
     val live = listing.copy(batches = listing.batches.filter(_ != batchId))
     def tablePaths(table: String): Seq[String] =
       live.dirNames.map(n => s"$indexDir/$table/$n")
-    val members =
-      if (!live.isEmpty)
-        spark.read.parquet(tablePaths("members"): _*)
-          .select(col("band"), col("bkey"), col("doc_id").as("mid"))
-      else Seq.empty[(Int, Long, Long)].toDF("band", "bkey", "mid")
-    val idxSigs =
-      if (!live.isEmpty)
-        spark.read.parquet(tablePaths("sigs"): _*)
-      else Seq.empty[(Long, Array[Long])].toDF("doc_id", "sig8")
-
+    // our compaction only renamed components the bloom already covers
+    // (pre-compact novelty check above removed the state otherwise) —
+    // resync the covered set instead of forcing an O(index) rebuild
+    if (didCompact)
+      probeState.get(indexDir).foreach(_.known = tablePaths("members").toSet)
     try {
+      spark.conf.set(inFilterKey, MaxProbeKeyLiterals.toString)
+      val members =
+        if (!live.isEmpty)
+          spark.read.parquet(tablePaths("members"): _*)
+            .select(col("band"), col("bkey"), col("doc_id").as("mid"))
+        else Seq.empty[(Int, Long, Long)].toDF("band", "bkey", "mid")
+      val idxSigs =
+        if (!live.isEmpty)
+          spark.read.parquet(tablePaths("sigs"): _*)
+        else Seq.empty[(Long, Array[Long])].toDF("doc_id", "sig8")
       // greedy resolution in id order over only the pair-involved ids —
       // a doc in no pair and no index hit is retained unconditionally,
       // and every potential dropper of a pair endpoint is itself a pair
@@ -467,27 +513,38 @@ object DedupStreams {
         // the LocalRelation-broadcast join of the batch's collected band
         // keys: no exchange job, hits back in ONE narrow-scan job,
         // occupancy and candidate pairs derived in plain Scala.
-        val state = probeState.getOrElse(indexDir, {
-          val s = phase("bloom_build")(rebuildProbeState(spark, indexDir))
-          cacheProbeState(indexDir, s); s
-        })
-        val saturated = state.items > state.capacity
+        // fetch-or-rebuild (see ProbeIndexState scaladoc): a cached state
+        // is reusable only while it is BOTH under capacity (else resize
+        // 4x — geometric) and covering every live member component (else
+        // an out-of-band writer seeded this dir and a bloom miss on its
+        // keys would be a silent false negative). The saturation resize
+        // reuses the tracked count and skips the rebuild's count pass.
+        val memberPaths = tablePaths("members").toSet
+        val state = probeState.get(indexDir) match {
+          case Some(s) if s.items <= s.capacity && (memberPaths -- s.known).isEmpty => s
+          case old =>
+            val hint = old
+              .filter(s => s.items > s.capacity && (memberPaths -- s.known).isEmpty)
+              .map(_.items)
+            val s = phase("bloom_build")(
+              rebuildProbeState(spark, indexDir, Some(batchId), hint))
+            cacheProbeState(indexDir, s); s
+        }
         val batchKeys = bandedLocal.map(_._2).distinct
         val probeKeys =
           if (state.items == 0L) Array.empty[Long]
-          else if (saturated) batchKeys
           else batchKeys.filter(state.bloom.mightContainLong)
         val bandedDf = spark.createDataset(bandedLocal.toSeq)
           .toDF("band", "bkey", "nid")
         if (sys.env.contains("GRAFT_PROBE_DEBUG")) System.err.println(
-          s"[probe-debug] batch=$batchId items=${state.items} sat=$saturated " +
+          s"[probe-debug] batch=$batchId items=${state.items} cap=${state.capacity} " +
             s"batchKeys=${batchKeys.length} probeKeys=${probeKeys.length} " +
             s"liveEmpty=${live.isEmpty} dirs=${live.dirNames.mkString(",")}")
         val hitsLocal: Array[(Int, Long, Long, Long)] =
           if (probeKeys.isEmpty || live.isEmpty) Array.empty
           else phase("probe_collect") {
             val src =
-              if (!saturated && probeKeys.length <= MaxProbeKeyLiterals)
+              if (probeKeys.length <= MaxProbeKeyLiterals)
                 members.filter(col("bkey").isin(probeKeys.map(Long.box).toSeq: _*))
               else members
             src.join(broadcast(bandedDf), Seq("band", "bkey"))
@@ -579,6 +636,7 @@ object DedupStreams {
         // idempotent). Extra puts on a replay only add false positives.
         admitted.foreach(t => state.bloom.putLong(t._2))
         state.items += admitted.size
+        state.known += s"$indexDir/members/batch=$batchId"
       } else {
         // ---------------- distributed spelling (over-cap) ----------------
         // this path doesn't maintain the probe bloom — invalidate so the

@@ -112,4 +112,43 @@ class SignatureIndexSpec extends SparkSpec {
     assert(kept == Set(9000000L),
       s"seeded stream must drop the indexed duplicate and keep the novel doc: $kept")
   }
+
+  test("an index seeded AFTER the stream first touched the dir still drops duplicates") {
+    import spark.implicits._
+    // order of operations is the hazard: the stream's first trigger caches
+    // a driver-side probe state for the (then-empty) dir; the batch build
+    // then seeds compacted=-1 out of band. The probe must notice the
+    // uncovered component and rebuild — a stale bloom would silently
+    // false-negative every seeded key and retain exact duplicates.
+    val corpus = tables.documents.select($"doc_id", $"text").limit(100)
+    val idx = tmpDir("lateseed")
+    val novel0 = Seq((8000000L, "an early novel document before the corpus seed arrives"))
+      .toDF("doc_id", "text")
+    graft.streaming.DedupStreams.dedupOnce(novel0, tmpDir("lateout0"), idx, threshold = 0.7)
+    SignatureIndex.build(corpus, "doc_id", "text", idx)
+    val dup = corpus.orderBy($"doc_id").limit(1)
+      .select(($"doc_id" + 5000000L).as("doc_id"), $"text")
+    val novel = Seq((9000000L, "a genuinely novel document with fresh unseen content entirely"))
+      .toDF("doc_id", "text")
+    val out = tmpDir("lateout1")
+    graft.streaming.DedupStreams.dedupOnce(dup.unionByName(novel), out, idx, threshold = 0.7)
+    val kept = spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(9000000L),
+      s"late-seeded index must still drop the duplicate (stale-bloom hazard): $kept")
+  }
+
+  test("probing with mismatched derivation params fails loudly") {
+    import spark.implicits._
+    val corpus = tables.documents.select($"doc_id", $"text").limit(50)
+    val dir = tmpDir("params")
+    SignatureIndex.build(corpus, "doc_id", "text", dir)
+    val batch = corpus.select(($"doc_id" + 1000000L).as("doc_id"), $"text").limit(5)
+    val e = intercept[IllegalArgumentException] {
+      SignatureIndex.probeNearDuplicateIds(
+        spark, dir, corpus, batch, "doc_id", "text", 0.7,
+        cfg = SignatureIndex.Config(shingleN = 5))
+    }
+    assert(e.getMessage.contains("params"),
+      s"mismatch must name the persisted params: ${e.getMessage}")
+  }
 }

@@ -43,6 +43,20 @@ class DedupStreamsSpec extends SparkSpec {
     assert(survivors == Set(1L, 2L, 4L, 7L))
   }
 
+  test("an empty micro-batch leaves the session's parquet pushdown conf untouched") {
+    // dedupBatch raises spark.sql.parquet.pushdown.inFilterThreshold for
+    // the probe's In-filters and must restore it on EVERY exit path; the
+    // empty-batch early return is the one that doesn't reach the probe
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val before = spark.conf.getOption(key)
+    val root = Files.createTempDirectory("dedup_empty").toString
+    DedupStreams.dedupBatch(
+      corpus.filter(col("doc_id") < 0), s"$root/out", s"$root/index",
+      threshold = 0.7, batchId = 0)
+    assert(spark.conf.getOption(key) == before,
+      s"conf leak: $key = ${spark.conf.getOption(key)}, expected $before")
+  }
+
   test("survivors are independent of batching (one batch vs three)") {
     val oneBatch = runBatched(Seq(Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L)))
     val threeBatches = runBatched(Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(5L, 6L, 7L)))
