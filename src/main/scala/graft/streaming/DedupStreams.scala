@@ -180,6 +180,16 @@ object DedupStreams {
   private val probeState =
     scala.collection.concurrent.TrieMap.empty[String, ProbeIndexState]
 
+  /** Bloom capacity floor. Production value sized so typical streams
+    * never resize in their first ~30 triggers; the spec that proves the
+    * saturation-resize path (capacity grows 4x, pruning stays active)
+    * lowers it — the path is otherwise only reachable after ~100
+    * thousand-doc triggers.
+    */
+  private[streaming] var MinBloomCapacity: Long = 1L << 20
+  private[streaming] def probeCapacity(indexDir: String): Option[Long] =
+    probeState.get(indexDir).map(_.capacity)
+
   /** `excludeBatch`: the rebuilding trigger's own about-to-be-overwritten
     * partition must not feed the bloom (same exclusion the index read
     * applies). `sizeHint`: skip the count pass when the caller already
@@ -195,12 +205,12 @@ object DedupStreams {
       .tablePaths(spark, indexDir, "members", excludeBatch)
     if (paths.isEmpty)
       new ProbeIndexState(
-        org.apache.spark.util.sketch.BloomFilter.create(1L << 20, 0.01),
-        1L << 20, 0L, Set.empty)
+        org.apache.spark.util.sketch.BloomFilter.create(MinBloomCapacity, 0.01),
+        MinBloomCapacity, 0L, Set.empty)
     else {
       val m = spark.read.parquet(paths: _*).select(col("bkey"))
       val n = sizeHint.getOrElse(m.count())
-      val cap = math.max(1L << 20, 4 * n)
+      val cap = math.max(MinBloomCapacity, 4 * n)
       new ProbeIndexState(m.stat.bloomFilter("bkey", cap, 0.01), cap, n, paths.toSet)
     }
   }

@@ -43,6 +43,37 @@ class DedupStreamsSpec extends SparkSpec {
     assert(survivors == Set(1L, 2L, 4L, 7L))
   }
 
+  test("bloom saturation triggers a geometric resize and pruning stays correct") {
+    // production capacity floor (1<<20) is only crossed after ~100
+    // thousand-doc triggers; lower it so the resize path actually runs:
+    // batch 0 admits ~3 docs x 32 band rows > 64, so batch 1's fetch
+    // sees items > capacity and must rebuild 4x from the tracked count
+    // instead of degrading to full scans forever
+    val prev = DedupStreams.MinBloomCapacity
+    DedupStreams.MinBloomCapacity = 64L
+    try {
+      val root = Files.createTempDirectory("dedup_resize").toString
+      val out = s"$root/out"; val idx = s"$root/index"
+      DedupStreams.dedupBatch(
+        corpus.filter(col("doc_id").isin(1L, 2L, 4L)), out, idx,
+        threshold = 0.7, batchId = 0)
+      val cap0 = DedupStreams.probeCapacity(idx).get
+      assert(cap0 == 64L, s"initial capacity must be the lowered floor: $cap0")
+      val batch1 = corpus.filter(col("doc_id").isin(3L, 6L)).unionByName(
+        Seq(8L -> "a genuinely novel late arrival about broadcast joins and salting")
+          .toDF("doc_id", "text"))
+      DedupStreams.dedupBatch(batch1, out, idx, threshold = 0.7, batchId = 1)
+      val cap1 = DedupStreams.probeCapacity(idx).get
+      assert(cap1 > cap0 && cap1 >= 4 * 32,
+        s"saturated state must resize geometrically: $cap0 -> $cap1")
+      // pruning correctness through the resize: 3 and 6 are exact copies
+      // of retained 1 and 2 (must drop); 8 is novel (must be retained —
+      // resize must not over-drop)
+      val kept = spark.read.parquet(out).select(col("doc_id")).as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 4L, 8L), s"survivors wrong through resize: $kept")
+    } finally DedupStreams.MinBloomCapacity = prev
+  }
+
   test("an empty micro-batch leaves the session's parquet pushdown conf untouched") {
     // dedupBatch raises spark.sql.parquet.pushdown.inFilterThreshold for
     // the probe's In-filters and must restore it on EVERY exit path; the
