@@ -327,9 +327,24 @@ object Bench {
       }
       else {
         // recentProgress is chronological; keep data-carrying triggers
-        val batchMs = q.recentProgress.toSeq
-          .filter(_.numInputRows > 0)
+        val dataProg = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        val batchMs = dataProg
           .map(p => Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
+        // Per-component slope attribution: triggerExecution is the sum of
+        // the engine's phases (addBatch = plan + run the foreachBatch,
+        // getBatch/latestOffset = source listing, walCommit/commitOffsets =
+        // checkpoint log appends, queryPlanning). A growing half-ratio in
+        // ONE component names the linear term without a re-run under
+        // external instrumentation.
+        val compKeys = dataProg.flatMap(_.durationMs.keySet.toArray.toSeq.map(_.toString)).distinct.sorted
+        def p50l(xs: Seq[Long]): Long =
+          if (xs.isEmpty) 0L else xs.sorted.apply(xs.size / 2)
+        val compJson = compKeys.map { k =>
+          val vals = dataProg.map(p =>
+            Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)).drop(20)
+          val (c1, c2) = vals.splitAt(vals.size / 2)
+          s""""$k":[${p50l(c1)},${p50l(c2)}]"""
+        }.mkString(",")
         val retained = spark.read.parquet(tmp.resolve("out").toString).count()
         def p50(xs: Seq[Long]): Long =
           if (xs.isEmpty) 0L else xs.sorted.apply(xs.size / 2)
@@ -374,7 +389,8 @@ object Bench {
           s""""batch_p50_ms":${p50(batchMs)},"batch_max_ms":${batchMs.max},""" +
           s""""p50_first_half_ms":${p50(h1)},"p50_second_half_ms":${p50(h2)},""" +
           s""""slope_ratio":$rs,"quartile_p50_ms":[${quart.mkString(",")}],""" +
-          s""""theilsen_fit_ratio":$fr}"""
+          s""""theilsen_fit_ratio":$fr,""" +
+          s""""duration_p50_h1_h2_ms":{$compJson}}"""
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench:drain] FAILED: ${e.getMessage}")

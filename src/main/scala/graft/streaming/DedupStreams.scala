@@ -384,6 +384,7 @@ object DedupStreams {
     // SPARK_GRAFT_DRAIN_TIMING=1 — the knob that found the fixed
     // per-trigger cost breakdown (see PLANS.md drain notes)
     val timing = sys.env.get("SPARK_GRAFT_DRAIN_TIMING").contains("1")
+    val bodyT0 = System.nanoTime()
     val phases = scala.collection.mutable.ListBuffer.empty[(String, Long)]
     def phase[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -428,16 +429,19 @@ object DedupStreams {
     // spot at 1000-doc batches (32-way loses more to task scheduling
     // than it gains; 1-way leaves the trigger's only real compute —
     // |shingles| x numPerms min updates — on a single core)
-    val sigSrc =
-      if (cachedBatch.rdd.getNumPartitions < 8) cachedBatch.repartition(8)
-      else cachedBatch
-    val sigs = MinHashLSH
-      .signatures(Dedup.charShingles(sigSrc, "doc_id", "text"), NumPerms)
-      .withColumn("sig8", transform(col("sig"), x => x.bitwiseAND(lit(255L))))
-      .cache()
-    val banded = MinHashLSH.bandKeys(sigs, Bands, RowsPerBand)
-      .select(col("doc_id"), col("band"), col("bkey"))
-      .cache()
+    val (sigs, banded) = phase("setup") {
+      val sigSrc =
+        if (cachedBatch.rdd.getNumPartitions < 8) cachedBatch.repartition(8)
+        else cachedBatch
+      val s = MinHashLSH
+        .signatures(Dedup.charShingles(sigSrc, "doc_id", "text"), NumPerms)
+        .withColumn("sig8", transform(col("sig"), x => x.bitwiseAND(lit(255L))))
+        .cache()
+      val b = MinHashLSH.bandKeys(s, Bands, RowsPerBand)
+        .select(col("doc_id"), col("band"), col("bkey"))
+        .cache()
+      (s, b)
+    }
     // collision-corrected b-bit drop threshold (see scaladoc)
     val tCorr = threshold + (1 - threshold) / 256.0
 
@@ -446,9 +450,11 @@ object DedupStreams {
     // derivation params land beside the index once (first writer wins):
     // a later batch-probe with different banding fails loudly instead of
     // silently finding zero collisions (SignatureIndex.validateParams)
-    graft.operators.SignatureIndex.writeParams(
-      fs, indexDir, graft.operators.SignatureIndex.Config(3, NumPerms, Bands, RowsPerBand))
-    val listing = listTable(fs, hPath)
+    val listing = phase("list") {
+      graft.operators.SignatureIndex.writeParams(
+        fs, indexDir, graft.operators.SignatureIndex.Config(3, NumPerms, Bands, RowsPerBand))
+      listTable(fs, hPath)
+    }
     val live = listing.copy(batches = listing.batches.filter(_ != batchId))
     def tablePaths(table: String): Seq[String] =
       live.dirNames.map(n => s"$indexDir/$table/$n")
@@ -459,15 +465,18 @@ object DedupStreams {
       probeState.get(indexDir).foreach(_.known = tablePaths("members").toSet)
     try {
       spark.conf.set(inFilterKey, MaxProbeKeyLiterals.toString)
-      val members =
-        if (!live.isEmpty)
-          spark.read.parquet(tablePaths("members"): _*)
-            .select(col("band"), col("bkey"), col("doc_id").as("mid"))
-        else Seq.empty[(Int, Long, Long)].toDF("band", "bkey", "mid")
-      val idxSigs =
-        if (!live.isEmpty)
-          spark.read.parquet(tablePaths("sigs"): _*)
-        else Seq.empty[(Long, Array[Long])].toDF("doc_id", "sig8")
+      val (members, idxSigs) = phase("frames") {
+        val m =
+          if (!live.isEmpty)
+            spark.read.parquet(tablePaths("members"): _*)
+              .select(col("band"), col("bkey"), col("doc_id").as("mid"))
+          else Seq.empty[(Int, Long, Long)].toDF("band", "bkey", "mid")
+        val i =
+          if (!live.isEmpty)
+            spark.read.parquet(tablePaths("sigs"): _*)
+          else Seq.empty[(Long, Array[Long])].toDF("doc_id", "sig8")
+        (m, i)
+      }
       // greedy resolution in id order over only the pair-involved ids —
       // a doc in no pair and no index hit is retained unconditionally,
       // and every potential dropper of a pair endpoint is itself a pair
@@ -737,7 +746,8 @@ object DedupStreams {
       }
       if (timing) System.err.println(
         s"[drain-timing] batch=$batchId " +
-          phases.map { case (n, ms) => s"$n=${ms}ms" }.mkString(" "))
+          phases.map { case (n, ms) => s"$n=${ms}ms" }.mkString(" ") +
+          s" body=${(System.nanoTime() - bodyT0) / 1000000}ms")
     }
     ()
   }
