@@ -96,6 +96,69 @@ object DedupStreams {
   private val RowsPerBand = 4
   private val NumPerms = Bands * RowsPerBand
 
+  /** Pack a b-bit (8-bit fold) signature — NumPerms longs each holding
+    * one byte-range component — into NumPerms/8 longs, 8 components per
+    * word. The driver kernel's agreement estimate then compares 8
+    * components per XOR instead of one per array slot; exactness is
+    * byte equality either way.
+    */
+  private[streaming] def packSig8(sig: Array[Long]): Array[Long] = {
+    require(sig.length % 8 == 0, s"signature length ${sig.length} not a multiple of 8")
+    val out = new Array[Long](sig.length / 8)
+    var i = 0
+    while (i < sig.length) {
+      out(i >> 3) |= (sig(i) & 0xFFL) << ((i & 7) << 3)
+      i += 1
+    }
+    out
+  }
+
+  /** Open-addressing set of positive longs (0 = empty slot sentinel;
+    * callers must never add 0). The within-batch pair loop inserts the
+    * per-band duplicated pair multiset — millions of adds per trigger —
+    * where a boxed HashSet[(Long, Long)] was the measured hot spot.
+    */
+  private[streaming] final class PosLongSet(initCapPow2: Int) {
+    private var keys = new Array[Long](initCapPow2)
+    private var n = 0
+    /** true iff k was absent (and is now present). */
+    def add(k: Long): Boolean = {
+      if ((n + 1) * 2 > keys.length) grow()
+      var i = (java.lang.Long.hashCode(k * 0x9e3779b97f4a7c15L)) & (keys.length - 1)
+      while (true) {
+        val cur = keys(i)
+        if (cur == 0L) { keys(i) = k; n += 1; return true }
+        if (cur == k) return false
+        i = (i + 1) & (keys.length - 1)
+      }
+      false
+    }
+    private def grow(): Unit = {
+      val old = keys
+      keys = new Array[Long](old.length * 2)
+      n = 0
+      old.foreach(k => if (k != 0L) add(k))
+    }
+  }
+
+  /** Count agreeing byte components of two packed signatures. Per word:
+    * zero bytes of a^b, counted with the exact SWAR indicator
+    * ~(((x & 0x7f…) + 0x7f…) | x | 0x7f…) — bit 7 of each byte set iff
+    * the byte is zero (the 0x7f mask keeps each byte's carry out of its
+    * neighbor, unlike the classic (x-0x01…)&~x&0x80… trick whose borrow
+    * cascades across a zero byte below a nonzero one).
+    */
+  private[streaming] def packedAgreeCount(a: Array[Long], b: Array[Long]): Int = {
+    val M7 = 0x7f7f7f7f7f7f7f7fL
+    var c = 0; var i = 0
+    while (i < a.length) {
+      val x = a(i) ^ b(i)
+      c += java.lang.Long.bitCount(~(((x & M7) + M7) | x | M7))
+      i += 1
+    }
+    c
+  }
+
   /** Micro-batches between index compactions (fold `batch=*` dirs into
     * one `compacted=<M>` dir). Bounds the per-trigger listing at
     * O(compactEvery) dirs; <= 0 disables compaction.
@@ -384,8 +447,19 @@ object DedupStreams {
     // SPARK_GRAFT_DRAIN_TIMING=1 — the knob that found the fixed
     // per-trigger cost breakdown (see PLANS.md drain notes)
     val timing = sys.env.get("SPARK_GRAFT_DRAIN_TIMING").contains("1")
+    // whole-JVM GC time across the trigger: in local mode executor tasks
+    // and the driver kernel share one heap, so a stop-the-world pause
+    // inflates every phase proportionally — the gc= column is what
+    // separates "per-trigger work grew" from "the collector ran"
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    val gcT0 = if (timing) gcMs() else 0L
     val bodyT0 = System.nanoTime()
     val phases = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    val sizes = scala.collection.mutable.ListBuffer.empty[(String, Long)]
     def phase[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
@@ -514,14 +588,13 @@ object DedupStreams {
         val sig8Local: Map[Long, Array[Long]] = phase("sig_collect")(
           sigs.select(col("doc_id"), col("sig8")).as[(Long, Array[Long])]
             .collect().toMap)
+        val sigPk: Map[Long, Array[Long]] =
+          sig8Local.map { case (id, s) => id -> packSig8(s) }
         val bandedLocal: Array[(Int, Long, Long)] = phase("band_collect")(
           banded.select(col("band"), col("bkey"), col("doc_id"))
             .as[(Int, Long, Long)].collect())
-        def agrees(a: Array[Long], b: Array[Long]): Boolean = {
-          var c = 0; var i = 0
-          while (i < a.length) { if (a(i) == b(i)) c += 1; i += 1 }
-          c.toDouble / NumPerms >= tCorr
-        }
+        def agrees(a: Array[Long], b: Array[Long]): Boolean =
+          packedAgreeCount(a, b).toDouble / NumPerms >= tCorr
 
         // batch vs index: the driver-resident bucket-key bloom rejects
         // batch keys that CANNOT be in the index, so most triggers scan
@@ -549,32 +622,57 @@ object DedupStreams {
               rebuildProbeState(spark, indexDir, Some(batchId), hint))
             cacheProbeState(indexDir, s); s
         }
-        val batchKeys = bandedLocal.map(_._2).distinct
-        val probeKeys =
-          if (state.items == 0L) Array.empty[Long]
-          else batchKeys.filter(state.bloom.mightContainLong)
-        val bandedDf = spark.createDataset(bandedLocal.toSeq)
-          .toDF("band", "bkey", "nid")
+        val (batchKeys, probeKeys, bandedDf) = phase("probe_prep") {
+          val bk = bandedLocal.map(_._2).distinct
+          val pk =
+            if (state.items == 0L) Array.empty[Long]
+            else bk.filter(state.bloom.mightContainLong)
+          (bk, pk, spark.createDataset(bandedLocal.toSeq).toDF("band", "bkey", "nid"))
+        }
         if (sys.env.contains("GRAFT_PROBE_DEBUG")) System.err.println(
           s"[probe-debug] batch=$batchId items=${state.items} cap=${state.capacity} " +
             s"batchKeys=${batchKeys.length} probeKeys=${probeKeys.length} " +
             s"liveEmpty=${live.isEmpty} dirs=${live.dirNames.mkString(",")}")
-        val hitsLocal: Array[(Int, Long, Long, Long)] =
-          if (probeKeys.isEmpty || live.isEmpty) Array.empty
+        // the raw hit multiset (bucket members x batch docs per bucket)
+        // is the kernel's largest intermediate — background-similar hot
+        // buckets push it to millions of rows per trigger, so BOTH
+        // reductions over it (per-bucket distinct-member occupancy, the
+        // distinct candidate pair set) run on the executors over one
+        // cached hit frame; the driver only ever sees the two reduced
+        // results. Collecting the multiset and reducing in local Scala
+        // was measured 2-6x slower at 2.5M-hit triggers.
+        val (occLocal, candPairs): (Map[(Int, Long), Long], Array[(Long, Long)]) =
+          if (probeKeys.isEmpty || live.isEmpty) (Map.empty, Array.empty)
           else phase("probe_collect") {
             val src =
               if (probeKeys.length <= MaxProbeKeyLiterals)
                 members.filter(col("bkey").isin(probeKeys.map(Long.box).toSeq: _*))
               else members
-            src.join(broadcast(bandedDf), Seq("band", "bkey"))
-              .select(col("band"), col("bkey"), col("mid"), col("nid"))
-              .as[(Int, Long, Long, Long)].collect()
+            // occupancy never needs the batch join: it is a per-bucket
+            // distinct-member count over the pruned members scan alone
+            // (the join's band+bkey restriction coincides with the scan's
+            // bkey In-filter because bkey is xxhash64(band, slice) —
+            // band is already inside the key; admission reads only the
+            // batch's own buckets from the map either way)
+            // …except when the literal cap forced src back to the full
+            // members scan: then the batch restriction must come back as
+            // a semi-join, or the occ aggregation collects every bucket
+            // in the index
+            val occSrc =
+              if (probeKeys.length <= MaxProbeKeyLiterals) src
+              else src.join(
+                broadcast(bandedDf.select(col("band"), col("bkey")).distinct()),
+                Seq("band", "bkey"), "left_semi")
+            val occ = occSrc.groupBy(col("band"), col("bkey"))
+              .agg(countDistinct(col("mid")).as("occ"))
+              .as[(Int, Long, Long)].collect()
+              .map { case (b, k, o) => (b, k) -> o }.toMap
+            val cand = src.join(broadcast(bandedDf), Seq("band", "bkey"))
+              .select(col("nid"), col("mid")).distinct()
+              .as[(Long, Long)].collect()
+            (occ, cand)
           }
-        val occLocal: Map[(Int, Long), Long] = hitsLocal
-          .groupBy(t => (t._1, t._2))
-          .map { case (k, rows) => k -> rows.map(_._3).distinct.length.toLong }
-        val candPairs: Array[(Long, Long)] =
-          hitsLocal.map(t => (t._4, t._3)).distinct
+        if (timing) sizes += ("cand" -> candPairs.length.toLong)
         val memberSig: Map[Long, Array[Long]] =
           if (candPairs.isEmpty) Map.empty
           else {
@@ -589,33 +687,66 @@ object DedupStreams {
             phase("msig_collect")(sigSrc
               .join(broadcast(midsDf), Seq("doc_id"))
               .select(col("doc_id"), col("sig8"))
-              .as[(Long, Array[Long])].collect().toMap)
+              .as[(Long, Array[Long])].collect()
+              .map { case (id, s) => id -> packSig8(s) }.toMap)
           }
-        val indexHits: Set[Long] = candPairs.iterator
+        val indexHits: Set[Long] = phase("refine_local")(candPairs.iterator
           .filter { case (nid, mid) =>
-            memberSig.get(mid).exists(m => agrees(sig8Local(nid), m)) }
-          .map(_._1).toSet
+            memberSig.get(mid).exists(m => agrees(sigPk(nid), m)) }
+          .map(_._1).toSet)
 
         // batch vs earlier batch docs (da < db): per-bucket all-pairs
         // under the cap, representative-star above it — the semantics of
         // MinHashLSH.cappedBucketPairs — then the agreement refine on the
         // deduped pair set
-        val pairSet = scala.collection.mutable.HashSet.empty[(Long, Long)]
-        bandedLocal.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
-          val ds = rows.map(_._3).sorted
-          if (ds.length <= bucketCap) {
-            var i = 0
-            while (i < ds.length) {
-              var j = i + 1
-              while (j < ds.length) { pairSet += ((ds(i), ds(j))); j += 1 }
-              i += 1
+        val withinPairs = phase("pairs_local") {
+          // dense local indices in doc_id order (i < j ⟺ id_i < id_j),
+          // so a pair packs into one positive long — (i << 20) | j, with
+          // j ≥ 1 guaranteeing nonzero — and the per-band duplicated
+          // pair multiset dedups through the primitive PosLongSet
+          // instead of millions of boxed tuple inserts. The agreement
+          // refine runs on first sight of each pair over an
+          // index-addressed packed-signature array. Semantics identical
+          // to the bucket-sorted all-pairs + HashSet spelling.
+          val ids: Array[Long] = sig8Local.keysIterator.toArray.sorted
+          require(ids.length < (1 << 20),
+            s"driver kernel batch of ${ids.length} docs overflows pair packing")
+          val idxOf = new java.util.HashMap[Long, Integer](ids.length * 2)
+          var ii = 0
+          while (ii < ids.length) { idxOf.put(ids(ii), ii); ii += 1 }
+          val pk: Array[Array[Long]] = ids.map(sigPk)
+          val buckets = scala.collection.mutable.HashMap
+            .empty[(Int, Long), scala.collection.mutable.ArrayBuffer[Int]]
+          bandedLocal.foreach(t => buckets.getOrElseUpdate((t._1, t._2),
+            scala.collection.mutable.ArrayBuffer.empty) += idxOf.get(t._3).intValue())
+          val seen = new PosLongSet(1 << 16)
+          var nPairs = 0L
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          def visit(a: Int, b: Int): Unit =
+            if (seen.add((a.toLong << 20) | b.toLong)) {
+              nPairs += 1
+              if (packedAgreeCount(pk(a), pk(b)).toDouble / NumPerms >= tCorr)
+                out += ((ids(a), ids(b)))
             }
-          } else ds.iterator.drop(1).foreach(d => pairSet += ((ds(0), d)))
+          buckets.valuesIterator.foreach { rows =>
+            val ds = rows.toArray.sorted
+            if (ds.length <= bucketCap) {
+              var i = 0
+              while (i < ds.length) {
+                var j = i + 1
+                while (j < ds.length) { visit(ds(i), ds(j)); j += 1 }
+                i += 1
+              }
+            } else {
+              var j = 1
+              while (j < ds.length) { visit(ds(0), ds(j)); j += 1 }
+            }
+          }
+          if (timing) sizes += ("pairset" -> nPairs)
+          out.toArray
         }
-        val withinPairs = pairSet.iterator
-          .filter { case (a, b) => agrees(sig8Local(a), sig8Local(b)) }.toArray
 
-        val dropped = resolveDropped(indexHits, withinPairs)
+        val dropped = phase("resolve")(resolveDropped(indexHits, withinPairs))
 
         // admission: a surviving doc enters each of its buckets only
         // while the bucket is below cap — existing occupancy (from the
@@ -625,18 +756,20 @@ object DedupStreams {
         // exactly. Single-file local writes: one file per batch per
         // table, not shuffle-partition many — the per-trigger probe scan
         // is file-count-bound at this scale, not byte-bound.
-        val admitted: Seq[(Int, Long, Long)] = bandedLocal.iterator
-          .filter(t => !dropped.contains(t._3)).toSeq
-          .groupBy(t => (t._1, t._2)).iterator.flatMap { case ((band, bkey), rows) =>
-            val room = bucketCap - occLocal.getOrElse((band, bkey), 0L)
-            rows.map(_._3).sorted.take(math.max(0L, room).toInt)
-              .map(d => (band, bkey, d))
-          }.toSeq
-        val membersDf = admitted.toDF("band", "bkey", "doc_id")
-        // signatures only for docs reachable from the membership (a doc
-        // admitted to zero buckets can never be probed)
-        val sigsDf = admitted.map(_._3).distinct.map(d => (d, sig8Local(d).toSeq))
-          .toDF("doc_id", "sig8")
+        val (admitted, membersDf, sigsDf) = phase("admit_prep") {
+          val adm: Seq[(Int, Long, Long)] = bandedLocal.iterator
+            .filter(t => !dropped.contains(t._3)).toSeq
+            .groupBy(t => (t._1, t._2)).iterator.flatMap { case ((band, bkey), rows) =>
+              val room = bucketCap - occLocal.getOrElse((band, bkey), 0L)
+              rows.map(_._3).sorted.take(math.max(0L, room).toInt)
+                .map(d => (band, bkey, d))
+            }.toSeq
+          // signatures only for docs reachable from the membership (a doc
+          // admitted to zero buckets can never be probed)
+          (adm, adm.toDF("band", "bkey", "doc_id"),
+            adm.map(_._3).distinct.map(d => (d, sig8Local(d).toSeq))
+              .toDF("doc_id", "sig8"))
+        }
         // the three writes are independent (survivors, membership,
         // signatures) — run them as concurrent jobs; each is individually
         // idempotent (overwrite of its own batch=<id> dir) so a failure
@@ -653,9 +786,11 @@ object DedupStreams {
         // bloom update strictly AFTER the members write lands (crash
         // before this point -> rebuild covers it; a replay re-put is
         // idempotent). Extra puts on a replay only add false positives.
-        admitted.foreach(t => state.bloom.putLong(t._2))
-        state.items += admitted.size
-        state.known += s"$indexDir/members/batch=$batchId"
+        phase("bloom_put") {
+          admitted.foreach(t => state.bloom.putLong(t._2))
+          state.items += admitted.size
+          state.known += s"$indexDir/members/batch=$batchId"
+        }
       } else {
         // ---------------- distributed spelling (over-cap) ----------------
         // this path doesn't maintain the probe bloom — invalidate so the
@@ -737,9 +872,11 @@ object DedupStreams {
         memberHits.unpersist()
       }
     } finally {
-      banded.unpersist()
-      sigs.unpersist()
-      cachedBatch.unpersist()
+      phase("unpersist") {
+        banded.unpersist()
+        sigs.unpersist()
+        cachedBatch.unpersist()
+      }
       prevInFilter match {
         case Some(v) => spark.conf.set(inFilterKey, v)
         case None => spark.conf.unset(inFilterKey)
@@ -747,7 +884,9 @@ object DedupStreams {
       if (timing) System.err.println(
         s"[drain-timing] batch=$batchId " +
           phases.map { case (n, ms) => s"$n=${ms}ms" }.mkString(" ") +
-          s" body=${(System.nanoTime() - bodyT0) / 1000000}ms")
+          s" body=${(System.nanoTime() - bodyT0) / 1000000}ms" +
+          s" gc=${gcMs() - gcT0}ms" +
+          sizes.map { case (n, v) => s" $n=$v" }.mkString)
     }
     ()
   }

@@ -290,4 +290,28 @@ class DedupStreamsSpec extends SparkSpec {
     val survivors = spark.read.parquet(out).select(col("doc_id")).as[Long].collect().toSet
     assert(survivors == Set(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("packed SWAR agreement count equals the per-component loop exactly") {
+    def naive(a: Array[Long], b: Array[Long]): Int =
+      a.zip(b).count { case (x, y) => x == y }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 200) {
+      val n = 128
+      val a = Array.fill(n)(rnd.nextInt(256).toLong)
+      // mix of heavy agreement (near-dup case), none, and random
+      val b = trial % 3 match {
+        case 0 => a.clone()
+        case 1 => a.map(v => (v + 1) & 255L)
+        case _ => a.map(v => if (rnd.nextBoolean()) v else rnd.nextInt(256).toLong)
+      }
+      assert(DedupStreams.packedAgreeCount(
+        DedupStreams.packSig8(a), DedupStreams.packSig8(b)) == naive(a, b))
+    }
+    // the borrow-cascade case that breaks the classic (x-LO)&~x&HI zero-
+    // byte trick: a zero byte directly below a 0x01 byte (x = …0100…)
+    val a = Array.fill(16)(0L)
+    val b = Array.tabulate(16)(i => if (i == 1) 1L else 0L) // byte 1 differs
+    assert(DedupStreams.packedAgreeCount(
+      DedupStreams.packSig8(a), DedupStreams.packSig8(b)) == 15)
+  }
 }
