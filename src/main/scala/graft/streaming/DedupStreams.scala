@@ -243,6 +243,28 @@ object DedupStreams {
   private val probeState =
     scala.collection.concurrent.TrieMap.empty[String, ProbeIndexState]
 
+  /** Cached columnar copies of the index's STABLE components (the
+    * `compacted=`/`run=` dirs, which change only at folds — every
+    * compactEvery triggers) so the per-trigger probe scans in-memory
+    * batches instead of re-reading and re-decoding the epoch parquet
+    * three times a trigger (occupancy, candidate join, signature
+    * fetch). The fresh `batch=` dirs (at most compactEvery of them,
+    * one file each) stay on the uncached read path and union in. The
+    * cache key is the stable dir-name set: any fold — ours or an
+    * out-of-band writer's — changes it and swaps the cache (old frames
+    * unpersisted). Measured: this is the drain's last corpus-
+    * proportional per-trigger term (quartile p50s 2066→2424 ms over a
+    * 400-batch/400k-doc drain without it).
+    */
+  private final case class EpochCache(
+      key: Set[String], members: DataFrame, sigs: DataFrame)
+  private val epochCache =
+    scala.collection.concurrent.TrieMap.empty[String, EpochCache]
+  private def dropEpochCache(indexDir: String): Unit =
+    epochCache.remove(indexDir).foreach { c =>
+      c.members.unpersist(); c.sigs.unpersist(); ()
+    }
+
   /** Bloom capacity floor. Production value sized so typical streams
     * never resize in their first ~30 triggers; the spec that proves the
     * saturation-resize path (capacity grows 4x, pruning stays active)
@@ -540,16 +562,51 @@ object DedupStreams {
     try {
       spark.conf.set(inFilterKey, MaxProbeKeyLiterals.toString)
       val (members, idxSigs) = phase("frames") {
-        val m =
-          if (!live.isEmpty)
-            spark.read.parquet(tablePaths("members"): _*)
-              .select(col("band"), col("bkey"), col("doc_id").as("mid"))
-          else Seq.empty[(Int, Long, Long)].toDF("band", "bkey", "mid")
-        val i =
-          if (!live.isEmpty)
-            spark.read.parquet(tablePaths("sigs"): _*)
-          else Seq.empty[(Long, Array[Long])].toDF("doc_id", "sig8")
-        (m, i)
+        val emptyM = Seq.empty[(Int, Long, Long)].toDF("band", "bkey", "mid")
+        val emptyS = Seq.empty[(Long, Array[Long])].toDF("doc_id", "sig8")
+        if (live.isEmpty) (emptyM, emptyS)
+        else {
+          val stable = live.dirNames.filterNot(_.startsWith("batch=")).toSet
+          val batchNames = live.dirNames.filter(_.startsWith("batch="))
+          def selM(df: DataFrame): DataFrame =
+            df.select(col("band"), col("bkey"), col("doc_id").as("mid"))
+          // stable components via the cross-trigger columnar cache. The
+          // cached frames materialize fully during this trigger's own
+          // aggregation jobs; a lost cached block after a later fold has
+          // deleted the source dirs would need the (local-mode-impossible)
+          // executor loss — on a real cluster pair this cache with
+          // replicated storage or accept the trigger failing to a replay.
+          val cached: Option[EpochCache] =
+            if (stable.isEmpty) { dropEpochCache(indexDir); None }
+            else epochCache.get(indexDir) match {
+              case Some(c) if c.key == stable => Some(c)
+              case _ =>
+                dropEpochCache(indexDir)
+                if (epochCache.size >= 4)
+                  epochCache.keys.filterNot(_ == indexDir)
+                    .take(epochCache.size - 3).foreach(dropEpochCache)
+                val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+                val c = EpochCache(
+                  stable,
+                  selM(spark.read.parquet(
+                    stable.toSeq.map(n => s"$indexDir/members/$n"): _*)).persist(lvl),
+                  spark.read.parquet(
+                    stable.toSeq.map(n => s"$indexDir/sigs/$n"): _*).persist(lvl))
+                epochCache.put(indexDir, c)
+                Some(c)
+            }
+          val freshM =
+            if (batchNames.isEmpty) None
+            else Some(selM(spark.read.parquet(
+              batchNames.map(n => s"$indexDir/members/$n"): _*)))
+          val freshS =
+            if (batchNames.isEmpty) None
+            else Some(spark.read.parquet(
+              batchNames.map(n => s"$indexDir/sigs/$n"): _*))
+          val m = (cached.map(_.members) ++ freshM).reduceOption(_ union _).getOrElse(emptyM)
+          val s = (cached.map(_.sigs) ++ freshS).reduceOption(_ union _).getOrElse(emptyS)
+          (m, s)
+        }
       }
       // greedy resolution in id order over only the pair-involved ids —
       // a doc in no pair and no index hit is retained unconditionally,
