@@ -142,21 +142,27 @@ object DedupStreams {
   }
 
   /** Count agreeing byte components of two packed signatures. Per word:
-    * zero bytes of a^b, counted with the exact SWAR indicator
-    * ~(((x & 0x7f…) + 0x7f…) | x | 0x7f…) — bit 7 of each byte set iff
-    * the byte is zero (the 0x7f mask keeps each byte's carry out of its
-    * neighbor, unlike the classic (x-0x01…)&~x&0x80… trick whose borrow
-    * cascades across a zero byte below a nonzero one).
+    * disagreeing bytes of x = a^b are counted by OR-folding each byte
+    * onto its own bit 0 (shift-and-mask keeps neighbors' bits out, so
+    * the per-byte indicator is exact — unlike the classic
+    * (x-0x01…)&~x&0x80… trick whose borrow cascades across a zero byte
+    * below a nonzero one); agreements are the complement. Kept as
+    * plain Scala on purpose: a column-expression spelling of this
+    * kernel was tried and reverted — with the probe's In literals
+    * changing every trigger the generated source never hits the
+    * codegen cache, costing ~10 s of janino per trigger.
     */
   private[streaming] def packedAgreeCount(a: Array[Long], b: Array[Long]): Int = {
-    val M7 = 0x7f7f7f7f7f7f7f7fL
-    var c = 0; var i = 0
+    var diff = 0; var i = 0
     while (i < a.length) {
       val x = a(i) ^ b(i)
-      c += java.lang.Long.bitCount(~(((x & M7) + M7) | x | M7))
+      var y = x | ((x >>> 4) & 0x0f0f0f0f0f0f0f0fL)
+      y |= (y >>> 2) & 0x0303030303030303L
+      y |= (y >>> 1) & 0x0101010101010101L
+      diff += java.lang.Long.bitCount(y & 0x0101010101010101L)
       i += 1
     }
-    c
+    a.length * 8 - diff
   }
 
   /** Micro-batches between index compactions (fold `batch=*` dirs into
@@ -650,9 +656,6 @@ object DedupStreams {
         val bandedLocal: Array[(Int, Long, Long)] = phase("band_collect")(
           banded.select(col("band"), col("bkey"), col("doc_id"))
             .as[(Int, Long, Long)].collect())
-        def agrees(a: Array[Long], b: Array[Long]): Boolean =
-          packedAgreeCount(a, b).toDouble / NumPerms >= tCorr
-
         // batch vs index: the driver-resident bucket-key bloom rejects
         // batch keys that CANNOT be in the index, so most triggers scan
         // only the handful of possibly-hitting keys (pushed In-filter on
@@ -692,19 +695,23 @@ object DedupStreams {
             s"liveEmpty=${live.isEmpty} dirs=${live.dirNames.mkString(",")}")
         // the raw hit multiset (bucket members x batch docs per bucket)
         // is the kernel's largest intermediate — background-similar hot
-        // buckets push it to millions of rows per trigger, so BOTH
-        // reductions over it (per-bucket distinct-member occupancy, the
-        // distinct candidate pair set) run on the executors over one
-        // cached hit frame; the driver only ever sees the two reduced
-        // results. Collecting the multiset and reducing in local Scala
-        // was measured 2-6x slower at 2.5M-hit triggers.
-        val (occLocal, candPairs): (Map[(Int, Long), Long], Array[(Long, Long)]) =
-          if (probeKeys.isEmpty || live.isEmpty) (Map.empty, Array.empty)
+        // buckets push it to millions of rows per trigger, and its
+        // volume grows with the in-index population a batch collides
+        // with, so NOTHING proportional to it may touch the driver:
+        // occupancy aggregates over the pruned members scan, and the
+        // agreement refine sweeps the hit multiset on the executors
+        // (RDD partition sweep over broadcast signature maps),
+        // collecting only the agreeing batch ids — bounded by batch
+        // size no matter how hot the buckets. Earlier spellings that
+        // collected the multiset (or even its distinct pair set) were
+        // the drain's load-dependent driver term.
+        val src =
+          if (probeKeys.length <= MaxProbeKeyLiterals)
+            members.filter(col("bkey").isin(probeKeys.map(Long.box).toSeq: _*))
+          else members
+        val occLocal: Map[(Int, Long), Long] =
+          if (probeKeys.isEmpty || live.isEmpty) Map.empty
           else phase("probe_collect") {
-            val src =
-              if (probeKeys.length <= MaxProbeKeyLiterals)
-                members.filter(col("bkey").isin(probeKeys.map(Long.box).toSeq: _*))
-              else members
             // occupancy never needs the batch join: it is a per-bucket
             // distinct-member count over the pruned members scan alone
             // (the join's band+bkey restriction coincides with the scan's
@@ -720,37 +727,68 @@ object DedupStreams {
               else src.join(
                 broadcast(bandedDf.select(col("band"), col("bkey")).distinct()),
                 Seq("band", "bkey"), "left_semi")
-            val occ = occSrc.groupBy(col("band"), col("bkey"))
+            occSrc.groupBy(col("band"), col("bkey"))
               .agg(countDistinct(col("mid")).as("occ"))
               .as[(Int, Long, Long)].collect()
               .map { case (b, k, o) => (b, k) -> o }.toMap
-            val cand = src.join(broadcast(bandedDf), Seq("band", "bkey"))
-              .select(col("nid"), col("mid")).distinct()
-              .as[(Long, Long)].collect()
-            (occ, cand)
           }
-        if (timing) sizes += ("cand" -> candPairs.length.toLong)
-        val memberSig: Map[Long, Array[Long]] =
-          if (candPairs.isEmpty) Map.empty
+        val indexHits: Set[Long] =
+          if (probeKeys.isEmpty || live.isEmpty) Set.empty
           else {
-            val mids = candPairs.map(_._2).distinct
-            val midsDf = spark.createDataset(mids.toSeq).toDF("doc_id")
-            // same pruning trade as the members probe: a pushed In on
-            // doc_id lets the doc_id-sorted sig epochs skip row groups
-            val sigSrc =
-              if (mids.length <= MaxProbeKeyLiterals)
-                idxSigs.filter(col("doc_id").isin(mids.map(Long.box).toSeq: _*))
-              else idxSigs
-            phase("msig_collect")(sigSrc
-              .join(broadcast(midsDf), Seq("doc_id"))
-              .select(col("doc_id"), col("sig8"))
-              .as[(Long, Array[Long])].collect()
-              .map { case (id, s) => id -> packSig8(s) }.toMap)
+            val hitPairs = src.join(broadcast(bandedDf), Seq("band", "bkey"))
+              .select(col("nid"), col("mid")).as[(Long, Long)]
+            // candidate member ids and their signatures ARE
+            // driver-bounded (distinct members the batch collides with
+            // ≤ index occupancy of the batch's own buckets); the pair
+            // multiset is not. A column-expression refine was tried and
+            // reverted: the per-word packing expressions made the
+            // generated source huge, and with the probe's In literals
+            // changing every trigger the codegen cache never hits — 10 s
+            // of janino per trigger. Plain-Scala SWAR over broadcast
+            // sig maps in an RDD partition sweep has no codegen at all.
+            val mids: Array[Long] = phase("mids_collect")(
+              hitPairs.toDF().select(col("mid")).distinct().as[Long].collect())
+            val memberSig: Map[Long, Array[Long]] =
+              if (mids.isEmpty) Map.empty
+              else {
+                val midsDf = spark.createDataset(mids.toSeq).toDF("doc_id")
+                // same pruning trade as the members probe: a pushed In
+                // on doc_id lets the doc_id-sorted sig epochs skip row
+                // groups
+                val sigSrc =
+                  if (mids.length <= MaxProbeKeyLiterals)
+                    idxSigs.filter(col("doc_id").isin(mids.map(Long.box).toSeq: _*))
+                  else idxSigs
+                phase("msig_collect")(sigSrc
+                  .join(broadcast(midsDf), Seq("doc_id"))
+                  .select(col("doc_id"), col("sig8"))
+                  .as[(Long, Array[Long])].collect()
+                  .map { case (id, s) => id -> packSig8(s) }.toMap)
+              }
+            phase("refine_dist") {
+              if (memberSig.isEmpty) Set.empty
+              else {
+                val bcM = spark.sparkContext.broadcast(memberSig)
+                val bcN = spark.sparkContext.broadcast(sigPk)
+                val nPerms = NumPerms
+                val t = tCorr
+                try hitPairs.rdd.mapPartitions { it =>
+                  val m = bcM.value; val n = bcN.value
+                  val out = scala.collection.mutable.HashSet.empty[Long]
+                  it.foreach { case (nid, mid) =>
+                    if (!out.contains(nid))
+                      m.get(mid).foreach { ms =>
+                        if (packedAgreeCount(n(nid), ms).toDouble / nPerms >= t)
+                          out += nid
+                      }
+                  }
+                  out.iterator
+                }.collect().toSet
+                finally { bcM.destroy(); bcN.destroy() }
+              }
+            }
           }
-        val indexHits: Set[Long] = phase("refine_local")(candPairs.iterator
-          .filter { case (nid, mid) =>
-            memberSig.get(mid).exists(m => agrees(sigPk(nid), m)) }
-          .map(_._1).toSet)
+        if (timing) sizes += ("idxhits" -> indexHits.size.toLong)
 
         // batch vs earlier batch docs (da < db): per-bucket all-pairs
         // under the cap, representative-star above it — the semantics of
