@@ -117,9 +117,11 @@ object Decontamination {
       textCol: String,
       indexDir: String,
       threshold: Double,
-      cfg: SignatureIndex.Config = SignatureIndex.Config()): DataFrame =
+      cfg: SignatureIndex.Config = SignatureIndex.Config(),
+      excludeBatch: Option[Long] = None): DataFrame =
     SignatureIndex.probeNearDuplicateIds(
-      corpus.sparkSession, indexDir, corpus, batch, idCol, textCol, threshold, cfg)
+      corpus.sparkSession, indexDir, corpus, batch, idCol, textCol, threshold, cfg,
+      excludeBatch)
 
   /** Shared bipartite near-dup pair derivation: exact-thresholded
     * (da = bulk side, db = `isSmall` side) pairs with J >= threshold.

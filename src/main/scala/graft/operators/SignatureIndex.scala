@@ -164,9 +164,16 @@ object SignatureIndex {
       .dirNames.map(n => s"$indexDir/$table/$n")
   }
 
-  /** The banded membership (band, bkey, doc_id) across all epochs. */
-  def members(spark: SparkSession, indexDir: String): DataFrame = {
-    val paths = tablePaths(spark, indexDir, "members")
+  /** The banded membership (band, bkey, doc_id) across all epochs.
+    * `excludeBatch` drops one `batch=<id>` component from the listing —
+    * the as-of-before-my-own-append view a replayed refresh needs (same
+    * contract as the streaming trigger, which excludes its own
+    * about-to-be-overwritten partition).
+    */
+  def members(
+      spark: SparkSession, indexDir: String,
+      excludeBatch: Option[Long] = None): DataFrame = {
+    val paths = tablePaths(spark, indexDir, "members", excludeBatch)
     require(paths.nonEmpty, s"no signature index at $indexDir/members")
     spark.read.parquet(paths: _*)
   }
@@ -226,6 +233,62 @@ object SignatureIndex {
     } finally { sigs.unpersist(); () }
   }
 
+  /** Append one refresh batch's docs to an existing index as a
+    * `batch=<id>` component — the batch-refresh spelling of the
+    * streaming trigger's incremental write, and the missing half of the
+    * production loop: probe → admit → APPEND, so the next refresh's
+    * probe sees this refresh's admissions without any corpus
+    * re-derivation. Cost is O(batch): one shingle + signature + band
+    * pass over `docs` only; the existing epochs are never read.
+    *
+    * The caller names `batchId`, which makes the write deterministic
+    * and idempotent — a replay overwrites its own two dirs, so a crash
+    * mid-append heals on rerun (same contract as the streaming
+    * foreachBatch write at DedupStreams). `batchId` must sit strictly
+    * above the newest folded component (the listing ignores batch dirs
+    * a fold covers — see [[listTable]]) and is rejected loudly
+    * otherwise. Appends are uncapped: write-side bucket admission needs
+    * cross-epoch occupancy, which is the streaming ingest's job — a
+    * capped index that takes batch appends should route them through
+    * the stream.
+    *
+    * Sigs land before members (matching the fold ordering contract):
+    * a reader that lists between the two writes may see a member whose
+    * signature is missing, never the reverse — the exact-refine probe
+    * ignores sigs entirely and the streaming probe treats a missing
+    * sig as a non-hit that the next trigger's rebuild heals.
+    */
+  def append(
+      docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      batchId: Long, cfg: Config = Config()): Unit = {
+    val spark = docs.sparkSession
+    validateParams(spark, indexDir, cfg)
+    val membersDir = new org.apache.hadoop.fs.Path(s"$indexDir/members")
+    val fs = membersDir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(membersDir),
+      s"no signature index at $indexDir/members — build() or a stream must seed it first")
+    val l = listTable(fs, membersDir)
+    val floor = (l.epoch.toSeq ++ l.runs).foldLeft(Long.MinValue)(math.max)
+    require(batchId > floor,
+      s"append batchId=$batchId is at or below the newest fold floor $floor of " +
+        s"$indexDir — the listing would ignore it; pick an id above every folded component")
+    val sigs = MinHashLSH
+      .signatures(Dedup.charShingles(docs, idCol, textCol, cfg.shingleN), cfg.numPerms)
+      .withColumn("sig8", transform(col("sig"), x => x.bitwiseAND(lit(255L))))
+      .cache()
+    try {
+      val banded = MinHashLSH.bandKeys(sigs, cfg.bands, cfg.rowsPerBand)
+        .select(col("doc_id"), col("band"), col("bkey"))
+      sigs.select(col("doc_id"), col("sig8"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/sigs/batch=$batchId")
+      // bkey-sorted like the epochs, so probe predicates prune row
+      // groups in appended components too; one file — a refresh batch is
+      // batch-scale by definition (a corpus-scale write is a build)
+      banded.repartitionByRange(1, col("bkey")).sortWithinPartitions(col("bkey"))
+        .write.mode("overwrite").parquet(s"$indexDir/members/batch=$batchId")
+    } finally { sigs.unpersist(); () }
+  }
+
   /** Raw candidate (da = corpus member, db = batch doc) pairs from the
     * persisted membership: batch band keys derived in-plan (through the
     * shared MinHashLSH.bandKeys, so banding can never drift from the
@@ -236,11 +299,11 @@ object SignatureIndex {
     */
   private def probeCandidates(
       spark: SparkSession, indexDir: String, batchSh: DataFrame,
-      cfg: Config): DataFrame = {
+      cfg: Config, excludeBatch: Option[Long]): DataFrame = {
     val batchBanded = MinHashLSH.bandKeys(
       MinHashLSH.signatures(batchSh, cfg.numPerms), cfg.bands, cfg.rowsPerBand)
       .select(col("doc_id").as("db"), col("band"), col("bkey"))
-    members(spark, indexDir)
+    members(spark, indexDir, excludeBatch)
       .select(col("band"), col("bkey"), col("doc_id").as("da"))
       .join(broadcast(batchBanded), Seq("band", "bkey"))
       .select(col("da"), col("db"))
@@ -258,7 +321,7 @@ object SignatureIndex {
       spark: SparkSession, indexDir: String,
       corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, threshold: Double,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config(), excludeBatch: Option[Long] = None): DataFrame = {
     validateParams(spark, indexDir, cfg)
     // one batch shingle derivation feeds the signature agg AND the
     // refine (cache-release contract: see Dedup.jaccardPairs)
@@ -268,7 +331,7 @@ object SignatureIndex {
     // signature aggregation (the probe's dominant compute — measured
     // 5.8 s -> see PLANS.md r8 notes). Hits-scale rows.
     // Cache-release contract: see Dedup.jaccardPairs.
-    val cand = probeCandidates(spark, indexDir, batchSh, cfg).cache()
+    val cand = probeCandidates(spark, indexDir, batchSh, cfg, excludeBatch).cache()
     val candIds = cand.select(col("da").as(idCol)).distinct()
     // candidate corpus text only: hits-scale, not corpus-scale
     val corpusSh = Dedup.charShingles(

@@ -4,6 +4,7 @@ import graft.{Canon, QueryDef, Tables}
 import graft.Canon._
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, DomainCaps, LineDedup, MinHashLSH, QualityClassifier, SimHash, SimilaritySearch}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -170,7 +171,7 @@ object TextQueries {
     * means full corpus and byte-identical behavior to before. Only the
     * queries whose oracles enumerate pairs interpolate [[docRel]] /
     * filter through [[slicedDocs]]: q34b/c, q35/b, q56, q76, q103,
-    * q126, q128.
+    * q126, q128, q133.
     */
   private val docSlice: Option[String] = sys.env.get("SPARK_GRAFT_DOC_SLICE")
   private val docRel: String = docSlice.fold("documents")(pfx =>
@@ -3279,6 +3280,140 @@ object TextQueries {
           coalesce(sum(when($"fid".isNull, $"doc_id")), lit(0L))
             .cast("long").as("admitted_checksum"))
         .orderBy($"cohort")
+    },
+
+    // ---- q133: the FULL index-maintenance refresh loop — probe, admit,
+    // APPEND, probe again. Round 1 admits batch B1 against the persisted
+    // base index, probed as-of BEFORE its own append (excludeBatch — the
+    // streaming trigger's replay contract — which also makes the query
+    // idempotent across warm re-runs); its admitted docs are APPENDED as
+    // the index's batch=0 component (SignatureIndex.append: O(batch)
+    // work, the corpus epochs are never read), and round 2's batch B2
+    // probes the grown index. The echo_new cohort near-duplicates ONLY
+    // round-1 admissions, so its flags can come from nowhere but the
+    // appended component — the gate that proves the append is live. At
+    // 100 TB this is the refresh steady state: per-refresh cost is
+    // O(batch + hits) probe + O(batch) append, never O(corpus). Oracle:
+    // ONE exact bitmap-popcount pair space over corpus ∪ B1 ∪ B2, both
+    // rounds' flag sets derived exactly (round 2's corpus membership =
+    // base ∪ round-1 survivors). Pair-enumeration oracle → rides the
+    // sf1 doc-slice differential like q124/q126 (docRel). -----
+    QueryDef("q133_index_append",
+      s"""WITH b1src AS (
+         |  SELECT doc_id AS oid, text,
+         |    CASE WHEN doc_id % 11 = 4 THEN 'near1' ELSE 'novel1' END AS cohort
+         |  FROM $docRel
+         |  WHERE doc_id % 11 = 4 OR doc_id % 17 = 6
+         |), b1 AS (
+         |  SELECT oid + 3000000 AS doc_id, cohort,
+         |    CASE cohort WHEN 'near1' THEN text || ' r1'
+         |      ELSE 'round one novel item ' || oid || ' with plenty of unseen filler content' END AS text
+         |  FROM b1src
+         |), b2src AS (
+         |  SELECT doc_id AS oid, text,
+         |    CASE WHEN doc_id % 11 = 4 THEN 'near_old'
+         |         WHEN doc_id % 17 = 6 THEN 'echo_new'
+         |         ELSE 'novel2' END AS cohort
+         |  FROM $docRel
+         |  WHERE doc_id % 11 = 4 OR doc_id % 17 = 6 OR doc_id % 19 = 7
+         |), b2 AS (
+         |  SELECT oid + 4000000 AS doc_id, cohort,
+         |    CASE cohort WHEN 'near_old' THEN text || ' r2'
+         |      WHEN 'echo_new' THEN 'round one novel item ' || oid || ' with plenty of unseen filler content redo'
+         |      ELSE 'round two fresh item ' || oid || ' distinct payload' END AS text
+         |  FROM b2src
+         |), u AS (
+         |  SELECT doc_id, text FROM $docRel
+         |  UNION ALL SELECT doc_id, text FROM b1
+         |  UNION ALL SELECT doc_id, text FROM b2
+         |), ug AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, substr(lower(text), g.i::INT, 3) AS s
+         |  FROM u, generate_series(1, 100000) g(i)
+         |  WHERE g.i <= length(text) - 2
+         |),
+         |${bitmapInter("ug", lengthBand = Some(0.7),
+              pairPred = "((a.doc_id < 3000000 AND b.doc_id >= 3000000) OR " +
+                "(a.doc_id >= 3000000 AND a.doc_id < 4000000 AND b.doc_id >= 4000000))")},
+         |jp AS MATERIALIZED (
+         |  SELECT x.da, x.db
+         |  FROM inter x JOIN bm ba ON ba.doc_id = x.da JOIN bm bb ON bb.doc_id = x.db
+         |  WHERE x.i * 1.0 / (ba.n + bb.n - x.i) >= 0.7
+         |),
+         |flagged1 AS (
+         |  SELECT DISTINCT db AS doc_id FROM jp
+         |  WHERE da < 3000000 AND db >= 3000000 AND db < 4000000
+         |),
+         |flagged2 AS (
+         |  SELECT DISTINCT db AS doc_id FROM jp
+         |  WHERE db >= 4000000 AND (da < 3000000 OR
+         |    da NOT IN (SELECT doc_id FROM flagged1))
+         |),
+         |r1 AS (
+         |  SELECT 1 AS refresh_round, b1.cohort, count(*)::BIGINT AS n_batch,
+         |         count(f.doc_id)::BIGINT AS n_flagged,
+         |         (count(*) - count(f.doc_id))::BIGINT AS n_admitted,
+         |         CAST(coalesce(sum(b1.doc_id) FILTER (WHERE f.doc_id IS NULL), 0) AS BIGINT) AS admitted_checksum
+         |  FROM b1 LEFT JOIN flagged1 f ON f.doc_id = b1.doc_id
+         |  GROUP BY 1, 2
+         |), r2 AS (
+         |  SELECT 2 AS refresh_round, b2.cohort, count(*)::BIGINT AS n_batch,
+         |         count(f.doc_id)::BIGINT AS n_flagged,
+         |         (count(*) - count(f.doc_id))::BIGINT AS n_admitted,
+         |         CAST(coalesce(sum(b2.doc_id) FILTER (WHERE f.doc_id IS NULL), 0) AS BIGINT) AS admitted_checksum
+         |  FROM b2 LEFT JOIN flagged2 f ON f.doc_id = b2.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+         |ORDER BY refresh_round, cohort""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val a = slicedDocs(spark, dir).select($"doc_id", $"text")
+      val b1 = a.filter($"doc_id" % 11 === 4 || $"doc_id" % 17 === 6)
+        .select(($"doc_id" + 3000000L).as("doc_id"),
+          when($"doc_id" % 11 === 4, concat($"text", lit(" r1")))
+            .otherwise(concat(lit("round one novel item "), $"doc_id".cast("string"),
+              lit(" with plenty of unseen filler content"))).as("text"),
+          when($"doc_id" % 11 === 4, lit("near1")).otherwise(lit("novel1")).as("cohort"))
+      val b2 = a.filter(
+          $"doc_id" % 11 === 4 || $"doc_id" % 17 === 6 || $"doc_id" % 19 === 7)
+        .select(($"doc_id" + 4000000L).as("doc_id"),
+          when($"doc_id" % 11 === 4, concat($"text", lit(" r2")))
+            .when($"doc_id" % 17 === 6, concat(lit("round one novel item "),
+              $"doc_id".cast("string"), lit(" with plenty of unseen filler content redo")))
+            .otherwise(concat(lit("round two fresh item "), $"doc_id".cast("string"),
+              lit(" distinct payload"))).as("text"),
+          when($"doc_id" % 11 === 4, lit("near_old"))
+            .when($"doc_id" % 17 === 6, lit("echo_new"))
+            .otherwise(lit("novel2")).as("cohort"))
+      val idx = ensureSigIndex(dir, "q133_base")(a)
+      // round 1: probe as-of before our own append (replay contract)
+      val flagged1 = graft.operators.SignatureIndex.probeNearDuplicateIds(
+          spark, idx, a, b1.drop("cohort"), "doc_id", "text", threshold = 0.7,
+          excludeBatch = Some(0L))
+        .withColumnRenamed("doc_id", "fid").cache()
+      val admitted1 = b1.join(flagged1, $"doc_id" === $"fid", "left_anti")
+        .select($"doc_id", $"text")
+      graft.operators.SignatureIndex.append(
+        admitted1, "doc_id", "text", idx, batchId = 0L)
+      // round 2: the index now carries base ∪ admitted1; corpus2 only
+      // supplies candidate TEXT (fetched by semi-join, never re-shingled
+      // wholesale)
+      val corpus2 = a.unionByName(admitted1)
+      val flagged2 = graft.operators.SignatureIndex.probeNearDuplicateIds(
+          spark, idx, corpus2, b2.drop("cohort"), "doc_id", "text", threshold = 0.7)
+        .withColumnRenamed("doc_id", "fid")
+      def roundStats(b: DataFrame, f: DataFrame, round: Int): DataFrame =
+        b.join(f, $"doc_id" === $"fid", "left")
+          .groupBy($"cohort")
+          .agg(count(lit(1)).as("n_batch"), count($"fid").as("n_flagged"),
+            (count(lit(1)) - count($"fid")).as("n_admitted"),
+            coalesce(sum(when($"fid".isNull, $"doc_id")), lit(0L))
+              .cast("long").as("admitted_checksum"))
+          .withColumn("refresh_round", lit(round))
+      roundStats(b1, flagged1, 1).unionByName(roundStats(b2, flagged2, 2))
+        .select($"refresh_round", $"cohort", $"n_batch", $"n_flagged",
+          $"n_admitted", $"admitted_checksum")
+        .orderBy($"refresh_round", $"cohort")
     },
   )
 }

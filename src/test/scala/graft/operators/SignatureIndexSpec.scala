@@ -137,6 +137,79 @@ class SignatureIndexSpec extends SparkSpec {
       s"late-seeded index must still drop the duplicate (stale-bloom hazard): $kept")
   }
 
+  test("append makes admitted docs probe-visible; excludeBatch restores the as-of view") {
+    import spark.implicits._
+    val corpus = tables.documents.select($"doc_id", $"text").limit(100)
+    val idx = tmpDir("append")
+    SignatureIndex.build(corpus, "doc_id", "text", idx)
+    val admitted = Seq(
+      (7000001L, "a freshly admitted refresh document with plenty of novel content"),
+      (7000002L, "another admitted document carrying entirely different novel text"))
+      .toDF("doc_id", "text")
+    SignatureIndex.append(admitted, "doc_id", "text", idx, batchId = 0L)
+    val corpus2 = corpus.unionByName(admitted)
+    // an exact copy of an appended doc must be flagged through the index
+    val probe = Seq((7100001L, "a freshly admitted refresh document with plenty of novel content"))
+      .toDF("doc_id", "text")
+    val flagged = SignatureIndex.probeNearDuplicateIds(
+      spark, idx, corpus2, probe, "doc_id", "text", 0.7).as[Long].collect()
+    assert(flagged.toSet == Set(7100001L),
+      s"copy of an appended doc must be flagged: ${flagged.toSeq}")
+    // the as-of-before-append view (a replayed refresh's own batch id)
+    // must NOT see the appended component
+    val asOf = SignatureIndex.probeNearDuplicateIds(
+      spark, idx, corpus2, probe, "doc_id", "text", 0.7,
+      excludeBatch = Some(0L)).as[Long].collect()
+    assert(asOf.isEmpty,
+      s"excludeBatch must hide the appended component: ${asOf.toSeq}")
+  }
+
+  test("append replay overwrites its own component (idempotent)") {
+    import spark.implicits._
+    val corpus = tables.documents.select($"doc_id", $"text").limit(50)
+    val idx = tmpDir("replay")
+    SignatureIndex.build(corpus, "doc_id", "text", idx)
+    val admitted = Seq((7000001L, "an admitted refresh document with plenty of novel content"))
+      .toDF("doc_id", "text")
+    SignatureIndex.append(admitted, "doc_id", "text", idx, batchId = 0L)
+    val before = SignatureIndex.members(spark, idx).count()
+    SignatureIndex.append(admitted, "doc_id", "text", idx, batchId = 0L)
+    assert(SignatureIndex.members(spark, idx).count() == before,
+      "a replayed append must overwrite, not stack, its batch component")
+  }
+
+  test("append at or below the fold floor is rejected loudly") {
+    import spark.implicits._
+    val corpus = tables.documents.select($"doc_id", $"text").limit(50)
+    val idx = tmpDir("floor")
+    SignatureIndex.build(corpus, "doc_id", "text", idx) // epoch compacted=-1
+    val docs = Seq((7000001L, "some admitted document text")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      SignatureIndex.append(docs, "doc_id", "text", idx, batchId = -1L)
+    }
+    assert(e.getMessage.contains("fold floor"),
+      s"sub-floor append must name the floor: ${e.getMessage}")
+  }
+
+  test("a stream-built index accepts batch appends (ids stack above the stream's)") {
+    import spark.implicits._
+    val corpus = tables.documents.select($"doc_id", $"text").limit(100)
+    val out = tmpDir("mixout"); val idx = tmpDir("mixidx")
+    graft.streaming.DedupStreams.dedupOnce(corpus, out, idx, threshold = 0.7) // batch=0
+    val admitted = Seq(
+      (7000001L, "a batch-admitted document appended after the stream's own trigger"))
+      .toDF("doc_id", "text")
+    SignatureIndex.append(admitted, "doc_id", "text", idx, batchId = 1000000L)
+    val retained = spark.read.parquet(out).select($"doc_id", $"text")
+    val probe = Seq((7100001L, "a batch-admitted document appended after the stream's own trigger"))
+      .toDF("doc_id", "text")
+    val flagged = SignatureIndex.probeNearDuplicateIds(
+      spark, idx, retained.unionByName(admitted), probe, "doc_id", "text", 0.7)
+      .as[Long].collect()
+    assert(flagged.toSet == Set(7100001L),
+      s"append onto a stream-built index must be probe-visible: ${flagged.toSeq}")
+  }
+
   test("probing with mismatched derivation params fails loudly") {
     import spark.implicits._
     val corpus = tables.documents.select($"doc_id", $"text").limit(50)
