@@ -210,6 +210,52 @@ class SignatureIndexSpec extends SparkSpec {
       s"append onto a stream-built index must be probe-visible: ${flagged.toSeq}")
   }
 
+  test("appended components fold under compact; probe results are unchanged") {
+    import spark.implicits._
+    val corpus = tables.documents.select($"doc_id", $"text").limit(100)
+    val idx = tmpDir("compactb")
+    SignatureIndex.build(corpus, "doc_id", "text", idx)
+    val admitted = Seq(
+      (7000001L, "first refresh admitted a document with plenty of novel content"),
+      (7000002L, "second refresh admitted different text with its own novel words"),
+      (7000003L, "third refresh admitted yet another entirely distinct document"))
+      .toDF("doc_id", "text")
+    admitted.collect().zipWithIndex.foreach { case (r, i) =>
+      SignatureIndex.append(
+        Seq((r.getLong(0), r.getString(1))).toDF("doc_id", "text"),
+        "doc_id", "text", idx, batchId = i.toLong)
+    }
+    val corpus2 = corpus.unionByName(admitted)
+    val probe = admitted.select(($"doc_id" + 100000L).as("doc_id"), $"text")
+    def flags(): Set[Long] = SignatureIndex.probeNearDuplicateIds(
+      spark, idx, corpus2, probe, "doc_id", "text", 0.7).as[Long].collect().toSet
+    val before = flags()
+    assert(before == Set(7100001L, 7100002L, 7100003L),
+      s"all three appended docs must be probe-visible pre-compact: $before")
+    SignatureIndex.compact(spark, idx, upTo = 2L)
+    val names = {
+      val dir = new org.apache.hadoop.fs.Path(s"$idx/members")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    }
+    assert(!names.exists(_.startsWith("batch=")),
+      s"compact(upTo=2) must fold all three batch dirs: $names")
+    assert(flags() == before,
+      "fold must be a pure concatenation: probe flags unchanged")
+    // post-fold appends stack above the new floor
+    SignatureIndex.append(
+      Seq((7000004L, "a fourth refresh document appended after the fold"))
+        .toDF("doc_id", "text"), "doc_id", "text", idx, batchId = 3L)
+    val p4 = Seq((7100004L, "a fourth refresh document appended after the fold"))
+      .toDF("doc_id", "text")
+    val f4 = SignatureIndex.probeNearDuplicateIds(
+      spark, idx,
+      corpus2.unionByName(Seq((7000004L, "a fourth refresh document appended after the fold"))
+        .toDF("doc_id", "text")),
+      p4, "doc_id", "text", 0.7).as[Long].collect().toSet
+    assert(f4 == Set(7100004L), s"append after compact must be probe-visible: $f4")
+  }
+
   test("probing with mismatched derivation params fails loudly") {
     import spark.implicits._
     val corpus = tables.documents.select($"doc_id", $"text").limit(50)
