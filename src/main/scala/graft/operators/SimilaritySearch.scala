@@ -99,6 +99,48 @@ object SimilaritySearch {
       .select(col("qid"), col("rn"), col("cid"), col("neg_label"), col("cos"))
   }
 
+  /** k-NN label classification — the semi-supervised labeling step of a
+    * training-data pipeline (label a large unlabeled pool from a small
+    * curated seed set): each probe takes the majority label among its
+    * `k` nearest LABELED neighbors by cosine; ties broken by (higher
+    * summed similarity, then smaller label). Physical shape is [[topK]]:
+    * the probe batch broadcasts, the labeled corpus is scanned once in
+    * parallel, and everything past the per-probe top-k window is
+    * metadata-scale (probes x k rows). The vote score sums DECIMAL(18,4)
+    * over the 4dp-rounded cosines, so the score tie-break is exact
+    * arithmetic — accumulation order cannot drift the winner between
+    * engines (the q117 centroid-sum discipline). For probe sets too
+    * large to broadcast, bucket both sides ([[topKBucketed]] /
+    * [[IvfIndex]]) and reuse the identical window + vote aggregation.
+    * Output: (qid, pred_label, votes, score).
+    */
+  def knnClassify(
+      probes: DataFrame,
+      labeled: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val q = probes.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val c = labeled.select(
+      col(idCol).as("cid"), col(labelCol).as("nlabel"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val scored = broadcast(q).join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("nlabel"),
+        round(cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")), 4)
+          .cast(DecimalType(18, 4)).as("cos"))
+    val wk = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val votes = scored.withColumn("rn", row_number().over(wk)).filter(col("rn") <= k)
+      .groupBy(col("qid"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"), sum(col("cos")).as("score"))
+    val wv = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("score").desc, col("nlabel"))
+    votes.withColumn("vr", row_number().over(wv)).filter(col("vr") === 1)
+      .select(col("qid"), col("nlabel").as("pred_label"), col("votes"), col("score"))
+  }
+
   /** All pairs (a < b) with cosine >= threshold — embedding near-dup.
     * The exact all-pairs form runs only while the corpus fits under
     * `maxExact` rows; past that the operator auto-switches to the

@@ -3415,5 +3415,47 @@ object TextQueries {
           $"n_admitted", $"admitted_checksum")
         .orderBy($"refresh_round", $"cohort")
     },
+
+    // ---- q134: k-NN label classification (L3) — label the unlabeled pool
+    // (every 20th vector plays "unlabeled") by majority vote among its 5
+    // nearest labeled neighbors; score tie-breaks are DECIMAL-exact sums of
+    // 4dp cosines so both engines agree bit-for-bit. ----------------------
+    QueryDef(
+      "q134_knn_classify",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |n AS (SELECT vec_id, v, label, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid, c.label AS nlabel,
+        |         CAST(round(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS DECIMAL(18,4)) AS cos
+        |  FROM n q JOIN n c ON q.vec_id % 20 = 3 AND c.vec_id % 20 <> 3
+        |), r AS (
+        |  SELECT qid, cid, nlabel, cos,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+        |  FROM p
+        |), v AS (
+        |  SELECT qid, nlabel, count(*)::BIGINT AS votes, sum(cos) AS score
+        |  FROM r WHERE rn <= 5 GROUP BY qid, nlabel
+        |), w AS (
+        |  SELECT qid, nlabel, votes, score,
+        |         row_number() OVER (PARTITION BY qid ORDER BY votes DESC, score DESC, nlabel) AS vr
+        |  FROM v
+        |)
+        |SELECT w.qid, w.nlabel AS pred_label, w.votes,
+        |       CAST(w.score AS DOUBLE) AS score,
+        |       t.label AS true_label,
+        |       CAST(w.nlabel = t.label AS INT) AS correct
+        |FROM w JOIN e t ON t.vec_id = w.qid
+        |WHERE w.vr = 1 ORDER BY qid""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val e = Tables(spark, dir).embeddings
+      val pred = SimilaritySearch.knnClassify(
+        e.filter($"vec_id" % 20 === 3), e.filter($"vec_id" % 20 =!= 3),
+        "vec_id", "embedding", "label", k = 5)
+      pred.join(e.select($"vec_id".as("qid"), $"label".as("true_label")), Seq("qid"))
+        .select($"qid", $"pred_label", $"votes", out($"score").as("score"),
+          $"true_label", ($"pred_label" === $"true_label").cast("int").as("correct"))
+        .orderBy($"qid")
+    },
   )
 }

@@ -315,6 +315,37 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.8, s"deterministic hyperplane recall regressed: $recall")
   }
 
+  test("SimilaritySearch.knnClassify: majority vote, then score, then label tie-breaks") {
+    import spark.implicits._
+    val probes = Seq((100L, Seq(1f, 0f)), (200L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val labeled = Seq(
+      // P100 neighborhood: two label-1 votes beat one perfect-cos label-2
+      (1L, Seq(1f, 0f), 2),
+      (2L, Seq(0.99f, 0.14f), 1),
+      (3L, Seq(0.95f, 0.31f), 1),
+      // P200 neighborhood: top-3 is a 1-1-1 vote split where labels 7 and 5
+      // also tie on score (identical cos=1.0) -> smallest label wins
+      (4L, Seq(0f, 1f), 7),
+      (5L, Seq(0f, 2f), 5),
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilaritySearch.knnClassify(probes, labeled, "vec_id", "embedding", "label", k = 3)
+      .select($"qid", $"pred_label", $"votes").as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(100L) == ((1, 2L)), "majority vote must beat a single higher-cos neighbor")
+    assert(out(200L) == ((5, 1L)), "full tie must resolve to the smallest label")
+
+    // equal votes, unequal DECIMAL score sums -> higher summed cosine wins
+    val probes2 = Seq((300L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val labeled2 = Seq(
+      (11L, Seq(1f, 0f), 5), (12L, Seq(0.99f, 0.14f), 5),
+      (13L, Seq(0.99f, -0.14f), 3), (14L, Seq(0.95f, 0.31f), 3),
+    ).toDF("vec_id", "embedding", "label")
+    val out2 = SimilaritySearch.knnClassify(probes2, labeled2, "vec_id", "embedding", "label", k = 4)
+      .select($"pred_label", $"votes").as[(Int, Long)].collect()
+    assert(out2.toSeq == Seq((5, 2L)), "score sum must break the 2-2 vote tie")
+  }
+
   test("IVF (k-means cells + nProbe search) reaches >=60% top-5 recall vs exact") {
     val e = tables.embeddings
     val probes = (0L until 20L).toSeq
