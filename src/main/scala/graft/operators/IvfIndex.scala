@@ -59,12 +59,59 @@ object IvfIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** Assign a batch to the EXISTING coarse quantizer — the incremental
+    * maintenance step: new vectors take the argmin-distance cell (ties by
+    * cell id) against the frozen centroid table, no retrain. The centroid
+    * frame is metadata-scale (nLists rows, broadcast literal), so the
+    * assignment is one embarrassingly-parallel pass over the batch; the
+    * per-row window only ever sees nLists rows. Output: (id, v, cell, d2).
+    */
+  def assign(batch: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cents = centroids.toSeq.toDF("cell", "cv")
+    val w = Window.partitionBy(col("id")).orderBy(col("d2"), col("cell"))
+    batch.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("v"), col("cell"),
+        (dot(col("v"), col("v")) - lit(2) * dot(col("v"), col("cv"))
+          + dot(col("cv"), col("cv"))).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("cell"), col("d2"))
+  }
+
+  /** Append a batch to a persisted index as an `appends/batch=<id>`
+    * component (cell-partitioned like the main table): O(batch) work —
+    * the existing assignments are never read or rewritten, mirroring
+    * SignatureIndex.append's refresh contract. A caller-named batchId
+    * makes replay overwrite itself (idempotent warm re-runs).
+    */
+  def append(batch: DataFrame, idCol: String, vecCol: String,
+      dir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val m = load(spark, dir)
+    assign(batch, idCol, vecCol, m.centroids)
+      .select(col("id"), col("v"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/appends/batch=$batchId")
+  }
+
   /** Load a persisted index. The centroid table is nLists rows —
-    * collected once; assignments stay a lazy partitioned scan.
+    * collected once; assignments stay a lazy partitioned scan (the
+    * epoch table plus any appended batch components).
     */
   def load(spark: SparkSession, dir: String): Model = {
-    val assigned = spark.read.parquet(s"$dir/assignments")
+    val epoch = spark.read.parquet(s"$dir/assignments")
       .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
+    val appendRoot = java.nio.file.Paths.get(dir, "appends")
+    val assigned =
+      if (java.nio.file.Files.isDirectory(appendRoot)) {
+        val appended = spark.read.parquet(appendRoot.toString)
+          .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
+        epoch.unionByName(appended)
+      } else epoch
     val centroids = spark.read.parquet(s"$dir/centroids")
       .select(col("cell"), col("cv"))
       .collect()

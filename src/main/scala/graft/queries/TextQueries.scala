@@ -111,6 +111,38 @@ object TextQueries {
     * assignments and probes them as an index scan, which is how an ANN
     * index is actually operated (train at ingest, probe at query).
     */
+  /** Expected centroid table for q135's oracle: the base IVF index's
+    * frozen coarse quantizer, dumped as DOUBLE[] so DuckDB can recompute
+    * the append-time argmin assignment independently (the centroids
+    * themselves are pinned by q50's exact-fixture recall gate; what q135
+    * gates is the incremental assignment + component read-back). */
+  lazy val IvfCentroidsExpected: String = s"$expectedRoot/ivf_centroids.parquet"
+
+  /** Per-(dir, JVM) BASE IVF index for q135 — trained once over the
+    * corpus WITHOUT the append batch (vec_id % 10 == 7 held out), so the
+    * append step exercises real index maintenance: frozen centroids, new
+    * component, no retrain. Dumps the centroid table for the oracle.
+    */
+  private val ivfBaseIndexByDir = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ensureIvfBaseIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    synchronized {
+      ivfBaseIndexByDir.getOrElseUpdate(dir, {
+        import org.apache.spark.sql.functions.col
+        val path = s"${pidScopedScratch("graft_ivfidx", dir)}/embeddings_base"
+        val base = Tables(spark, dir).embeddings.filter(col("vec_id") % 10 =!= 7)
+        val m = graft.operators.IvfIndex.build(
+          spark, base, "vec_id", "embedding", nLists = 16)
+        graft.operators.IvfIndex.persist(m, path)
+        ensureExpected("ivf_centroids", dir) {
+          import spark.implicits._
+          m.centroids.toSeq.toDF("cell", "cv")
+            .coalesce(1).write.mode("overwrite").parquet(IvfCentroidsExpected)
+        }
+        path
+      })
+    }
+
   private val ivfIndexByDir = scala.collection.concurrent.TrieMap.empty[String, String]
   private def ensureIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): String =
     synchronized {
@@ -3456,6 +3488,54 @@ object TextQueries {
         .select($"qid", $"pred_label", $"votes", out($"score").as("score"),
           $"true_label", ($"pred_label" === $"true_label").cast("int").as("correct"))
         .orderBy($"qid")
+    },
+
+    // ---- q135: incremental IVF maintenance (L3) — append a held-out batch
+    // to the persisted index (frozen centroids, new `appends/batch=0`
+    // component, no retrain, O(batch) work) and read it back through
+    // load(). The oracle recomputes each appended vector's argmin cell
+    // from the dumped centroid table — identical IEEE expression order on
+    // both sides, so the assignment is gated bit-for-bit. ----------------
+    QueryDef(
+      "q135_ivf_append",
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  WHERE vec_id % 10 = 7
+         |), c AS (
+         |  SELECT cell, cv FROM read_parquet('$IvfCentroidsExpected/*.parquet')
+         |), d AS (
+         |  SELECT b.vec_id, c.cell,
+         |         list_inner_product(b.v, b.v) - 2 * list_inner_product(b.v, c.cv)
+         |           + list_inner_product(c.cv, c.cv) AS d2
+         |  FROM b CROSS JOIN c
+         |), r AS (
+         |  SELECT vec_id, cell, d2,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |  FROM d
+         |)
+         |SELECT vec_id, cell,
+         |       CAST(CAST(round(d2, 4) AS DECIMAL(18,4)) AS DOUBLE) AS d2,
+         |       1 AS readback_ok
+         |FROM r WHERE rn = 1 ORDER BY vec_id""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val e = Tables(spark, dir).embeddings
+      val batch = e.filter($"vec_id" % 10 === 7)
+      val idx = ensureIvfBaseIndex(spark, dir)
+      graft.operators.IvfIndex.append(batch, "vec_id", "embedding", idx, batchId = 0L)
+      val m = graft.operators.IvfIndex.load(spark, idx)
+      val assigned = graft.operators.IvfIndex
+        .assign(batch, "vec_id", "embedding", m.centroids)
+        .select($"id".as("vec_id"), $"cell",
+          out(round($"d2", 4).cast(DecimalType(18, 4))).as("d2"))
+      // read-back: the appended component must carry exactly these
+      // (id, cell) rows — gate it as a per-row flag riding the output
+      val readBack = m.assignments.join(batch.select($"vec_id".as("id")), Seq("id"))
+        .select($"id".as("vec_id"), $"cell".as("rb_cell"))
+      assigned.join(readBack, Seq("vec_id"), "left")
+        .select($"vec_id", $"cell", $"d2",
+          when($"rb_cell" === $"cell", 1).otherwise(0).as("readback_ok"))
+        .orderBy($"vec_id")
     },
   )
 }

@@ -359,6 +359,37 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("IVF append: frozen-centroid argmin assignment, component read-back, replay idempotence") {
+    import spark.implicits._
+    val e = tables.embeddings
+    val base = e.filter(col("vec_id") % 10 =!= 7)
+    val batch = e.filter(col("vec_id") % 10 === 7)
+    val m = IvfIndex.build(spark, base, "vec_id", "embedding", nLists = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    IvfIndex.persist(m, dir)
+    // assign() must pick the argmin-distance cell (ties by cell id)
+    val assigned = IvfIndex.assign(batch, "vec_id", "embedding", m.centroids)
+      .select($"id", $"cell", $"d2").collect()
+    assigned.foreach { r =>
+      val v = e.filter(col("vec_id") === r.getLong(0))
+        .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
+      val dists = m.centroids.map { case (c, cv) =>
+        val d = v.zip(cv).map { case (x, y) => (x - y) * (x - y) }.sum
+        (d, c)
+      }
+      assert(r.getInt(1) == dists.min._2, s"vec ${r.getLong(0)} not at argmin cell")
+    }
+    // append twice with the same batchId -> load sees base + batch exactly once
+    IvfIndex.append(batch, "vec_id", "embedding", dir, batchId = 0L)
+    IvfIndex.append(batch, "vec_id", "embedding", dir, batchId = 0L)
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.assignments.count() == e.count(), "replay must overwrite, not duplicate")
+    val rb = loaded.assignments.join(batch.select(col("vec_id").as("id")), Seq("id"))
+      .select($"id", $"cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assigned.foreach(r => assert(rb(r.getLong(0)) == r.getInt(1),
+      "read-back cell must match the assignment"))
+  }
+
   test("IVF persist/load roundtrip probes identically to the in-memory model") {
     val e = tables.embeddings
     val m = IvfIndex.build(spark, e, "vec_id", "embedding", nLists = 12)
