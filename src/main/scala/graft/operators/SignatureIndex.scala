@@ -368,6 +368,45 @@ object SignatureIndex {
     }
   }
 
+  /** Merge shard-built indexes into one — the distributed BUILD story at
+    * 100 TB: one job cannot (and should not) derive signatures over the
+    * whole corpus, so each corpus shard builds its own index in parallel
+    * (the O(shard) shingle+signature derivation — the expensive part),
+    * and the merge is a pure byte-level union of the already-derived
+    * (band, bkey, doc_id) / (doc_id, sig8) rows: one range-partitioned
+    * shuffle of index rows (orders of magnitude narrower than text),
+    * re-sorted so probe pushdown prunes the merged epoch exactly like a
+    * whole-built one. No text is read, no signature recomputed.
+    *
+    * Contract: shard doc-id sets are disjoint (the build contract) and
+    * every shard carries the same derivation params (validated). Shards
+    * must be uncapped (write-side bucket admission is per-shard and
+    * cannot be re-enforced globally from membership alone — same note as
+    * [[append]]); the merged epoch is written as `compacted=-1`, so the
+    * result accepts appends/streams exactly like a fresh [[build]].
+    * Sigs land before members (the fold ordering contract).
+    */
+  def merge(
+      spark: SparkSession, shardDirs: Seq[String], destDir: String,
+      cfg: Config = Config()): Unit = {
+    require(shardDirs.nonEmpty, "merge needs at least one shard index")
+    shardDirs.foreach(d => validateParams(spark, d, cfg))
+    val memberPaths = shardDirs.flatMap(d => tablePaths(spark, d, "members"))
+    val sigPaths = shardDirs.flatMap(d => tablePaths(spark, d, "sigs"))
+    require(memberPaths.nonEmpty,
+      s"no signature index members under any of $shardDirs")
+    spark.read.parquet(sigPaths: _*)
+      .repartitionByRange(8, col("doc_id")).sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$destDir/sigs/compacted=-1")
+    spark.read.parquet(memberPaths: _*)
+      .repartitionByRange(8, col("bkey")).sortWithinPartitions(col("bkey"))
+      .write.mode("overwrite").parquet(s"$destDir/members/compacted=-1")
+    val p = new org.apache.hadoop.fs.Path(destDir)
+    writeParams(p.getFileSystem(spark.sessionState.newHadoopConf()),
+      destDir, cfg, overwrite = true)
+    log.info(s"merged ${shardDirs.size} shard indexes -> $destDir")
+  }
+
   /** Raw candidate (da = corpus member, db = batch doc) pairs from the
     * persisted membership: batch band keys derived in-plan (through the
     * shared MinHashLSH.bandKeys, so banding can never drift from the

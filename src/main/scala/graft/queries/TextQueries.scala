@@ -111,6 +111,31 @@ object TextQueries {
     * assignments and probes them as an index scan, which is how an ANN
     * index is actually operated (train at ingest, probe at query).
     */
+  /** Per-(dir, JVM) MERGED signature index for q136: the corpus split
+    * into two doc-id-parity shards, each shard's index built
+    * independently (the parallel-build shape — at 100 TB each shard
+    * build is its own job), then [[graft.operators.SignatureIndex.merge]]d.
+    * Same once-per-dir contract as [[ensureSigIndex]].
+    */
+  private val mergedSigIndexByDir = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ensureMergedSigIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    synchronized {
+      mergedSigIndexByDir.getOrElseUpdate(dir, {
+        import org.apache.spark.sql.functions.col
+        val root = s"${pidScopedScratch("graft_sigindex", dir)}/merged_documents"
+        val a = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+        val shards = Seq(0, 1).map { p =>
+          val sd = s"$root/shard=$p"
+          graft.operators.SignatureIndex.build(
+            a.filter(col("doc_id") % 2 === p), "doc_id", "text", sd)
+          sd
+        }
+        graft.operators.SignatureIndex.merge(spark, shards, s"$root/merged")
+        s"$root/merged"
+      })
+    }
+
   /** Expected centroid table for q135's oracle: the base IVF index's
     * frozen coarse quantizer, dumped as DOUBLE[] so DuckDB can recompute
     * the append-time argmin assignment independently (the centroids
@@ -3536,6 +3561,40 @@ object TextQueries {
         .select($"vec_id", $"cell", $"d2",
           when($"rb_cell" === $"cell", 1).otherwise(0).as("readback_ok"))
         .orderBy($"vec_id")
+    },
+
+    // ---- q136: shard-built index MERGE (L2/L7) — the distributed build
+    // story: each corpus shard derives its own signature index in
+    // parallel (the expensive O(shard) text derivation), and the merge
+    // is a byte-level union of already-derived index rows — no text
+    // read, no signature recomputed. The gate: probing the MERGED index
+    // admits the identical batch flag set as the exact bipartite
+    // recompute (same oracle as q131), so merged ≡ whole-built ≡ exact.
+    QueryDef("q136_index_merge", incrementalOracle(0.7)) { (spark, dir) =>
+      import spark.implicits._
+      val a = Tables(spark, dir).documents.select($"doc_id", $"text")
+      val cohort = when($"doc_id" % 9 === 3, lit("exact"))
+        .when($"doc_id" % 7 === 2, lit("near"))
+        .when($"doc_id" % 13 === 5, lit("novel"))
+      val b = a.withColumn("cohort", cohort).filter($"cohort".isNotNull)
+        .select(($"doc_id" + 2000000L).as("doc_id"),
+          when($"cohort" === "exact", $"text")
+            .when($"cohort" === "near", concat($"text", lit(" edited")))
+            .otherwise(concat(lit("fresh item "), $"doc_id".cast("string"),
+              lit(" unseen content"))).as("text"),
+          $"cohort")
+      val idx = ensureMergedSigIndex(spark, dir)
+      val flagged = graft.operators.SignatureIndex.probeNearDuplicateIds(
+          spark, idx, a, b.drop("cohort"), "doc_id", "text", threshold = 0.7)
+        .withColumnRenamed("doc_id", "fid")
+      b.join(flagged, $"doc_id" === $"fid", "left")
+        .groupBy($"cohort")
+        .agg(count(lit(1)).as("n_batch"),
+          count($"fid").as("n_flagged"),
+          (count(lit(1)) - count($"fid")).as("n_admitted"),
+          coalesce(sum(when($"fid".isNull, $"doc_id")), lit(0L))
+            .cast("long").as("admitted_checksum"))
+        .orderBy($"cohort")
     },
   )
 }

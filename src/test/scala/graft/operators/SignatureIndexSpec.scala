@@ -51,6 +51,38 @@ class SignatureIndexSpec extends SparkSpec {
         s"only-recomputed=${(recomputed -- indexed).take(5)}")
   }
 
+  test("merged shard indexes probe identically to a whole-built index") {
+    import spark.implicits._
+    val (corpus, batch) = scenario()
+    val whole = tmpDir("whole")
+    SignatureIndex.build(corpus, "doc_id", "text", whole)
+    // shard on doc-id parity; shard 1 additionally carries part of its
+    // corpus as an APPEND component, so the merge exercises the full
+    // listing (epoch + live batch dirs), not just epochs
+    val s0 = tmpDir("shard0")
+    val s1 = tmpDir("shard1")
+    SignatureIndex.build(corpus.filter($"doc_id" % 2 === 0), "doc_id", "text", s0)
+    SignatureIndex.build(
+      corpus.filter($"doc_id" % 2 === 1 && $"doc_id" % 5 =!= 2), "doc_id", "text", s1)
+    SignatureIndex.append(
+      corpus.filter($"doc_id" % 2 === 1 && $"doc_id" % 5 === 2), "doc_id", "text",
+      s1, batchId = 0L)
+    val merged = tmpDir("merged")
+    SignatureIndex.merge(spark, Seq(s0, s1), merged)
+    def flags(dir: String): Set[Long] = SignatureIndex
+      .probeNearDuplicateIds(spark, dir, corpus, batch, "doc_id", "text", 0.7)
+      .as[Long].collect().toSet
+    val w = flags(whole)
+    assert(w.nonEmpty, "scenario must flag at least one batch doc")
+    assert(flags(merged) == w, "merged index diverged from the whole-built index")
+    // membership row sets are identical too (merge is a pure union)
+    val mw = SignatureIndex.members(spark, whole)
+      .select($"band", $"bkey", $"doc_id")
+    val mm = SignatureIndex.members(spark, merged)
+      .select($"band", $"bkey", $"doc_id")
+    assert(mw.exceptAll(mm).isEmpty && mm.exceptAll(mw).isEmpty)
+  }
+
   test("capped build admits the lowest-id docs per bucket, never more than cap") {
     import spark.implicits._
     // four exact duplicates collide in every band's bucket
