@@ -3596,5 +3596,78 @@ object TextQueries {
             .cast("long").as("admitted_checksum"))
         .orderBy($"cohort")
     },
+
+    // ---- q137: hybrid retrieval via reciprocal-rank fusion (L3/L4) —
+    // lexical BM25 top-10 per head term fused with embedding-cosine
+    // top-10 per probe (query i = i-th head term + probe vec i). The
+    // corpus-scale work lives in the two retrieval operators; the fusion
+    // is a metadata-scale exact-integer groupBy (Rrf scaladoc). --------
+    QueryDef(
+      "q137_hybrid_rrf",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, unnest(ts) AS tok, len(ts) AS dl FROM tok
+        |), terms AS (
+        |  SELECT tok, row_number() OVER (ORDER BY c DESC, tok) - 1 AS qid
+        |  FROM (SELECT tok, count(*) AS c FROM t GROUP BY tok ORDER BY c DESC, tok LIMIT 5)
+        |), stats AS (
+        |  SELECT count(*)::DOUBLE AS n, avg(len(ts))::DOUBLE AS avgdl FROM tok
+        |), tf AS (
+        |  SELECT t.tok AS term, doc_id, count(*)::DOUBLE AS tf, min(dl)::DOUBLE AS dl
+        |  FROM t JOIN terms ON t.tok = terms.tok GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.term, tf.doc_id,
+        |         ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+        |           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS score
+        |  FROM tf CROSS JOIN stats JOIN df ON tf.term = df.term
+        |), lex AS (
+        |  SELECT terms.qid, scored.doc_id AS id,
+        |         row_number() OVER (PARTITION BY scored.term ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored JOIN terms ON scored.term = terms.tok
+        |  QUALIFY rank <= 10
+        |), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |nv AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |         round(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos
+        |  FROM nv q JOIN nv c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+        |), sem AS (
+        |  SELECT qid, cid AS id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+        |  FROM p QUALIFY rank <= 10
+        |), allc AS (
+        |  SELECT qid, id, CAST(floor(1000000000000.0 / (60 + rank)) AS BIGINT) AS c FROM lex
+        |  UNION ALL
+        |  SELECT qid, id, CAST(floor(1000000000000.0 / (60 + rank)) AS BIGINT) AS c FROM sem
+        |), f AS (
+        |  SELECT qid, id, CAST(sum(c) AS BIGINT) AS rrf_scaled, count(*)::BIGINT AS n_lists
+        |  FROM allc GROUP BY 1, 2
+        |)
+        |SELECT f.qid, terms.tok AS term,
+        |       row_number() OVER (PARTITION BY f.qid ORDER BY rrf_scaled DESC, id) AS fused_rank,
+        |       id, rrf_scaled, n_lists
+        |FROM f JOIN terms ON terms.qid = f.qid
+        |QUALIFY fused_rank <= 5 ORDER BY f.qid, fused_rank""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val e = Tables(spark, dir).embeddings
+      val terms = graft.operators.Bm25.topTerms(docs, "text", 5)
+      val termQ = terms.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toDF("term", "qid")
+      val lex = graft.operators.Bm25.topK(docs, "doc_id", "text", terms, 10)
+        .join(broadcast(termQ), Seq("term"))
+        .select($"qid", $"doc_id".as("id"), $"rnk".as("rank"))
+      val sem = graft.operators.SimilaritySearch
+        .topK(e.filter($"vec_id" < 5), e, "vec_id", "embedding", 10)
+        .select($"qid", $"cid".as("id"), $"rn".cast("long").as("rank"))
+      graft.operators.Rrf.fuse(Seq(lex, sem), k = 5)
+        .join(broadcast(termQ), Seq("qid"))
+        .select($"qid", $"term", $"fused_rank", $"id", $"rrf_scaled", $"n_lists")
+        .orderBy($"qid", $"fused_rank")
+    },
   )
 }

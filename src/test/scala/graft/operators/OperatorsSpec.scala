@@ -315,6 +315,23 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.8, s"deterministic hyperplane recall regressed: $recall")
   }
 
+  test("Rrf.fuse: both-list items outrank single-list items; exact-integer ties break by id") {
+    import spark.implicits._
+    // query 1: id 10 is rank 3 lexically and rank 2 semantically; id 20 is
+    // lexical rank 1 only; id 30 semantic rank 1 only.
+    val lex = Seq((1L, 20L, 1L), (1L, 40L, 2L), (1L, 10L, 3L)).toDF("qid", "id", "rank")
+    val sem = Seq((1L, 30L, 1L), (1L, 10L, 2L), (1L, 50L, 3L)).toDF("qid", "id", "rank")
+    val out = Rrf.fuse(Seq(lex, sem), k = 5)
+      .select($"fused_rank", $"id", $"rrf_scaled", $"n_lists")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    def c(r: Long) = Rrf.Scale / (60 + r) // exact integer division mirrors floor()
+    assert(out.head == ((1L, 10L, c(3) + c(2), 2L)),
+      "the item present in both lists must fuse first")
+    // ids 20 and 30 tie exactly (both rank-1 single-list) -> id asc
+    assert(out(1) == ((2L, 20L, c(1), 1L)) && out(2) == ((3L, 30L, c(1), 1L)))
+    assert(out(3)._2 == 40L && out(4)._2 == 50L)
+  }
+
   test("SimilaritySearch.knnClassify: majority vote, then score, then label tie-breaks") {
     import spark.implicits._
     val probes = Seq((100L, Seq(1f, 0f)), (200L, Seq(0f, 1f)))
