@@ -58,6 +58,45 @@ object QualityClassifier {
       .withColumn("keep", col("weight_sum") > 0)
   }
 
+  /** Decision-threshold calibration sweep — the evaluation step that has
+    * to precede any quality-filter deployment: confusion counts and
+    * precision/recall for every candidate threshold against a reference
+    * label, in ONE pass over the scored frame (the threshold grid is a
+    * broadcast literal; the cross join multiplies rows by |grid| BEFORE
+    * the partial aggregation, so nothing but |grid| rows ever shuffles).
+    *
+    * Thresholds are integer TENTHS (k -> score >= k/10), which keeps the
+    * comparison in exact BIGINT arithmetic end to end:
+    * score >= k/10  <=>  weight_sum * 10 >= k * 1000 * n_tokens —
+    * no float compare can drift a document across a threshold between
+    * engines. precision/recall are floor-ppm over exact counts.
+    * Output: (thr_tenths, tp, fp, fn, tn, precision_ppm, recall_ppm).
+    */
+  def calibrate(
+      scored: DataFrame, truthCol: Column, thresholdTenths: Seq[Int]): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val grid = broadcast(thresholdTenths.toDF("thr_tenths"))
+    def cnt(p: Column): Column = sum(when(p, 1L).otherwise(0L))
+    scored.withColumn("__truth", truthCol)
+      .crossJoin(grid)
+      .withColumn("__pred",
+        col("weight_sum") * 10 >= col("thr_tenths") * 1000 * col("n_tokens"))
+      .groupBy(col("thr_tenths"))
+      .agg(
+        cnt(col("__pred") && col("__truth")).as("tp"),
+        cnt(col("__pred") && !col("__truth")).as("fp"),
+        cnt(!col("__pred") && col("__truth")).as("fn"),
+        cnt(!col("__pred") && !col("__truth")).as("tn"))
+      .withColumn("precision_ppm",
+        when(col("tp") + col("fp") > 0,
+          floor(col("tp") * lit(1000000.0) / (col("tp") + col("fp"))).cast("long")))
+      .withColumn("recall_ppm",
+        when(col("tp") + col("fn") > 0,
+          floor(col("tp") * lit(1000000.0) / (col("tp") + col("fn"))).cast("long")))
+      .orderBy(col("thr_tenths"))
+  }
+
   /** The explode + groupBy spelling of [[score]] — shuffles the whole
     * token stream; spec cross-check only. */
   private[graft] def scoreExploded(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -3669,5 +3669,47 @@ object TextQueries {
         .select($"qid", $"term", $"fused_rank", $"id", $"rrf_scaled", $"n_lists")
         .orderBy($"qid", $"fused_rank")
     },
+
+    // ---- q138: classifier threshold calibration (L4) — precision/recall
+    // sweep of the q96 hashed quality classifier against a reference
+    // label, every comparison in exact BIGINT arithmetic (calibrate
+    // scaladoc) so no document can drift across a threshold between
+    // engines. One pass over the scored frame; only |grid| rows shuffle.
+    QueryDef(
+      "q138_classifier_calibration",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ts,
+        |         length(text) >= 200 AS truth
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, truth, len(ts)::BIGINT AS n_tokens,
+        |         CAST(coalesce(list_sum(list_transform(ts, tok ->
+        |           ('0x' || substr(md5('w_' || tok), 1, 8))::BIGINT % 2001 - 1000)), 0) AS BIGINT)
+        |           AS weight_sum
+        |  FROM t WHERE len(ts) > 0
+        |), g AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS thr_tenths), j AS (
+        |  SELECT thr_tenths, weight_sum * 10 >= thr_tenths * 1000 * n_tokens AS pred, truth
+        |  FROM s CROSS JOIN g
+        |), c AS (
+        |  SELECT thr_tenths,
+        |         sum(CASE WHEN pred AND truth THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |         sum(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END)::BIGINT AS fp,
+        |         sum(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END)::BIGINT AS fn,
+        |         sum(CASE WHEN NOT pred AND NOT truth THEN 1 ELSE 0 END)::BIGINT AS tn
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT thr_tenths, tp, fp, fn, tn,
+        |       CASE WHEN tp + fp > 0 THEN CAST(floor(tp * 1000000.0 / (tp + fp)) AS BIGINT) END AS precision_ppm,
+        |       CASE WHEN tp + fn > 0 THEN CAST(floor(tp * 1000000.0 / (tp + fn)) AS BIGINT) END AS recall_ppm
+        |FROM c ORDER BY thr_tenths""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val scored = graft.operators.QualityClassifier.score(docs, "doc_id", "text")
+        .join(docs.select($"doc_id", (length($"text") >= 200).as("truth")), Seq("doc_id"))
+      graft.operators.QualityClassifier
+        .calibrate(scored, $"truth", Seq(-3, -2, -1, 0, 1, 2, 3))
+    },
   )
 }

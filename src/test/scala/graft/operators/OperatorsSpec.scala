@@ -315,6 +315,26 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.8, s"deterministic hyperplane recall regressed: $recall")
   }
 
+  test("QualityClassifier.calibrate: exact >= at the threshold, ppm floors, empty cells null") {
+    import spark.implicits._
+    // scores: 0.1 (=100/1000/1), -0.1, 0.3 — thresholds in tenths
+    val scored = Seq(
+      (1L, 1L, 100L, true),   // score exactly 0.1
+      (2L, 1L, -100L, false), // score -0.1
+      (3L, 1L, 300L, false),  // score 0.3
+    ).toDF("doc_id", "n_tokens", "weight_sum", "truth")
+    val out = QualityClassifier.calibrate(scored, $"truth", Seq(1, 4))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    // thr 0.1: preds = docs 1,3 -> tp=1 (doc1), fp=1 (doc3), fn=0, tn=1
+    assert(out(1) == ((1L, 1L, 0L, 1L, 500000L, 1000000L)),
+      "a score exactly at the threshold must count as predicted-positive")
+    // thr 0.4: nothing predicted -> precision undefined (null), recall 0
+    assert(out(4) == ((0L, 0L, 1L, 2L, -1L, 0L)))
+  }
+
   test("Rrf.fuse: both-list items outrank single-list items; exact-integer ties break by id") {
     import spark.implicits._
     // query 1: id 10 is rank 3 lexically and rank 2 semantically; id 20 is
