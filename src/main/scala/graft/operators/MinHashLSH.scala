@@ -214,4 +214,75 @@ object MinHashLSH {
     val cand = candidatePairsRaw(signatures(sh, numPerms), bands, rowsPerBand)
     Dedup.jaccardForPairs(sh, cand, threshold, pairsDistinct = false)
   }
+
+  /** Horizon-scoped near-dup pairs: like [[nearDuplicatePairs]], but a
+    * pair only counts when the two documents' timestamps lie within
+    * `horizon` of each other — the "don't compare January against a
+    * three-year-old crawl" shape of rolling-corpus dedup.
+    *
+    * WHY a dedicated operator instead of
+    * `nearDuplicatePairs(..).filter(gap <= horizon)`: the post-filter
+    * spelling still pays candidate generation over the FULL corpus —
+    * every LSH bucket holds every epoch that ever hashed into it, so
+    * bucket sizes (and the refine's pair count) grow with corpus AGE,
+    * not with the horizon. Here the band key is extended with a coarse
+    * time cell of width `horizon` and each signature row is replicated
+    * into its own cell and the next one, so two docs can share a
+    * bucket only when their cells are equal or adjacent — and any pair
+    * within `horizon` IS within one cell of each other (floor
+    * monotonicity), so recall vs the post-filter spelling is
+    * unchanged. Bucket population is bounded by ~2·horizon of data per
+    * key regardless of how old the corpus grows, which is the whole
+    * point at 100 TB. Candidates then pass the EXACT |ta-tb| <=
+    * horizon predicate (adjacent cells admit gaps up to 2·horizon)
+    * BEFORE the Jaccard refine, so the popcount kernel never sees an
+    * out-of-window pair.
+    *
+    * `ts` must be a narrow (idCol, tCol) frame, one row per document —
+    * fingerprint-scale, joined once onto the signature frame (not the
+    * shingle explosion). Returns (da, db, jaccard, t_gap) with
+    * jaccard >= threshold and t_gap <= horizon.
+    */
+  def temporalNearDuplicatePairs(
+      shingles: DataFrame,
+      ts: DataFrame,
+      horizon: Long,
+      threshold: Double,
+      idCol: String = "doc_id",
+      tCol: String = "t",
+      numPerms: Int = 128,
+      bands: Int = 32,
+      rowsPerBand: Int = 4): DataFrame = {
+    requireBandsFit(numPerms, bands, rowsPerBand)
+    require(horizon > 0, s"horizon must be positive, got $horizon")
+    // Cache-release contract: see Dedup.jaccardPairs.
+    val sh = shingles.cache()
+    val tsn = ts.select(col(idCol).as("doc_id"), col(tCol).cast("long").as("__t"))
+    // floor division (not Spark's truncate-toward-zero `/` on longs) so
+    // negative timestamps cell correctly; |t| < 2^52 keeps the double
+    // path exact
+    val cell = floor(col("__t").cast("double") / horizon.toDouble).cast("long")
+    val banded = bandKeys(signatures(sh, numPerms).join(tsn, "doc_id"),
+        bands, rowsPerBand)
+      .withColumn("__cell", explode(array(cell, cell + lit(1L))))
+      .select(col("doc_id"), col("band"),
+        // fold the cell into the bucket key: the hot-bucket cap then
+        // bounds per-(band, key, cell) work, exactly the bound that
+        // holds at scale
+        xxhash64(col("bkey"), col("__cell")).as("bkey"))
+    // dedup=false: same-cell pairs meet in BOTH replicated cells (and
+    // possibly several bands); the refine dedups after thresholding,
+    // same trade as nearDuplicatePairs
+    val cand = cappedBucketPairs(banded, DefaultBucketCap, logOverflow = true,
+      dedup = false)
+    val ta = tsn.select(col("doc_id").as("da"), col("__t").as("__ta"))
+    val tb = tsn.select(col("doc_id").as("db"), col("__t").as("__tb"))
+    val inWindow = cand.join(ta, "da").join(tb, "db")
+      .filter(abs(col("__ta") - col("__tb")) <= horizon)
+      .select(col("da"), col("db"))
+    Dedup.jaccardForPairs(sh, inWindow, threshold, pairsDistinct = false)
+      .join(ta, "da").join(tb, "db")
+      .withColumn("t_gap", abs(col("__ta") - col("__tb")))
+      .drop("__ta", "__tb")
+  }
 }

@@ -41,6 +41,38 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("temporal near-dup pairs: horizon filters exactly, cell-boundary pairs survive") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    val other = "colorless green ideas sleep furiously at noon " * 5
+    // group X (ids 1,2,3): near-identical text; only (1,2) is in-window.
+    // group Y (ids 4,5): near-identical, days 13/15 STRADDLE the 14-day
+    // cell boundary (cells 0 and 1) — the adjacent-cell replication must
+    // still find them. id 6: unrelated text, never pairs.
+    val docs = Seq(
+      (1L, base + "tail one"), (2L, base + "tail two"), (3L, base + "tail3"),
+      (4L, other + "x"), (5L, other + "y"), (6L, "completely different words entirely")
+    ).toDF("doc_id", "text")
+    val day = Map(1L -> 0L, 2L -> 10L, 3L -> 200L, 4L -> 13L, 5L -> 15L, 6L -> 180L)
+    val ts = day.toSeq.toDF("doc_id", "t")
+    val sh = Dedup.charShingles(docs, "doc_id", "text").cache()
+    val got = MinHashLSH.temporalNearDuplicatePairs(sh, ts, horizon = 14L, threshold = 0.7)
+      .collect().map(r => ((r.getAs[Long]("da"), r.getAs[Long]("db")), r.getAs[Long]("t_gap")))
+      .toMap
+    assert(got.keySet == Set((1L, 2L), (4L, 5L)))
+    assert(got((1L, 2L)) == 10L && got((4L, 5L)) == 2L)
+    // identity vs the post-filter spelling (same corpus, no cap pressure):
+    // the cell bucketing must lose no in-window pair
+    val post = MinHashLSH.nearDuplicatePairs(sh, 0.7).select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => math.abs(day(a) - day(b)) <= 14L }.toSet
+    assert(post == got.keySet)
+    // and the out-of-window near-dups DID exist (the filter earned its keep)
+    val full = MinHashLSH.nearDuplicatePairs(sh, 0.7).count()
+    assert(full > got.size)
+    sh.unpersist()
+  }
+
   test("prefix-filter join pairs equal the exact Jaccard pairs (exactness, not recall)") {
     val sh = Dedup.charShingles(tables.documents, "doc_id", "text").cache()
     val exact = Dedup.jaccardPairs(sh, 0.7).select("da", "db", "jaccard")
