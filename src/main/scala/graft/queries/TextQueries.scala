@@ -3711,5 +3711,95 @@ object TextQueries {
       graft.operators.QualityClassifier
         .calibrate(scored, $"truth", Seq(-3, -2, -1, 0, 1, 2, 3))
     },
+
+    // ---- q139: horizon-scoped near-dedup (MinHashLSH
+    // .temporalNearDuplicatePairs scaladoc) — rolling-corpus dedup where
+    // a pair only counts within a 14-day ingest window. The engine
+    // extends the LSH band key with a horizon-width time cell
+    // (replicated to the adjacent cell), so buckets hold ~2 windows of
+    // data regardless of corpus age — the post-filter spelling's buckets
+    // grow with AGE and that is what this operator exists to avoid. The
+    // oracle is cell-blind: exact bitmap-popcount pairs, exact gap
+    // predicate — gating that the cell bucketing loses NO in-window
+    // pair. Ingest day is a deterministic doc_id spread (37 is coprime
+    // to 365, so ids sweep all days); pair-enumeration oracle => sliced
+    // tier at sf1 like q35/q35b. -----------------------------------
+    QueryDef(
+      "q139_temporal_neardup",
+      s"""WITH day AS (SELECT doc_id, (doc_id * 37) % 365 AS d FROM $docRel),
+         |$shingleCte,
+         |${bitmapInter("sh", lengthBand = Some(0.7))}
+         |SELECT da, db,
+         |       CAST(CAST(round(i * 1.0 / (sa.n + sb.n - i), 4) AS DECIMAL(18,4)) AS DOUBLE) AS jaccard,
+         |       CAST(abs(ya.d - yb.d) AS BIGINT) AS t_gap
+         |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+         |JOIN day ya ON ya.doc_id = da JOIN day yb ON yb.doc_id = db
+         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7 AND abs(ya.d - yb.d) <= 14
+         |ORDER BY da, db""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = slicedDocs(spark, dir)
+      val ts = docs.select($"doc_id", (($"doc_id" * 37) % 365).as("t"))
+      graft.operators.MinHashLSH
+        .temporalNearDuplicatePairs(
+          graft.operators.Dedup.charShingles(docs, "doc_id", "text"),
+          ts, horizon = 14L, threshold = 0.7)
+        .select($"da", $"db", dec($"jaccard", 4).as("jaccard"),
+          $"t_gap".cast("long").as("t_gap"))
+        .orderBy($"da", $"db")
+    },
+
+    // ---- q140: positional phrase search (PhraseSearch scaladoc) — a
+    // 5-phrase batch (3-token, 2-token, a repeated-token phrase whose
+    // occurrences can overlap, and a guaranteed-zero-hit phrase that
+    // must still report a 0 row) resolved in ONE broadcast join + ONE
+    // groupBy over the positional postings. The oracle spells the
+    // classic per-offset positional join; the engine's start-voting
+    // aggregate must reach the identical occurrence set. -------------
+    QueryDef(
+      "q140_phrase_search",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ts
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, g.i AS pos, ts[g.i::INT] AS tok
+        |  FROM t, generate_series(1, 100000) g(i) WHERE g.i <= len(ts)
+        |), ph(pid, w1, w2, w3) AS (
+        |  VALUES (0, 'scan', 'query', 'big'), (1, 'table', 'table', NULL),
+        |         (2, 'fast', 'sort', NULL), (3, 'value', 'table', 'part'),
+        |         (4, 'zebra', 'unicorn', NULL)
+        |), m AS (
+        |  SELECT ph.pid, a.doc_id, a.pos
+        |  FROM ph
+        |  JOIN p a ON a.tok = ph.w1
+        |  JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.tok = ph.w2
+        |  LEFT JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 AND c.tok = ph.w3
+        |  WHERE ph.w3 IS NULL OR c.pos IS NOT NULL
+        |)
+        |SELECT ph.pid, count(m.doc_id)::BIGINT AS n_matches,
+        |       count(DISTINCT m.doc_id)::BIGINT AS n_docs,
+        |       CAST(coalesce(sum(m.pos), 0) AS BIGINT) AS pos_checksum,
+        |       CAST(coalesce(sum(m.doc_id), 0) AS BIGINT) AS id_checksum
+        |FROM ph LEFT JOIN m ON m.pid = ph.pid
+        |GROUP BY 1 ORDER BY 1""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val phrases = Seq(
+        0 -> Seq("scan", "query", "big"), 1 -> Seq("table", "table"),
+        2 -> Seq("fast", "sort"), 3 -> Seq("value", "table", "part"),
+        4 -> Seq("zebra", "unicorn"))
+      val docs = Tables(spark, dir).documents
+      val m = graft.operators.PhraseSearch.search(
+        graft.operators.PhraseSearch.postings(docs, "doc_id", "text"), phrases)
+      phrases.map(_._1).toDF("pid")
+        .join(m, Seq("pid"), "left")
+        .groupBy($"pid")
+        .agg(count($"doc_id").as("n_matches"),
+          countDistinct($"doc_id").as("n_docs"),
+          coalesce(sum($"start"), lit(0L)).cast("long").as("pos_checksum"),
+          coalesce(sum($"doc_id"), lit(0L)).cast("long").as("id_checksum"))
+        .orderBy($"pid")
+    },
   )
 }

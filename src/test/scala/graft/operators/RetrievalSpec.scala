@@ -37,6 +37,26 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(byDoc(2L) - expected) < 1e-12)
   }
 
+  test("PhraseSearch: adjacency, order, overlap, and normalization on a hand corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the Quick brown-fox. quick brown again"), // normalization: case + punct
+      (2L, "quick stop brown"),                       // both tokens, NOT adjacent
+      (3L, "brown quick"),                            // adjacent, wrong order
+      (4L, "go go go")                                // repeated-token overlap
+    ).toDF("doc_id", "text")
+    val post = graft.operators.PhraseSearch.postings(docs, "doc_id", "text")
+    val m = graft.operators.PhraseSearch.search(post,
+        Seq(0 -> Seq("quick", "brown"), 1 -> Seq("go", "go"), 2 -> Seq("quick", "brown", "again")))
+      .collect().map(r => (r.getAs[Int]("pid"), r.getAs[Long]("doc_id"), r.getAs[Long]("start")))
+      .toSet
+    assert(m == Set(
+      (0, 1L, 2L), (0, 1L, 5L), // "quick brown" twice in doc 1 (case/punct folded)
+      (1, 4L, 1L), (1, 4L, 2L), // "go go" OVERLAPS in "go go go": starts 1 and 2
+      (2, 1L, 5L)               // 3-token phrase only at the second occurrence
+    ))
+  }
+
   test("int8 quantization: codes bounded, reconstruction within half a step") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001").embeddings
     val v = graft.functions.VectorFunctions.toDouble($"embedding")
