@@ -3801,5 +3801,42 @@ object TextQueries {
           coalesce(sum($"doc_id"), lit(0L)).cast("long").as("id_checksum"))
         .orderBy($"pid")
     },
+
+    // ---- q141: tall-skinny PCA moment matrix (Pca scaladoc) — the
+    // data-scale half of distributed PCA: N×64 float rows reduced to
+    // the 64 first-order sums + 2080 upper-triangle second moments in
+    // ONE pass with exact DECIMAL arithmetic (order-free => identical
+    // under any partitioning, AQE re-plan, or the oracle's completely
+    // different derivation). The oracle spells the naive explode +
+    // self-join; the engine's per-row product array + partial-agg
+    // groupBy must land on bit-identical decimals. The d×d eigensolve
+    // on this summary is driver-side metadata work (PcaSpec). --------
+    QueryDef(
+      "q141_pca_moments",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), x AS (
+        |  SELECT vec_id, i - 1 AS i, CAST(v[i] AS DECIMAL(18,9)) AS xi
+        |  FROM e, UNNEST(generate_series(1, len(v))) AS t(i)
+        |), m2 AS (
+        |  SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS s
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2
+        |), m1 AS (SELECT i, -1 AS j, sum(xi) AS s FROM x GROUP BY 1)
+        |-- cast each branch BEFORE the union: DECIMAL(38,18) u DECIMAL(38,9)
+        |-- has no 38-digit supertype, and DuckDB resolves it by dropping
+        |-- scale, silently rounding the second moments to 9 digits
+        |SELECT i::BIGINT AS i, j::BIGINT AS j, s FROM (
+        |  SELECT i, j, CAST(s AS DECIMAL(38,18)) AS s FROM m2
+        |  UNION ALL SELECT i, j, CAST(s AS DECIMAL(38,18)) AS s FROM m1)
+        |ORDER BY i, j""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.Pca
+        .moments(Tables(spark, dir).embeddings, "embedding", d = 64)
+        .select($"i".cast("long").as("i"), $"j".cast("long").as("j"), $"s")
+        .orderBy($"i", $"j")
+    },
   )
 }
