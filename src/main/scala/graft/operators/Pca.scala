@@ -12,47 +12,72 @@ import org.apache.spark.sql.types.DecimalType
   * driver-side metadata work (d is 64–1024 while N is billions — the
   * matrix is a few KB).
   *
-  * The moment phase is EXACT and order-free: each float is cast to
-  * DECIMAL(18,9) once (deterministic), products are DECIMAL(37,18)
-  * (exact — no precision loss at these operand scales), and decimal
-  * sums are associative, so the result is bit-identical under any
-  * partitioning or AQE re-plan — and identical to a SQL oracle's
-  * derivation. Compare the naive distributed spelling (explode to
-  * (vec, i, x) then self-join on vec): that shuffles N·d rows twice
-  * and pays an N·d² join. Here each row emits its d(d+1)/2 products
-  * into ONE posexplode + partial-aggregated groupBy — the only shuffle
-  * is the ~2·d²/2-row partial-aggregate merge, independent of N.
+  * The moment phase is EXACT and order-free: each float is quantized
+  * ONCE by floor(x·10⁹) — a deterministic double multiply + floor with
+  * NO round-half tie semantics (a float→DECIMAL cast is not portable:
+  * Spark rounds the value's shortest string representation while SQL
+  * engines round the binary value, and the two disagree on near-tie
+  * mantissas). From there everything is integer arithmetic: products
+  * fit a long (|x| < ~9 ⇒ |xi·xj| < 8·10¹⁹? no — quantized |xi| ≤
+  * 9·10⁹ would overflow, hence the require below bounds |x| < 2.9),
+  * sums accumulate in DECIMAL(38,0) (associative ⇒ bit-identical
+  * under any partitioning or AQE re-plan — and identical to a SQL
+  * oracle's completely different derivation). Compare the naive
+  * distributed spelling (explode to (vec, i, x) then self-join on
+  * vec): that shuffles N·d rows twice and pays an N·d² join. Here
+  * each row emits its d(d+1)/2 products through a nested generator
+  * (posexplode + a transform over the remaining tail) into ONE
+  * partial-aggregated groupBy — NOT a d²-literal projection, which
+  * blows past the JIT method-size ceiling at d = 64 — so the only
+  * shuffle is the ~d²/2-key partial-aggregate merge, independent
+  * of N.
   */
 object Pca {
 
-  /** Output row order: first-order sums (i, j = -1, Σ x_i), then upper-
-    * triangle second moments (i, j >= i, Σ x_i·x_j).
-    */
-  def momentIndex(d: Int): Seq[(Int, Int)] =
-    (0 until d).map(i => (i, -1)) ++
-      (for { i <- 0 until d; j <- i until d } yield (i, j))
-
-  /** Exact decimal moment rows (i, j, s) for `vecCol: Array[Float]` of
-    * fixed length `d`; j = -1 rows carry Σ x_i, j >= i rows Σ x_i·x_j.
+  /** Exact moment rows (i, j, s) over xi = floor(x_i·10⁹) for
+    * `vecCol: Array[Float]` of length up to `d`; j = -1 rows carry
+    * Σ xi (units 10⁻⁹), j >= i rows Σ xi·xj (units 10⁻¹⁸).
+    * Components must satisfy |x| < 2.9 so the long product can't
+    * overflow (embeddings are unit-norm-ish; a violation means the
+    * column isn't one — enforced with raise_error, never a silent
+    * wrap).
     */
   def moments(vecs: DataFrame, vecCol: String, d: Int): DataFrame = {
     require(d > 0 && d <= 1024, s"d=$d out of the tall-skinny regime")
     val spark = vecs.sparkSession
     import spark.implicits._
-    val xd = transform(col(vecCol), x => x.cast(DecimalType(18, 9)))
-    def at(i: Int): Column = element_at(col("__xd"), i + 1)
-    val terms: Seq[Column] = momentIndex(d).map {
-      case (i, -1) => at(i).cast(DecimalType(37, 18))
-      case (i, j)  => at(i) * at(j)
-    }
-    val idx = momentIndex(d).zipWithIndex
-      .map { case ((i, j), pos) => (pos, i, j) }.toDF("pos", "i", "j")
-    vecs.select(xd.as("__xd"))
-      .select(posexplode(array(terms: _*)))
-      .groupBy($"pos")
-      .agg(sum($"col").as("s"))
-      .join(broadcast(idx), "pos")
-      .select($"i", $"j", $"s".cast(DecimalType(38, 18)).as("s"))
+    val xq = transform(col(vecCol), x =>
+      when(abs(x) < 2.9f, floor(x * lit(1e9)).cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"Pca.moments: |$vecCol| component out of quantization range: "),
+          x.cast("string")))))
+    // Per element i: one (j = -1, xi) first-moment term, then the
+    // upper-triangle products against the tail x[i..d). slice() is
+    // 1-based; its idx lambda arg is a 0-based offset into the tail.
+    val terms = concat(
+      array(struct(lit(-1).as("j"), $"xi".as("s"))),
+      transform(
+        slice($"__xq", $"i" + 1, lit(d) - $"i"),
+        (xj, off) => struct(($"i" + off).as("j"), ($"xi" * xj).as("s"))))
+    vecs.select(xq.as("__xq"))
+      .select($"__xq", posexplode($"__xq").as(Seq("i", "xi")))
+      .select($"i", explode(terms).as("t"))
+      .groupBy($"i", $"t.j".as("j"))
+      .agg(sum($"t.s".cast(DecimalType(38, 0))).as("s"))
+  }
+
+  /** Merge shard moment frames into the whole-corpus matrix. The
+    * integer sums are associative, so unioned partials re-aggregate to
+    * EXACTLY the single-pass result — the incremental-maintenance path:
+    * a new embedding batch's d²/2-row summary folds into the persisted
+    * one without touching historical vectors (same discipline as
+    * SignatureIndex.merge / IvfIndex.append).
+    */
+  def merge(shards: Seq[DataFrame]): DataFrame = {
+    require(shards.nonEmpty, "no shards")
+    shards.reduce(_ unionByName _)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("s")).cast(DecimalType(38, 0)).as("s"))
   }
 
   /** Driver-side eigensolve of the COVARIANCE matrix assembled from
@@ -68,9 +93,11 @@ object Pca {
     require(n > 1, "need at least two rows for a covariance")
     val s1 = Array.ofDim[Double](d)
     val s2 = Array.ofDim[Double](d, d)
-    moments.foreach {
-      case (i, -1, s) => s1(i) = s.doubleValue()
-      case (i, j, s)  => s2(i)(j) = s.doubleValue(); s2(j)(i) = s.doubleValue()
+    moments.foreach { // un-quantize: Σxi in 10⁻⁹ units, Σxi·xj in 10⁻¹⁸
+      case (i, -1, s) => s1(i) = s.doubleValue() * 1e-9
+      case (i, j, s)  =>
+        val v = s.doubleValue() * 1e-18
+        s2(i)(j) = v; s2(j)(i) = v
     }
     val a = Array.tabulate(d, d)((i, j) =>
       (s2(i)(j) - s1(i) * s1(j) / n) / (n - 1))

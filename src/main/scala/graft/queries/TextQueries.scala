@@ -421,6 +421,26 @@ object TextQueries {
        |$rounds""".stripMargin
   }
 
+  /** Whole-corpus PCA moment oracle (q141 single-pass, q142 shard-merge
+    * — hash equality of the merge path against THIS proves shard-built
+    * ≡ single-pass, the q136 discipline).
+    */
+  private val pcaMomentsOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), x AS (
+      |  SELECT vec_id, i - 1 AS i, CAST(floor(v[i] * 1e9) AS BIGINT) AS xi
+      |  FROM e, UNNEST(generate_series(1, len(v))) AS t(i)
+      |), m2 AS (
+      |  SELECT a.i AS i, b.i AS j, sum(CAST(a.xi AS HUGEINT) * b.xi) AS s
+      |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY 1, 2
+      |), m1 AS (SELECT i, -1 AS j, CAST(sum(xi) AS HUGEINT) AS s FROM x GROUP BY 1)
+      |SELECT i::BIGINT AS i, j::BIGINT AS j, CAST(s AS DECIMAL(38,0)) AS s
+      |FROM (SELECT * FROM m2 UNION ALL SELECT * FROM m1)
+      |ORDER BY i, j""".stripMargin
+
   private val jaccardOracle =
     s"""WITH $shingleCte,
        |${bitmapInter("sh", lengthBand = Some(0.7))}
@@ -3805,36 +3825,36 @@ object TextQueries {
     // ---- q141: tall-skinny PCA moment matrix (Pca scaladoc) — the
     // data-scale half of distributed PCA: N×64 float rows reduced to
     // the 64 first-order sums + 2080 upper-triangle second moments in
-    // ONE pass with exact DECIMAL arithmetic (order-free => identical
-    // under any partitioning, AQE re-plan, or the oracle's completely
-    // different derivation). The oracle spells the naive explode +
-    // self-join; the engine's per-row product array + partial-agg
-    // groupBy must land on bit-identical decimals. The d×d eigensolve
-    // on this summary is driver-side metadata work (PcaSpec). --------
-    QueryDef(
-      "q141_pca_moments",
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |), x AS (
-        |  SELECT vec_id, i - 1 AS i, CAST(v[i] AS DECIMAL(18,9)) AS xi
-        |  FROM e, UNNEST(generate_series(1, len(v))) AS t(i)
-        |), m2 AS (
-        |  SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS s
-        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-        |  GROUP BY 1, 2
-        |), m1 AS (SELECT i, -1 AS j, sum(xi) AS s FROM x GROUP BY 1)
-        |-- cast each branch BEFORE the union: DECIMAL(38,18) u DECIMAL(38,9)
-        |-- has no 38-digit supertype, and DuckDB resolves it by dropping
-        |-- scale, silently rounding the second moments to 9 digits
-        |SELECT i::BIGINT AS i, j::BIGINT AS j, s FROM (
-        |  SELECT i, j, CAST(s AS DECIMAL(38,18)) AS s FROM m2
-        |  UNION ALL SELECT i, j, CAST(s AS DECIMAL(38,18)) AS s FROM m1)
-        |ORDER BY i, j""",
-    ) { (spark, dir) =>
+    // ONE pass with exact integer arithmetic over floor(x·1e9)
+    // fixed-point quanta (order-free => identical under any
+    // partitioning, AQE re-plan, or the oracle's completely different
+    // derivation; a float→DECIMAL cast is NOT portable — Spark rounds
+    // the shortest string repr, SQL engines the binary value, and the
+    // 2x tier's perturbed embeddings hit a near-tie mantissa where
+    // they disagree). The oracle spells the naive explode + self-join;
+    // the engine's per-row product array + partial-agg groupBy must
+    // land on identical integers. The d×d eigensolve on this summary
+    // is driver-side metadata work (PcaSpec). -----------------------
+    QueryDef("q141_pca_moments", pcaMomentsOracle) { (spark, dir) =>
       import spark.implicits._
       graft.operators.Pca
         .moments(Tables(spark, dir).embeddings, "embedding", d = 64)
+        .select($"i".cast("long").as("i"), $"j".cast("long").as("j"), $"s")
+        .orderBy($"i", $"j")
+    },
+
+    // ---- q142: sharded PCA moment maintenance (Pca.merge scaladoc) —
+    // the incremental path: two disjoint embedding shards summarized
+    // independently, merged by pure d²/2-row re-aggregation (no vector
+    // revisited), hash-gated against the SAME whole-corpus oracle as
+    // q141. Integer-sum associativity makes merged ≡ single-pass an
+    // exact identity, and the gate proves it, not the scaladoc. ------
+    QueryDef("q142_pca_merge", pcaMomentsOracle) { (spark, dir) =>
+      import spark.implicits._
+      val e = Tables(spark, dir).embeddings
+      val shards = Seq(e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" % 2 =!= 0))
+        .map(graft.operators.Pca.moments(_, "embedding", d = 64))
+      graft.operators.Pca.merge(shards)
         .select($"i".cast("long").as("i"), $"j".cast("long").as("j"), $"s")
         .orderBy($"i", $"j")
     },

@@ -17,14 +17,15 @@ class PcaSpec extends SparkSpec {
         r.getAs[java.math.BigDecimal]("s").doubleValue()))
       .toMap
     assert(m.size == 3 + 6)
-    assert(m((0, -1)) == 0.0)        // 1 - 1
-    assert(m((1, -1)) == 2.0)
-    assert(m((2, -1)) == 0.75)
-    assert(m((0, 0)) == 2.0)         // 1 + 1
-    assert(m((0, 1)) == 2.0)         // 1*2 + (-1)*0
-    assert(m((0, 2)) == 0.25)        // 0.5 - 0.25
-    assert(m((1, 2)) == 1.0)         // 2*0.5 + 0
-    assert(m((2, 2)) == 0.3125)      // 0.25 + 0.0625
+    // quantized: Σ floor(x·1e9) in 1e-9 units, Σ products in 1e-18 units
+    assert(m((0, -1)) == 0.0)          // 1e9 - 1e9
+    assert(m((1, -1)) == 2.0e9)
+    assert(m((2, -1)) == 0.75e9)
+    assert(m((0, 0)) == 2.0e18)        // 1 + 1
+    assert(m((0, 1)) == 2.0e18)        // 1*2 + (-1)*0
+    assert(m((0, 2)) == 0.25e18)       // 0.5 - 0.25
+    assert(m((1, 2)) == 1.0e18)        // 2*0.5 + 0
+    assert(m((2, 2)) == 0.3125e18)     // 0.25 + 0.0625
   }
 
   test("Pca.eigen: recovers analytic eigenpairs of a known 2x2 covariance") {
@@ -55,9 +56,9 @@ class PcaSpec extends SparkSpec {
       .toSeq
     val eig = Pca.eigen(rows, n, d = 64)
     // trace(cov) == sum of eigenvalues (similarity transforms preserve trace)
-    val s1 = rows.collect { case (i, -1, s) => i -> s.doubleValue() }.toMap
+    val s1 = rows.collect { case (i, -1, s) => i -> s.doubleValue() * 1e-9 }.toMap
     val diag = rows.collect { case (i, j, s) if i == j =>
-      (s.doubleValue() - s1(i) * s1(i) / n) / (n - 1)
+      (s.doubleValue() * 1e-18 - s1(i) * s1(i) / n) / (n - 1)
     }.sum
     assert(math.abs(diag - eig.map(_._1).sum) < 1e-9 * math.max(1.0, math.abs(diag)))
     // descending, and the spectrum of a covariance is non-negative
