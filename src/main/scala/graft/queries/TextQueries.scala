@@ -3858,5 +3858,56 @@ object TextQueries {
         .select($"i".cast("long").as("i"), $"j".cast("long").as("j"), $"s")
         .orderBy($"i", $"j")
     },
+
+    // ---- q143: vocabulary coverage curve — the tokenizer-sizing
+    // question ("how many types cover P% of token occurrences?"). The
+    // corpus-scale work is ONE token-count aggregation; the coverage
+    // curve is a GLOBAL prefix sum over the (cnt DESC, tok) total order,
+    // which the textbook spelling runs as a single-task global window —
+    // a non-starter when the vocabulary is billions of n-gram types.
+    // Both the cumulative count and the rank ride the range-partitioned
+    // keyedPrefixSum (no keys => one global group split across tasks);
+    // the grand total is max(cum), a broadcast 1-row frame, never a
+    // driver scalar. All-integer arithmetic (cum·100 >= pct·total) keeps
+    // the crossing points exact, so the gate pins the distributed sums
+    // AND the binary (cnt, tok) tie order against the oracle's window
+    // derivation. ---------------------------------------------------
+    QueryDef(
+      "q143_vocab_coverage",
+      """WITH tok AS (
+        |  SELECT t.tok FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) t(tok)
+        |  WHERE t.tok <> ''
+        |), tf AS (SELECT tok, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+        |o AS (
+        |  SELECT cnt,
+        |         sum(cnt) OVER (ORDER BY cnt DESC, tok) AS cum,
+        |         row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+        |  FROM tf
+        |), t AS (SELECT sum(cnt) AS total FROM tf)
+        |SELECT p.pct::BIGINT AS pct, min(rnk)::BIGINT AS vocab_size,
+        |       min(cum)::BIGINT AS covered_tokens
+        |FROM o, t, (VALUES (50),(90),(99)) p(pct)
+        |WHERE cum * 100 >= p.pct * t.total
+        |GROUP BY 1 ORDER BY 1""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val tf = Tables(spark, dir).documents
+        .select(explode(TextFunctions.alphaTokens($"text")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      val order = Seq($"cnt".desc, $"tok")
+      val ranked = graft.operators.SequencePacking.keyedPrefixSum(
+        graft.operators.SequencePacking.keyedPrefixSum(
+          tf, Nil, order, $"cnt", "cum_before"),
+        Nil, order, lit(1L), "rank_before")
+        .select(($"cum_before" + $"cnt").as("cum"), ($"rank_before" + 1L).as("rnk"))
+      val total = ranked.agg(max($"cum").as("total"))
+      ranked.crossJoin(broadcast(total))
+        .select(explode(array(lit(50L), lit(90L), lit(99L))).as("pct"),
+          $"cum", $"rnk", $"total")
+        .filter($"cum" * 100L >= $"pct" * $"total")
+        .groupBy($"pct")
+        .agg(min($"rnk").as("vocab_size"), min($"cum").as("covered_tokens"))
+        .orderBy($"pct")
+    },
   )
 }
