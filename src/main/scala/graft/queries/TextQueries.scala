@@ -3909,5 +3909,32 @@ object TextQueries {
         .agg(min($"rnk").as("vocab_size"), min($"cum").as("covered_tokens"))
         .orderBy($"pct")
     },
+
+    // ---- q144: grouped top-k via the bounded-heap partial aggregate
+    // (TopK scaladoc) — the scale-superior spelling of q21's window
+    // rank: the Aggregator's reduce/merge ARE the map-side/shuffle-side
+    // combines, so each partition ships ≤ k pairs per group instead of
+    // a hot group's entire history crossing the wire to one sort task.
+    // Gate: identical rows to the oracle's row_number derivation,
+    // including the (score DESC, doc_id ASC) tie order the buffer
+    // maintains. -----------------------------------------------------
+    QueryDef(
+      "q144_grouped_topk",
+      """WITH r AS (
+        |  SELECT source, doc_id, length(text)::BIGINT AS score,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY length(text) DESC, doc_id) AS rnk
+        |  FROM documents
+        |)
+        |SELECT source, rnk::BIGINT AS rank, score, doc_id AS id
+        |FROM r WHERE rnk <= 5 ORDER BY source, rank""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.TopK.perGroup(
+          Tables(spark, dir).documents
+            .select($"source", length($"text").as("score"), $"doc_id"),
+          Seq("source"), $"score", $"doc_id", k = 5)
+        .orderBy($"source", $"rank")
+    },
   )
 }
