@@ -3936,5 +3936,37 @@ object TextQueries {
           Seq("source"), $"score", $"doc_id", k = 5)
         .orderBy($"source", $"rank")
     },
+
+    // ---- q145: adjacent-bigram collocation lift (Cooccurrence
+    // scaladoc). Bigrams are built row-locally (zip_with over two
+    // slices — no positional self-join), the pair count is the only
+    // corpus-sized shuffle, and marginals come off the cached
+    // vocab²-bounded pair frame. Lift is emitted as an exact-integer
+    // ppm floor quotient so the gate is log-free and bit-stable. -----
+    QueryDef(
+      "q145_bigram_lift",
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS arr
+        |  FROM documents
+        |), big AS (
+        |  SELECT z.p[1] AS l, z.p[2] AS r
+        |  FROM toks, unnest([[arr[i], arr[i+1]] for i in range(1, len(arr))]) z(p)
+        |), pc AS (
+        |  SELECT l, r, count(*)::BIGINT AS n_pair FROM big GROUP BY 1, 2
+        |), tot AS (SELECT sum(n_pair)::HUGEINT AS n FROM pc),
+        |lm AS (SELECT l, sum(n_pair)::HUGEINT AS n_l FROM pc GROUP BY 1),
+        |rm AS (SELECT r, sum(n_pair)::HUGEINT AS n_r FROM pc GROUP BY 1)
+        |SELECT pc.l AS tok_l, pc.r AS tok_r, pc.n_pair,
+        |       ((pc.n_pair::HUGEINT * tot.n * 1000000) // (lm.n_l * rm.n_r))::BIGINT AS lift_ppm
+        |FROM pc CROSS JOIN tot JOIN lm ON pc.l = lm.l JOIN rm ON pc.r = rm.r
+        |WHERE pc.n_pair >= 5
+        |ORDER BY pc.n_pair DESC, tok_l, tok_r LIMIT 100""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.Cooccurrence.bigramLift(
+        Tables(spark, dir).documents,
+        graft.functions.TextFunctions.alphaTokens($"text"),
+        minCount = 5L, topN = 100)
+    },
   )
 }
