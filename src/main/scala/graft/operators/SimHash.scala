@@ -151,4 +151,46 @@ object SimHash {
       .filter(col("h") <= maxDist)
       .distinct()
   }
+
+  /** Sorted-neighborhood near-dup pairs (Manku, Jain & Das Sarma '07,
+    * the single-permutation core): sort ALL signatures by unsigned
+    * 64-bit value and compare each doc only to its `window` successors
+    * in that order — O(N·window) candidate pairs, no banding, no
+    * buckets, no hot-key caps. Near-identical texts produce signatures
+    * that differ in ≤ maxDist low-weight bits, so they land adjacent in
+    * the sorted order with high probability (the production extension —
+    * multiple bit-rotations of the sort key, unioned — trades more
+    * passes for recall on pairs whose differing bits are high-order).
+    *
+    * Scale shape: the global sort position comes from
+    * [[SequencePacking.keyedPrefixSum]] — range-partition + local
+    * cumsum + metadata-scale offsets — NOT a single-task row_number
+    * window; the neighbor pairing is a plain shuffle equi-join on the
+    * rank after a row-local explode of `window` successor ranks. Every
+    * stage is linear in N for fixed window.
+    *
+    * Returns (da, db, h) with da < db and Hamming h <= maxDist; each
+    * unordered pair appears at most once (its rank offset is unique),
+    * so no distinct pass is needed.
+    */
+  def sortedNeighborhoodPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 6, maxDist: Int = 3): DataFrame = {
+    require(window >= 1 && window <= 256, s"window=$window out of the linear regime")
+    val ranked = SequencePacking.keyedPrefixSum(
+        packed(docs, idCol, textCol),
+        Nil, Seq(col("hi"), col("lo"), col("doc_id")), lit(1L), "rank_before")
+      .select(col("doc_id"), col("lo"), col("hi"),
+        (col("rank_before") + 1L).as("rnk"))
+    val probe = ranked.select(
+      col("doc_id").as("id_a"), col("lo").as("lo_a"), col("hi").as("hi_a"),
+      explode(sequence(col("rnk") + 1L, col("rnk") + lit(window.toLong))).as("rnk"))
+    probe.join(ranked, "rnk")
+      .select(
+        least(col("id_a"), col("doc_id")).as("da"),
+        greatest(col("id_a"), col("doc_id")).as("db"),
+        (bit_count(col("lo_a").bitwiseXOR(col("lo"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi")))).cast("long").as("h"))
+      .filter(col("h") <= maxDist)
+  }
 }

@@ -3968,5 +3968,47 @@ object TextQueries {
         graft.functions.TextFunctions.alphaTokens($"text"),
         minCount = 5L, topN = 100)
     },
+
+    // ---- q146: sorted-neighborhood SimHash near-dup (SimHash
+    // .sortedNeighborhoodPairs scaladoc; Manku et al. '07). A THIRD
+    // near-dup discovery shape next to banding (q34c) and MinHash-LSH
+    // (q35b): sort signatures by unsigned value, compare each doc to
+    // its 6 successors — O(N·w) with NO buckets and NO hot-key caps,
+    // and unlike the all-pairs q34c oracle this one is linear on the
+    // oracle side too (rank offset join), so it gates unsliced at sf1.
+    // The global rank is the distributed prefix sum, not a one-task
+    // window. -------------------------------------------------------
+    QueryDef(
+      "q146_sorted_neighborhood",
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, t.tok FROM documents, unnest(string_split(text, ' ')) t(tok)
+        |  WHERE t.tok <> ''
+        |), bits AS (
+        |  SELECT doc_id, g.p::INT AS pos,
+        |         ((strpos('0123456789abcdef', substr(md5(tok), (g.p::INT // 4) + 1, 1)) - 1)
+        |           >> (3 - (g.p::INT % 4))) & 1 AS bit
+        |  FROM tok, generate_series(0, 63) g(p)
+        |), sim AS (
+        |  SELECT doc_id, pos, CASE WHEN sum(2 * bit - 1) >= 0 THEN 1 ELSE 0 END AS sbit
+        |  FROM bits GROUP BY doc_id, pos
+        |), sig AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN pos < 32 THEN sbit::BIGINT << pos ELSE 0 END)::BIGINT AS lo,
+        |         sum(CASE WHEN pos >= 32 THEN sbit::BIGINT << (pos - 32) ELSE 0 END)::BIGINT AS hi
+        |  FROM sim GROUP BY doc_id
+        |), rk AS (
+        |  SELECT doc_id, lo, hi, row_number() OVER (ORDER BY hi, lo, doc_id) AS rnk FROM sig
+        |)
+        |SELECT least(a.doc_id, b.doc_id) AS da, greatest(a.doc_id, b.doc_id) AS db,
+        |       (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::BIGINT AS h
+        |FROM rk a JOIN rk b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 6
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY da, db""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      SimHash.sortedNeighborhoodPairs(
+          Tables(spark, dir).documents, "doc_id", "text", window = 6, maxDist = 3)
+        .orderBy($"da", $"db")
+    },
   )
 }
