@@ -1,0 +1,92 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Exact top-k frequent keys via candidate generation + exact recount
+  * (Misra–Gries '82 summaries as phase 1; the two-pass trick is the
+  * standard distributed spelling, e.g. Berinde et al. '10).
+  *
+  * The direct spelling (q37: groupBy(key).count over everything) must
+  * shuffle one partial-aggregate row per DISTINCT key per partition —
+  * at web scale the token vocabulary (typos, ids, numbers) is itself
+  * corpus-sized, so that map output is the bottleneck. Here:
+  *
+  *   - phase 1 scans each partition once, keeping a Misra–Gries
+  *     summary of `capacity` counters (amortized O(1) per row: each
+  *     decrement-all is paid for by `capacity` prior arrivals). The
+  *     union of per-partition summaries provably contains every key
+  *     with global count > N/capacity: if a key survives nowhere, its
+  *     count is ≤ n_p/capacity in every partition, which sums to
+  *     ≤ N/capacity.
+  *   - phase 2 recounts ONLY the candidate keys (≤ capacity × #parts,
+  *     in practice far fewer) behind a semi-join, so the count shuffle
+  *     is candidate-bounded, not vocabulary-bounded.
+  *
+  * Result correctness is certified when the k-th returned count is
+  * > N/capacity (then every key tied with or above it is a candidate,
+  * so the top-k — including lexicographic tie-break — is exact). Size
+  * `capacity` ≥ k·(expected skew headroom); the spec asserts the
+  * containment guarantee on adversarial uniform+skew mixes.
+  */
+object HeavyHitters {
+
+  /** Misra–Gries summary of one iterator: at most `capacity` keys whose
+    * estimated counts undershoot truth by ≤ n/capacity.
+    */
+  private[operators] def misraGries(
+      it: Iterator[String], capacity: Int): mutable.HashMap[String, Long] = {
+    val acc = mutable.HashMap.empty[String, Long]
+    while (it.hasNext) {
+      val k = it.next()
+      acc.get(k) match {
+        case Some(c) => acc.update(k, c + 1)
+        case None if acc.size < capacity => acc.update(k, 1L)
+        case None =>
+          // decrement-all, dropping zeros (amortized: this O(capacity)
+          // step retires `capacity` arrivals' worth of counts)
+          val dead = mutable.ArrayBuffer.empty[String]
+          acc.keysIterator.foreach { kk =>
+            val c = acc(kk) - 1
+            if (c == 0) dead += kk else acc.update(kk, c)
+          }
+          dead.foreach(acc.remove)
+      }
+    }
+    acc
+  }
+
+  /** Distinct candidate keys: the union of per-partition Misra–Gries
+    * survivors — a superset of every key with count > N/capacity.
+    */
+  def candidateKeys(keys: Dataset[String], capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity=$capacity")
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys.mapPartitions(it => misraGries(it, capacity).keysIterator)
+      .toDF("key").distinct()
+  }
+
+  /** Exact (tok, n) for the k most frequent values of `keyCol`, ordered
+    * by (n DESC, tok ASC). Two corpus scans, zero vocabulary-sized
+    * shuffles: the recount is semi-joined to the candidate set first.
+    */
+  def exactTopK(df: DataFrame, keyCol: String, k: Int, capacity: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(keyCol).cast("string").as("key")).as[String]
+    // candidates are capacity x #partitions at worst — broadcast-sized
+    // by construction for any sane capacity; the hint keeps the recount
+    // semi-join off the shuffle even when stats are missing
+    val cands = broadcast(candidateKeys(keys, capacity))
+    keys.toDF("key")
+      .join(cands, Seq("key"), "left_semi")
+      .groupBy(col("key").as("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(k)
+      .select(col("tok"), col("n"))
+  }
+}

@@ -4010,5 +4010,27 @@ object TextQueries {
           Tables(spark, dir).documents, "doc_id", "text", window = 6, maxDist = 3)
         .orderBy($"da", $"db")
     },
+
+    // ---- q147: exact top-20 tokens via Misra-Gries candidates + exact
+    // recount (HeavyHitters scaladoc) — the vocabulary-unbounded
+    // respelling of q37's full groupBy: two corpus scans, and the only
+    // shuffle carries candidate keys (<= capacity x #partitions), not
+    // one row per distinct token per partition. Certified exact while
+    // the 20th count exceeds N/capacity (asserted in spec). ----------
+    QueryDef(
+      "q147_heavy_hitters",
+      """WITH tok AS (
+        |  SELECT t.tok FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) t(tok)
+        |  WHERE t.tok <> ''
+        |)
+        |SELECT tok, count(*)::BIGINT AS n FROM tok GROUP BY tok
+        |ORDER BY n DESC, tok LIMIT 20""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.HeavyHitters.exactTopK(
+        Tables(spark, dir).documents
+          .select(explode(graft.functions.TextFunctions.alphaTokens($"text")).as("key")),
+        "key", k = 20, capacity = 4096)
+    },
   )
 }

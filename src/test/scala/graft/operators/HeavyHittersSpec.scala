@@ -1,0 +1,59 @@
+package graft.operators
+
+import scala.util.Random
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class HeavyHittersSpec extends SparkSpec {
+
+  test("misraGries: every key with count > n/capacity survives (adversarial mixes)") {
+    val rnd = new Random(7)
+    for (cap <- Seq(4, 16, 64)) {
+      // heavy keys buried in a uniform tail, shuffled
+      val heavy = (0 until 3).flatMap(i => Seq.fill(400 * (i + 1))(s"heavy$i"))
+      val tail = (0 until 2000).map(i => s"tail${rnd.nextInt(1500)}")
+      val stream = rnd.shuffle(heavy ++ tail)
+      val n = stream.size
+      val truth = stream.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      val surv = HeavyHitters.misraGries(stream.iterator, cap).keySet
+      assert(surv.size <= cap)
+      val must = truth.filter(_._2 > n.toLong / cap).keySet
+      assert(must.subsetOf(surv), s"cap=$cap missing ${must -- surv}")
+    }
+  }
+
+  test("exactTopK == the full groupBy spelling on a skewed multi-partition corpus") {
+    import spark.implicits._
+    val rnd = new Random(13)
+    val rows = (0 until 20000).map { i =>
+      if (i % 3 == 0) s"hot${i % 17}" else s"cold${rnd.nextInt(8000)}"
+    }
+    val df = rows.toDF("key").repartition(16)
+    def want(k: Int) = df.groupBy($"key".as("tok")).agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok").limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // k inside the certificate: the 17 hot keys (~392 each) all clear
+    // N/capacity = 78, so capacity 256 certifies exactness
+    val got17 = HeavyHitters.exactTopK(df, "key", k = 17, capacity = 256)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got17 == want(17))
+    assert(want(17).last._2 > rows.size.toLong / 256) // the certificate itself
+    // k BEYOND the certificate (rank 18+ is tail noise at count ~6) is
+    // exact only with capacity >= vocabulary, where MG never decrements
+    val got25 = HeavyHitters.exactTopK(df, "key", k = 25, capacity = 10000)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got25 == want(25))
+  }
+
+  test("exactTopK plan: recount is a broadcast semi-join, no vocabulary-wide join") {
+    import spark.implicits._
+    val toks = tables.documents
+      .select(explode(TextFunctions.alphaTokens($"text")).as("key"))
+    val plan = HeavyHitters.exactTopK(toks, "key", k = 20, capacity = 4096)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(plan.contains("Broadcast"), plan.take(2000))
+  }
+}
