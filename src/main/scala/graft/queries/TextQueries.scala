@@ -4032,5 +4032,38 @@ object TextQueries {
           .select(explode(graft.functions.TextFunctions.alphaTokens($"text")).as("key")),
         "key", k = 20, capacity = 4096)
     },
+
+    // ---- q148: per-dimension robust embedding stats via DISTRIBUTED
+    // SELECTION (EmbeddingStats scaladoc): exact quartiles + IQR-fence
+    // outlier counts without a percentile aggregate — grouping by
+    // dimension is the PARTITION-BY-few-groups trap (d hot reducers
+    // each materializing 10^9 values at 100 TB), so the order
+    // statistics come from prefix-sum ranks and only the <= 2 boundary
+    // rows per (dim, quantile) reach the aggregate. Interpolation is
+    // pinned to quantile_cont's v_lo*(1-frac)+v_hi*frac convention,
+    // verified bit-for-bit, so DOUBLE outputs hash-gate exactly. ------
+    QueryDef(
+      "q148_embedding_quartiles",
+      """WITH v AS (
+        |  SELECT g.i - 1 AS dim, embedding[g.i]::DOUBLE AS val
+        |  FROM embeddings, generate_series(1, 4096) g(i)
+        |  WHERE g.i <= len(embedding)
+        |), q AS (
+        |  SELECT dim, count(*)::BIGINT AS n,
+        |         quantile_cont(val, 0.25) AS p25,
+        |         quantile_cont(val, 0.5) AS p50,
+        |         quantile_cont(val, 0.75) AS p75
+        |  FROM v GROUP BY dim
+        |)
+        |SELECT q.dim, q.n, q.p25, q.p50, q.p75,
+        |       sum(CASE WHEN v.val < q.p25 - 1.5 * (q.p75 - q.p25)
+        |                  OR v.val > q.p75 + 1.5 * (q.p75 - q.p25)
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM v JOIN q ON v.dim = q.dim
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY q.dim""",
+    ) { (spark, dir) =>
+      graft.operators.EmbeddingStats.dimRobustStats(
+        Tables(spark, dir).embeddings, "vec_id", "embedding")
+    },
   )
 }
