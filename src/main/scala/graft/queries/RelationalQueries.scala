@@ -1200,5 +1200,42 @@ object RelationalQueries {
           sum($"a_c_custkey" * 3 + $"b_c_custkey").cast("long").as("pair_checksum"))
         .orderBy($"nationkey")
     },
+
+    // ---- q149: co-located fact⋈fact via bucketed managed tables
+    // (BucketedTables scaladoc) — one write-time shuffle buys a
+    // join with NO Exchange on either side (`Bucketed: true` scans),
+    // the layout every repeated 100 TB fact join should sit on. The
+    // result must equal the plain-parquet join byte-for-byte (same
+    // rollup as q08's shape, distinct aggregate mix), and the spec
+    // pins the exchange-free plan property. ---------------------------
+    QueryDef(
+      "q149_bucketed_join",
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_lines,
+        |       count(DISTINCT o_orderkey)::BIGINT AS n_orders,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      import graft.sources.BucketedTables
+      val t = Tables(spark, dir)
+      val bo = BucketedTables.writeBucketed(
+        t.orders.select($"o_orderkey", $"o_orderstatus"),
+        BucketedTables.tableName("graft_bkt_orders", dir),
+        buckets = 16, key = "o_orderkey", sortCols = Seq("o_orderkey"))
+      val bl = BucketedTables.writeBucketed(
+        t.lineitem.select($"l_orderkey", $"l_quantity"),
+        BucketedTables.tableName("graft_bkt_lineitem", dir),
+        buckets = 16, key = "l_orderkey", sortCols = Seq("l_orderkey"))
+      // merge hint: at small SF Catalyst would broadcast (bypassing the
+      // bucket layout); the exchange-free bucketed SMJ is the plan on
+      // display and the one a 100 TB fact-fact join takes unhinted
+      bo.hint("merge").join(bl, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"),
+          countDistinct($"o_orderkey").as("n_orders"),
+          sum($"l_quantity").cast("long").as("sum_qty"))
+        .orderBy($"o_orderstatus")
+    },
   )
 }

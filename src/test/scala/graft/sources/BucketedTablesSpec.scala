@@ -1,0 +1,51 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BucketedTablesSpec extends SparkSpec {
+
+  test("bucketed join == plain join, with NO Exchange on either side") {
+    import spark.implicits._
+    val o = tables.orders.select($"o_orderkey", $"o_orderstatus")
+    val l = tables.lineitem.select($"l_orderkey", $"l_quantity")
+    val bo = BucketedTables.writeBucketed(
+      o, "graft_spec_bkt_orders", 8, "o_orderkey", Seq("o_orderkey"))
+    val bl = BucketedTables.writeBucketed(
+      l, "graft_spec_bkt_lineitem", 8, "l_orderkey", Seq("l_orderkey"))
+
+    // hint the fact-fact strategy: at spec scale Catalyst would broadcast
+    // (and rightly bypass bucketing); merge is the 100 TB shape on display
+    val joined = bo.hint("merge").join(bl, $"o_orderkey" === $"l_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("SortMerge"), plan.take(3000))
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n${plan.take(3000)}")
+    assert(plan.contains("Bucketed: true"), plan.take(3000))
+
+    val got = joined.groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity").cast("long").as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = o.join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity").cast("long").as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("overwrite is idempotent and the catalog read carries bucket metadata") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    BucketedTables.writeBucketed(df, "graft_spec_bkt_small", 4, "k")
+    val again = BucketedTables.writeBucketed(df, "graft_spec_bkt_small", 4, "k")
+    assert(again.count() == 3)
+    val meta = spark.sql("DESCRIBE TABLE EXTENDED graft_spec_bkt_small")
+      .collect().map(_.mkString("|")).mkString("\n")
+    assert(meta.contains("Num Buckets") && meta.contains("4"), meta)
+  }
+
+  test("tableName is dir-stable and dir-distinct") {
+    val a = BucketedTables.tableName("p", "/data/x")
+    assert(a == BucketedTables.tableName("p", "/data/x"))
+    assert(a != BucketedTables.tableName("p", "/data/y"))
+  }
+}
