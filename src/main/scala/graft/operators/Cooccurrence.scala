@@ -69,4 +69,38 @@ object Cooccurrence {
       .orderBy(col("n_pair").desc, col("tok_l"), col("tok_r"))
       .limit(topN)
   }
+
+  /** Pairwise vocabulary Jaccard between the groups of `groupCol`
+    * (sa < sb), in exact-integer ppm: how much two sources/domains/
+    * crawls share their token vocabulary — the corpus-mixture
+    * diagnostic behind dedup-across-sources and mixture weighting.
+    *
+    * Scale shape: one distinct (group, token) shuffle, then a per-token
+    * `collect_set` of groups (bounded by the number of groups — dozens
+    * to hundreds, NOT corpus-sized) whose pair expansion is row-local;
+    * intersection counts aggregate pairs, and the ≤ groups² result
+    * joins the broadcast per-group sizes. No vocab×vocab anything.
+    */
+  def vocabOverlap(docs: DataFrame, groupCol: Column, tokens: Column): DataFrame = {
+    val ts = docs.select(groupCol.as("g"), explode(tokens).as("tok")).distinct()
+    val sizes = ts.groupBy(col("g")).agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+    // per token: sorted group list (small), all ordered pairs row-locally
+    val inter = ts
+      .groupBy(col("tok"))
+      .agg(sort_array(collect_set(col("g"))).as("gs"))
+      .select(explode(flatten(expr(
+        "transform(gs, (a, i) -> transform(slice(gs, i + 2, size(gs)), b -> struct(a AS sa, b AS sb)))"
+      ))).as("p"))
+      .select(col("p.sa").as("sa"), col("p.sb").as("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("i"))
+    val num = col("i") * lit(1000000L)
+    val den = col("na") + col("nb") - col("i")
+    inter
+      .join(broadcast(sizes.select(col("g").as("sa"), col("n").as("na"))), "sa")
+      .join(broadcast(sizes.select(col("g").as("sb"), col("n").as("nb"))), "sb")
+      .select(col("sa"), col("sb"), col("i").cast("long").as("n_inter"),
+        ((num - num % den) / den).cast("long").as("jaccard_ppm"))
+      .orderBy(col("sa"), col("sb"))
+  }
 }

@@ -4065,5 +4065,34 @@ object TextQueries {
       graft.operators.EmbeddingStats.dimRobustStats(
         Tables(spark, dir).embeddings, "vec_id", "embedding")
     },
+
+    // ---- q150: cross-source vocabulary overlap matrix (Cooccurrence
+    // .vocabOverlap scaladoc): pairwise vocab Jaccard in exact ppm —
+    // the mixture/dedup-across-sources diagnostic. One distinct
+    // (source, token) shuffle; the per-token group set is bounded by
+    // the source count, its pair expansion row-local; sizes broadcast.
+    // Nothing is vocab x vocab. ---------------------------------------
+    QueryDef(
+      "q150_vocab_overlap",
+      """WITH ts AS (
+        |  SELECT DISTINCT source, t.tok
+        |  FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) t(tok)
+        |  WHERE t.tok <> ''
+        |), sz AS (SELECT source, count(*)::HUGEINT AS n FROM ts GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS sa, b.source AS sb, count(*)::HUGEINT AS i
+        |  FROM ts a JOIN ts b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT sa, sb, i::BIGINT AS n_inter,
+        |       ((i * 1000000) // (za.n + zb.n - i))::BIGINT AS jaccard_ppm
+        |FROM inter JOIN sz za ON za.source = sa JOIN sz zb ON zb.source = sb
+        |ORDER BY sa, sb""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.Cooccurrence.vocabOverlap(
+        Tables(spark, dir).documents,
+        $"source", graft.functions.TextFunctions.alphaTokens($"text"))
+    },
   )
 }

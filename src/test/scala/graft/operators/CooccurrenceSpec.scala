@@ -58,6 +58,30 @@ class CooccurrenceSpec extends SparkSpec {
     assert(empty == 0L)
   }
 
+  test("vocabOverlap: pairwise vocab Jaccard matches set arithmetic, all group shapes") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "x y z"), ("a", "w"),          // vocab(a) = {w,x,y,z}
+      ("b", "x y"),                        // vocab(b) = {x,y}
+      ("c", "q r s t"),                    // disjoint from a,b
+      ("d", "x y z w")                     // identical to a
+    ).toDF("source", "text")
+    val got = Cooccurrence.vocabOverlap(docs, $"source", TextFunctions.alphaTokens($"text"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val vocab = Map(
+      "a" -> Set("w", "x", "y", "z"), "b" -> Set("x", "y"),
+      "c" -> Set("q", "r", "s", "t"), "d" -> Set("w", "x", "y", "z"))
+    val want = (for {
+      sa <- vocab.keys; sb <- vocab.keys if sa < sb
+      i = (vocab(sa) intersect vocab(sb)).size.toLong if i > 0
+      u = (vocab(sa) union vocab(sb)).size.toLong
+    } yield (sa, sb, i, i * 1000000L / u)).toSeq.sorted
+    assert(got == want)
+    // disjoint pairs (c vs all) are absent, not zero rows
+    assert(!got.exists { case (x, y, _, _) => x == "c" || y == "c" })
+  }
+
   test("bigramLift plan: bigrams are row-local and the pair count partial-aggregates") {
     import spark.implicits._
     val plan = Cooccurrence
