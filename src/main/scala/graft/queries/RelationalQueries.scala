@@ -1237,5 +1237,39 @@ object RelationalQueries {
           sum($"l_quantity").cast("long").as("sum_qty"))
         .orderBy($"o_orderstatus")
     },
+
+    // ---- q151: bucket-pruned point lookup — the read-side payoff of
+    // q149's layout: a literal IN-filter on the bucket key prunes the
+    // scan to only the buckets those keys hash into
+    // (SelectedBucketsCount in the plan, spec-pinned), so a key probe
+    // against a 100 TB fact table touches 3/16ths of the files instead
+    // of all of them, with NO index structure beyond the layout. ------
+    QueryDef(
+      "q151_bucket_pruning",
+      """SELECT o.o_orderkey AS orderkey, o.o_orderstatus AS status,
+        |       count(*)::BIGINT AS n_lines,
+        |       CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (1, 7, 33)
+        |GROUP BY 1, 2 ORDER BY 1""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      import graft.sources.BucketedTables
+      val t = Tables(spark, dir)
+      val bo = BucketedTables.writeBucketed(
+        t.orders.select($"o_orderkey", $"o_orderstatus"),
+        BucketedTables.tableName("graft_bkt_orders", dir),
+        buckets = 16, key = "o_orderkey", sortCols = Seq("o_orderkey"))
+      val bl = BucketedTables.writeBucketed(
+        t.lineitem.select($"l_orderkey", $"l_quantity"),
+        BucketedTables.tableName("graft_bkt_lineitem", dir),
+        buckets = 16, key = "l_orderkey", sortCols = Seq("l_orderkey"))
+      bo.filter($"o_orderkey".isin(1L, 7L, 33L))
+        .hint("merge").join(bl, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderkey".as("orderkey"), $"o_orderstatus".as("status"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum($"l_quantity").cast("long").as("sum_qty"))
+        .orderBy($"orderkey")
+    },
   )
 }

@@ -31,6 +31,19 @@ object BucketedTables {
       df: DataFrame, table: String, buckets: Int, key: String,
       sortCols: Seq[String] = Nil): DataFrame = {
     require(buckets > 0, s"buckets=$buckets")
+    val spark = df.sparkSession
+    // A managed-table location can survive a previous JVM whose
+    // in-memory catalog died with it; saveAsTable then refuses to
+    // create over the orphaned directory (LOCATION_ALREADY_EXISTS).
+    // If the catalog does not know the table, its leftover location is
+    // provably orphaned — remove it so overwrite stays idempotent
+    // across JVMs, not just within one.
+    if (!spark.catalog.tableExists(table)) {
+      val p = new org.apache.hadoop.fs.Path(
+        spark.sessionState.conf.warehousePath, table.toLowerCase)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     val sorted = sortCols match {
       case Nil => w
