@@ -175,11 +175,66 @@ object SimHash {
     */
   def sortedNeighborhoodPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      window: Int = 6, maxDist: Int = 3): DataFrame = {
+      window: Int = 6, maxDist: Int = 3): DataFrame =
+    sortedNeighborhoodPairsRotated(docs, idCol, textCol, window, maxDist, rotations = 1)
+
+  /** Multi-rotation sorted neighborhood (the full Manku '07 scheme): one
+    * sorted pass per LEFT-rotation of the signature in 16-bit steps. A
+    * single ordering only finds pairs whose differing bits avoid the
+    * high-order region (a high-bit difference separates them in sort
+    * order); rotating the key moves every bit region to the top in some
+    * pass, so pairs one ordering misses are adjacent in another. Cost
+    * is rotations × the linear single-pass cost: the signatures are
+    * computed ONCE (cached) and each pass re-ranks two rotated columns;
+    * cross-pass duplicates are removed by a distinct over the REFINED
+    * survivors (far smaller than the candidate multiset). Hamming
+    * refinement always runs on XOR+popcount, which is
+    * rotation-invariant, so every pass scores identically.
+    */
+  def sortedNeighborhoodPairsRotated(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 6, maxDist: Int = 3, rotations: Int = 1): DataFrame = {
     require(window >= 1 && window <= 256, s"window=$window out of the linear regime")
+    require(rotations >= 1 && rotations <= 4, s"rotations=$rotations (16-bit steps over 64 bits)")
+    val sigs = packed(docs, idCol, textCol)
+    // cache-release contract as Dedup.jaccardPairs: multi-pass consumers
+    // share the one signature computation
+    val base = if (rotations == 1) sigs else sigs.cache()
+    val passes = (0 until rotations).map { r =>
+      val (rlo, rhi) = rotl(col("lo"), col("hi"), 16 * r)
+      onePass(base.select(col("doc_id"), rlo.as("lo"), rhi.as("hi")), window, maxDist)
+    }
+    if (rotations == 1) passes.head else passes.reduce(_ union _).distinct()
+  }
+
+  /** Left-rotation of a 64-bit value held as two non-negative 32-bit
+    * halves (lo = bits 0–31, hi = bits 32–63); s ∈ {0, 16, 32, 48}.
+    */
+  private def rotl(
+      lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
+      s: Int): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val mask = lit(0xffffffffL)
+    (s % 64) match {
+      case 0 => (lo, hi)
+      case 32 => (hi, lo)
+      case k if k < 32 =>
+        (shiftleft(lo, k).bitwiseAND(mask).bitwiseOR(shiftright(hi, 32 - k)),
+          shiftleft(hi, k).bitwiseAND(mask).bitwiseOR(shiftright(lo, 32 - k)))
+      case k =>
+        val j = k - 32 // swap halves, then rotate the remainder
+        (shiftleft(hi, j).bitwiseAND(mask).bitwiseOR(shiftright(lo, 32 - j)),
+          shiftleft(lo, j).bitwiseAND(mask).bitwiseOR(shiftright(hi, 32 - j)))
+    }
+  }
+
+  /** One sorted-order pass: global rank by (hi, lo, doc_id) via the
+    * distributed prefix sum, each doc paired with its `window`
+    * successors (row-local successor-rank explode + equi-join), Hamming
+    * refine.
+    */
+  private def onePass(sigs: DataFrame, window: Int, maxDist: Int): DataFrame = {
     val ranked = SequencePacking.keyedPrefixSum(
-        packed(docs, idCol, textCol),
-        Nil, Seq(col("hi"), col("lo"), col("doc_id")), lit(1L), "rank_before")
+        sigs, Nil, Seq(col("hi"), col("lo"), col("doc_id")), lit(1L), "rank_before")
       .select(col("doc_id"), col("lo"), col("hi"),
         (col("rank_before") + 1L).as("rnk"))
     val probe = ranked.select(

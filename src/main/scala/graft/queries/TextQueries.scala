@@ -4094,5 +4094,55 @@ object TextQueries {
         Tables(spark, dir).documents,
         $"source", graft.functions.TextFunctions.alphaTokens($"text"))
     },
+
+    // ---- q152: MULTI-ROTATION sorted neighborhood (SimHash
+    // .sortedNeighborhoodPairsRotated; the full Manku '07 scheme). One
+    // ordering misses pairs whose differing bits are high-order; the
+    // 16-bit-rotated second pass re-sorts with that region moved down,
+    // recovering them (q146 finds 284 pairs at sf0.001 — this finds
+    // 385 from the same signatures). Signatures computed once (cached),
+    // each pass linear, duplicates removed post-refine. --------------
+    QueryDef(
+      "q152_rotated_neighborhood",
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, t.tok FROM documents, unnest(string_split(text, ' ')) t(tok)
+        |  WHERE t.tok <> ''
+        |), bits AS (
+        |  SELECT doc_id, g.p::INT AS pos,
+        |         ((strpos('0123456789abcdef', substr(md5(tok), (g.p::INT // 4) + 1, 1)) - 1)
+        |           >> (3 - (g.p::INT % 4))) & 1 AS bit
+        |  FROM tok, generate_series(0, 63) g(p)
+        |), sim AS (
+        |  SELECT doc_id, pos, CASE WHEN sum(2 * bit - 1) >= 0 THEN 1 ELSE 0 END AS sbit
+        |  FROM bits GROUP BY doc_id, pos
+        |), sig AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN pos < 32 THEN sbit::BIGINT << pos ELSE 0 END)::BIGINT AS lo,
+        |         sum(CASE WHEN pos >= 32 THEN sbit::BIGINT << (pos - 32) ELSE 0 END)::BIGINT AS hi
+        |  FROM sim GROUP BY doc_id
+        |), rot AS (
+        |  SELECT 0 AS pass, doc_id, lo, hi, lo AS klo, hi AS khi FROM sig
+        |  UNION ALL
+        |  SELECT 1 AS pass, doc_id, lo, hi,
+        |         ((lo << 16) | (hi >> 16)) & 4294967295 AS klo,
+        |         ((hi << 16) | (lo >> 16)) & 4294967295 AS khi
+        |  FROM sig
+        |), rk AS (
+        |  SELECT pass, doc_id, lo, hi,
+        |         row_number() OVER (PARTITION BY pass ORDER BY khi, klo, doc_id) AS rnk
+        |  FROM rot
+        |)
+        |SELECT DISTINCT least(a.doc_id, b.doc_id) AS da, greatest(a.doc_id, b.doc_id) AS db,
+        |       (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::BIGINT AS h
+        |FROM rk a JOIN rk b ON a.pass = b.pass AND b.rnk > a.rnk AND b.rnk <= a.rnk + 6
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY da, db""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      SimHash.sortedNeighborhoodPairsRotated(
+          Tables(spark, dir).documents, "doc_id", "text",
+          window = 6, maxDist = 3, rotations = 2)
+        .orderBy($"da", $"db")
+    },
   )
 }
