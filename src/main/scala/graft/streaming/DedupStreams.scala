@@ -644,34 +644,44 @@ object DedupStreams {
           if (probeKeys.length <= MaxProbeKeyLiterals)
             members.filter(col("bkey").isin(probeKeys.map(Long.box).toSeq: _*))
           else members
-        val occLocal: Map[(Int, Long), Long] =
-          if (probeKeys.isEmpty || live.isEmpty) Map.empty
-          else phase("probe_collect") {
-            // occupancy never needs the batch join: it is a per-bucket
-            // distinct-member count over the pruned members scan alone
-            // (the join's band+bkey restriction coincides with the scan's
-            // bkey In-filter because bkey is xxhash64(band, slice) —
-            // band is already inside the key; admission reads only the
-            // batch's own buckets from the map either way)
-            // …except when the literal cap forced src back to the full
-            // members scan: then the batch restriction must come back as
-            // a semi-join, or the occ aggregation collects every bucket
-            // in the index
-            val occSrc =
-              if (probeKeys.length <= MaxProbeKeyLiterals) src
-              else src.join(
-                broadcast(bandedDf.select(col("band"), col("bkey")).distinct()),
-                Seq("band", "bkey"), "left_semi")
-            occSrc.groupBy(col("band"), col("bkey"))
+        // ONE pruned epoch scan per trigger: the (band,bkey)-restricted
+        // hit frame carries (band, bkey, mid, nid) and is persisted, so
+        // occupancy, candidate-member extraction AND the agreement
+        // sweep all read the materialized hits instead of each
+        // re-scanning the cached epoch. The three independent scans
+        // were the drain's corpus-proportional term at the 400-batch
+        // horizon: candidates/pairs stayed flat while probe_collect/
+        // mids_collect/refine_dist grew ~+340 ms as the cached index
+        // doubled (attribution in PLANS.md). The hit multiset is
+        // hot-bucket-bounded (≤ a few M rows, tens of MB) — persisting
+        // it per trigger is cheap; nothing proportional to it touches
+        // the driver.
+        // Occupancy semantics: the (band,bkey) join restriction equals
+        // the batch-bucket restriction admission reads (bkey embeds the
+        // band — xxhash64(band, slice)); the pre-refactor code already
+        // used the join form whenever the literal cap overflowed.
+        val hitFrame: Option[DataFrame] =
+          if (probeKeys.isEmpty || live.isEmpty) None
+          else Some {
+            val hp = src.join(broadcast(bandedDf), Seq("band", "bkey"))
+              .select(col("band"), col("bkey"), col("mid"), col("nid"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            phase("probe_collect")(hp.count()) // materialize once, timed
+            hp
+          }
+        val occLocal: Map[(Int, Long), Long] = hitFrame match {
+          case None => Map.empty
+          case Some(hp) => phase("occ_agg") {
+            hp.groupBy(col("band"), col("bkey"))
               .agg(countDistinct(col("mid")).as("occ"))
               .as[(Int, Long, Long)].collect()
               .map { case (b, k, o) => (b, k) -> o }.toMap
           }
-        val indexHits: Set[Long] =
-          if (probeKeys.isEmpty || live.isEmpty) Set.empty
-          else {
-            val hitPairs = src.join(broadcast(bandedDf), Seq("band", "bkey"))
-              .select(col("nid"), col("mid")).as[(Long, Long)]
+        }
+        val indexHits: Set[Long] = hitFrame match {
+          case None => Set.empty
+          case Some(hp) =>
+            val hitPairs = hp.select(col("nid"), col("mid")).as[(Long, Long)]
             // candidate member ids and their signatures ARE
             // driver-bounded (distinct members the batch collides with
             // ≤ index occupancy of the batch's own buckets); the pair
@@ -722,7 +732,8 @@ object DedupStreams {
                 finally { bcM.destroy(); bcN.destroy() }
               }
             }
-          }
+        }
+        hitFrame.foreach(_.unpersist(false)) // trigger-scoped, drop eagerly
         if (timing) sizes += ("idxhits" -> indexHits.size.toLong)
 
         // batch vs earlier batch docs (da < db): per-bucket all-pairs
