@@ -7,7 +7,7 @@ Reads each <out>/<name>/ parquet (Spark output) and runs the matching SQL
 from <out>/oracle_sql.json in DuckDB over the sf_dir tables, then compares
 values with columns sorted by name and rows sorted by all columns.
 """
-import json, sys, glob, math
+import decimal, json, sys, glob, math
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -21,6 +21,40 @@ def canon(v):
             return "NaN"
         return repr(v)
     return str(v)
+
+# SURVEY §2.14 envelope rule: every emitted DECIMAL must survive a float64
+# round-trip, because the DRIVER's hash canonicalization converts decimal
+# values through double even though this checker compares exact Decimals.
+# r8 shipped q141/q142 red on exactly this gap: DECIMAL(38,0) sums up to
+# 9.1e18 (19 significant digits) passed here and hash-mismatched in the
+# driver. Calibration of the rule's SCOPE is empirical: q44b has emitted
+# full-width 64-bit BIGINT fingerprints since r4 and is driver-green every
+# round, so native int64 columns do NOT pass through double — only decimal
+# columns do. Hence: ints are safe at any width; any Decimal whose value
+# changes under float64 is a HARD FAIL on both the spark dump and the
+# oracle result — run at the largest tier (sf1), where checksums are
+# biggest, to certify a query. Wide integer results belong in BIGINT
+# (or a hi/lo split), never in DECIMAL.
+_F64_EXACT = 1 << 53
+
+def f64_safe(v):
+    if isinstance(v, decimal.Decimal):
+        try:
+            return decimal.Decimal(repr(float(v))) == v
+        except (OverflowError, ValueError, decimal.InvalidOperation):
+            return False
+    return True
+
+def envelope_violations(rows, cols, limit=3):
+    """First `limit` (col, value) pairs failing the float64 round-trip."""
+    out = []
+    for r in rows:
+        for c, v in zip(cols, r):
+            if not f64_safe(v):
+                out.append((c, v))
+                if len(out) >= limit:
+                    return out
+    return out
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
@@ -52,6 +86,14 @@ def main():
             continue
         if sorted(spark_cols) != sorted(oracle_cols):
             print(f"FAIL {name}: columns spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}")
+            n_fail += 1
+            continue
+        bad = [("spark", c, v) for c, v in envelope_violations(spark_rows, spark_cols)]
+        bad += [("oracle", c, v) for c, v in envelope_violations(oracle_rows, oracle_cols)]
+        if bad:
+            print(f"FAIL {name}: float64-envelope violation (driver hashes through double)")
+            for side, c, v in bad:
+                print(f"  {side} col {c}: {v!r} does not survive a float64 round-trip")
             n_fail += 1
             continue
         s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]

@@ -69,24 +69,77 @@ object HeavyHitters {
       .toDF("key").distinct()
   }
 
-  /** Exact (tok, n) for the k most frequent values of `keyCol`, ordered
-    * by (n DESC, tok ASC). Two corpus scans, zero vocabulary-sized
-    * shuffles: the recount is semi-joined to the candidate set first.
+  /** Per-partition Misra–Gries survivors PLUS one `(null, n_p)` row per
+    * partition carrying that partition's row count — so the recount
+    * phase learns N (the certificate's denominator) without a third
+    * corpus scan: the count rides the same pass that builds the
+    * summaries.
     */
-  def exactTopK(df: DataFrame, keyCol: String, k: Int, capacity: Int): DataFrame = {
-    val spark = df.sparkSession
+  private def candidatesAndCounts(
+      keys: Dataset[String], capacity: Int): DataFrame = {
+    val spark = keys.sparkSession
     import spark.implicits._
-    val keys = df.select(col(keyCol).cast("string").as("key")).as[String]
-    // candidates are capacity x #partitions at worst — broadcast-sized
-    // by construction for any sane capacity; the hint keeps the recount
-    // semi-join off the shuffle even when stats are missing
-    val cands = broadcast(candidateKeys(keys, capacity))
+    keys.mapPartitions { it =>
+      var n = 0L
+      val counted = it.map { x => n += 1; x }
+      val surv = misraGries(counted, capacity).keysIterator.toArray
+      Iterator.single((null: String, n)) ++ surv.iterator.map(k => (k, 0L))
+    }.toDF("key", "pn")
+  }
+
+  /** The lazy candidate-recount plan (tok, n): semi-join the corpus to
+    * the broadcast candidate set, count, take the top k. The plan the
+    * 100 TB story rides — certification happens in [[exactTopK]].
+    */
+  private[operators] def recountTopK(
+      cands: DataFrame, keys: Dataset[String], k: Int): DataFrame =
+    // the hint keeps the recount semi-join off the shuffle even when
+    // stats are missing; candidates are capacity x #partitions at worst
+    // — broadcast-sized by construction for any sane capacity
     keys.toDF("key")
-      .join(cands, Seq("key"), "left_semi")
+      .join(broadcast(cands), Seq("key"), "left_semi")
       .groupBy(col("key").as("tok"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok"))
       .limit(k)
       .select(col("tok"), col("n"))
+
+  /** Exact (tok, n) for the k most frequent values of `keyCol`, ordered
+    * by (n DESC, tok ASC). Two corpus scans, zero vocabulary-sized
+    * shuffles: the recount is semi-joined to the candidate set first.
+    *
+    * The Misra–Gries containment guarantee only certifies the result
+    * when the k-th returned count exceeds N/capacity (any key the
+    * summaries dropped has true count ≤ N/capacity, so nothing absent
+    * can displace the returned head) — and that condition is now
+    * CHECKED, not just documented: the candidate pass also carries the
+    * per-partition row counts, and a violation (undersized capacity on
+    * a near-uniform distribution, or fewer than k certified hitters)
+    * throws with the measured N instead of returning a silently wrong
+    * top-k. The k returned rows are collected for the check — k is
+    * metadata-scale by the operator's contract.
+    */
+  def exactTopK(df: DataFrame, keyCol: String, k: Int, capacity: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(keyCol).cast("string").as("key")).as[String]
+    val cc = candidatesAndCounts(keys, capacity).cache()
+    try {
+      val n = cc.filter(col("key").isNull)
+        .agg(coalesce(sum(col("pn")), lit(0L))).as[Long].head()
+      val cands = cc.filter(col("key").isNotNull).select(col("key")).distinct()
+      val top = recountTopK(cands, keys, k)
+        .as[(String, Long)].collect()
+      require(top.length >= k,
+        s"HeavyHitters.exactTopK: only ${top.length} certified candidates for " +
+          s"k=$k (N=$n, capacity=$capacity) — the true top-$k may include " +
+          "dropped keys; raise capacity")
+      val kth = top.last._2
+      require(kth * capacity.toLong > n,
+        s"HeavyHitters.exactTopK: k-th count $kth fails the certificate " +
+          s"(needs > N/capacity = $n/$capacity) — dropped keys could displace " +
+          "the tail of the returned top-k; raise capacity")
+      spark.createDataset(top.toSeq).toDF("tok", "n")
+    } finally { cc.unpersist(); () }
   }
 }

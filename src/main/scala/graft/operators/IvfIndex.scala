@@ -105,9 +105,14 @@ object IvfIndex {
   def load(spark: SparkSession, dir: String): Model = {
     val epoch = spark.read.parquet(s"$dir/assignments")
       .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
-    val appendRoot = java.nio.file.Paths.get(dir, "appends")
+    // Hadoop FileSystem, not java.nio: nio always reports false for
+    // hdfs:///s3a:// paths, which would silently drop appended batches
+    // from probe results off-local (the SignatureIndex.listTable trap).
+    val appendRoot = new org.apache.hadoop.fs.Path(dir, "appends")
+    val appendFs = appendRoot.getFileSystem(spark.sessionState.newHadoopConf())
     val assigned =
-      if (java.nio.file.Files.isDirectory(appendRoot)) {
+      if (appendFs.exists(appendRoot) &&
+          appendFs.getFileStatus(appendRoot).isDirectory) {
         val appended = spark.read.parquet(appendRoot.toString)
           .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
         epoch.unionByName(appended)

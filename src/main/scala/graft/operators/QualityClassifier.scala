@@ -72,6 +72,20 @@ object QualityClassifier {
     * engines. precision/recall are floor-ppm over exact counts.
     * Output: (thr_tenths, tp, fp, fn, tn, precision_ppm, recall_ppm).
     */
+  /** floor(num·10⁶ / den) over EXACT decimal arithmetic for
+    * non-negative counts — the (n - n % d) / d truncating-division
+    * idiom. The earlier double spelling (`floor(tp·1e6 / den)`) could
+    * diverge from integer floor when the IEEE quotient rounds up onto
+    * an integer; exact decimals make the "floor-ppm over exact counts"
+    * claim true rather than merely cross-engine-coincidental.
+    */
+  private def ppmExact(num: Column, den: Column): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val n = num.cast(DecimalType(38, 0)) * lit(1000000L)
+    val d = den.cast(DecimalType(38, 0))
+    ((n - (n % d)) / d).cast("long")
+  }
+
   def calibrate(
       scored: DataFrame, truthCol: Column, thresholdTenths: Seq[Int]): DataFrame = {
     val spark = scored.sparkSession
@@ -89,11 +103,9 @@ object QualityClassifier {
         cnt(!col("__pred") && col("__truth")).as("fn"),
         cnt(!col("__pred") && !col("__truth")).as("tn"))
       .withColumn("precision_ppm",
-        when(col("tp") + col("fp") > 0,
-          floor(col("tp") * lit(1000000.0) / (col("tp") + col("fp"))).cast("long")))
+        when(col("tp") + col("fp") > 0, ppmExact(col("tp"), col("tp") + col("fp"))))
       .withColumn("recall_ppm",
-        when(col("tp") + col("fn") > 0,
-          floor(col("tp") * lit(1000000.0) / (col("tp") + col("fn"))).cast("long")))
+        when(col("tp") + col("fn") > 0, ppmExact(col("tp"), col("tp") + col("fn"))))
       .orderBy(col("thr_tenths"))
   }
 

@@ -76,10 +76,27 @@ object TopK {
 
   /** Top `k` rows per `groupCols` group by (`scoreCol` DESC, `idCol`
     * ASC). Output: groupCols + (rank, score, id) — rank is 1-based.
+    *
+    * LONG-ONLY contract: the bounded-heap buffer packs (score, id) as
+    * long pairs, so both columns must already be integral (byte/short/
+    * int/long). A fractional score would be silently truncated before
+    * ranking — order wrong with no error — so non-integral input types
+    * are rejected here instead of cast. Fixed-point-quantize fractional
+    * scores first (the Pca.moments floor(x·1e9) idiom).
     */
   def perGroup(
       df: DataFrame, groupCols: Seq[String], scoreCol: Column, idCol: Column,
       k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    for ((c, what) <- Seq(scoreCol -> "scoreCol", idCol -> "idCol")) {
+      val dt = df.select(c).schema.head.dataType
+      require(integral.contains(dt),
+        s"TopK.perGroup: $what has type ${dt.simpleString} — the long-packed " +
+          "heap would truncate it and rank wrongly; quantize to an integral " +
+          "type first (e.g. floor(x * 1e9) fixed point)")
+    }
     val agg = udaf(new TopKAggregator(k))
     df.groupBy(groupCols.map(col): _*)
       .agg(agg(scoreCol.cast("long"), idCol.cast("long")).as("__topk"))

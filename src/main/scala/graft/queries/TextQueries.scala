@@ -424,6 +424,19 @@ object TextQueries {
   /** Whole-corpus PCA moment oracle (q141 single-pass, q142 shard-merge
     * — hash equality of the merge path against THIS proves shard-built
     * ≡ single-pass, the q136 discipline).
+    *
+    * The raw moment sum reaches ~9.1e18 at sf1 — 19 significant digits,
+    * OUTSIDE the float64 round-trip envelope every emitted DECIMAL must
+    * live in (SURVEY §2.14: the driver's hash canonicalization converts
+    * decimals through double, so a DECIMAL above 2^53 hash-mismatches
+    * even when both engines computed the identical integer — exactly
+    * how r8 shipped these two rows red). So both sides emit the sum
+    * split as
+    * s_hi = (s - s % 1e9) / 1e9 and s_lo = s % 1e9 — the exact-decimal
+    * truncating-division idiom (both Spark's and DuckDB's % truncate
+    * toward zero, so the split is sign-safe), each piece < 1e10,
+    * comfortably float64-exact, and s = s_hi·1e9 + s_lo recovers the
+    * integer losslessly.
     */
   private val pcaMomentsOracle: String =
     """WITH e AS (
@@ -437,9 +450,23 @@ object TextQueries {
       |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
       |  GROUP BY 1, 2
       |), m1 AS (SELECT i, -1 AS j, CAST(sum(xi) AS HUGEINT) AS s FROM x GROUP BY 1)
-      |SELECT i::BIGINT AS i, j::BIGINT AS j, CAST(s AS DECIMAL(38,0)) AS s
+      |SELECT i::BIGINT AS i, j::BIGINT AS j,
+      |       CAST((s - (s % 1000000000)) / 1000000000 AS BIGINT) AS s_hi,
+      |       CAST(s % 1000000000 AS BIGINT) AS s_lo
       |FROM (SELECT * FROM m2 UNION ALL SELECT * FROM m1)
       |ORDER BY i, j""".stripMargin
+
+  /** Engine-side spelling of the same float64-safe split (scaladoc on
+    * [[pcaMomentsOracle]]): `s` is the DECIMAL(38,0) moment sum.
+    */
+  private def pcaSplitCols(spark: org.apache.spark.sql.SparkSession) = {
+    import spark.implicits._
+    val b = lit(1000000000L)
+    Seq(
+      $"i".cast("long").as("i"), $"j".cast("long").as("j"),
+      (($"s" - ($"s" % b)) / b).cast("long").as("s_hi"),
+      ($"s" % b).cast("long").as("s_lo"))
+  }
 
   private val jaccardOracle =
     s"""WITH $shingleCte,
@@ -3720,8 +3747,8 @@ object TextQueries {
         |  FROM j GROUP BY 1
         |)
         |SELECT thr_tenths, tp, fp, fn, tn,
-        |       CASE WHEN tp + fp > 0 THEN CAST(floor(tp * 1000000.0 / (tp + fp)) AS BIGINT) END AS precision_ppm,
-        |       CASE WHEN tp + fn > 0 THEN CAST(floor(tp * 1000000.0 / (tp + fn)) AS BIGINT) END AS recall_ppm
+        |       CASE WHEN tp + fp > 0 THEN CAST((tp * 1000000) // (tp + fp) AS BIGINT) END AS precision_ppm,
+        |       CASE WHEN tp + fn > 0 THEN CAST((tp * 1000000) // (tp + fn) AS BIGINT) END AS recall_ppm
         |FROM c ORDER BY thr_tenths""",
     ) { (spark, dir) =>
       import spark.implicits._
@@ -3839,7 +3866,7 @@ object TextQueries {
       import spark.implicits._
       graft.operators.Pca
         .moments(Tables(spark, dir).embeddings, "embedding", d = 64)
-        .select($"i".cast("long").as("i"), $"j".cast("long").as("j"), $"s")
+        .select(pcaSplitCols(spark): _*)
         .orderBy($"i", $"j")
     },
 
@@ -3855,7 +3882,7 @@ object TextQueries {
       val shards = Seq(e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" % 2 =!= 0))
         .map(graft.operators.Pca.moments(_, "embedding", d = 64))
       graft.operators.Pca.merge(shards)
-        .select($"i".cast("long").as("i"), $"j".cast("long").as("j"), $"s")
+        .select(pcaSplitCols(spark): _*)
         .orderBy($"i", $"j")
     },
 

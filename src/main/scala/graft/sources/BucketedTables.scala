@@ -22,6 +22,39 @@ import org.apache.spark.sql.DataFrame
   */
 object BucketedTables {
 
+  /** Serializes same-JVM writes: two queries sharing a table name (q149
+    * and q151 deliberately reuse the same bucketed builds) would race
+    * the overwrite if ever run concurrently.
+    */
+  private val writeLock = new Object
+
+  /** One-time-per-JVM sweep of warehouse leftovers from DEAD pids (the
+    * `_p<pid>_` names [[tableName]] mints). Live pids are never
+    * touched, which is what makes the delete safe under a shared
+    * warehouse path — the previous catalog-absence heuristic could
+    * delete a concurrently running JVM's live table out from under it.
+    */
+  private lazy val sweepDeadPidTables: org.apache.spark.sql.SparkSession => Unit = {
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    spark => if (done.compareAndSet(false, true)) {
+      val wh = new org.apache.hadoop.fs.Path(spark.sessionState.conf.warehousePath)
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) {
+        val pat = "^[a-z0-9]+_p([0-9]+)_[0-9a-f]+$".r
+        fs.listStatus(wh).foreach { st =>
+          st.getPath.getName match {
+            case pat(pid) =>
+              val h = ProcessHandle.of(pid.toLong)
+              if (!h.isPresent || !h.get().isAlive) {
+                fs.delete(st.getPath, true); ()
+              }
+            case _ => ()
+          }
+        }
+      }
+    }
+  }
+
   /** Writes `df` as a bucketed+sorted managed parquet table (overwrite
     * — idempotent per table name) and returns the table re-read through
     * the catalog, which is what carries the bucketing metadata into
@@ -29,15 +62,17 @@ object BucketedTables {
     */
   def writeBucketed(
       df: DataFrame, table: String, buckets: Int, key: String,
-      sortCols: Seq[String] = Nil): DataFrame = {
+      sortCols: Seq[String] = Nil): DataFrame = writeLock.synchronized {
     require(buckets > 0, s"buckets=$buckets")
     val spark = df.sparkSession
-    // A managed-table location can survive a previous JVM whose
-    // in-memory catalog died with it; saveAsTable then refuses to
-    // create over the orphaned directory (LOCATION_ALREADY_EXISTS).
-    // If the catalog does not know the table, its leftover location is
-    // provably orphaned — remove it so overwrite stays idempotent
-    // across JVMs, not just within one.
+    sweepDeadPidTables(spark)
+    // A managed-table location can survive THIS pid's earlier session
+    // whose in-memory catalog died with it (pid reuse aside, pid-scoped
+    // names mean the location is provably ours); saveAsTable would then
+    // refuse to create over the orphaned directory
+    // (LOCATION_ALREADY_EXISTS) — remove it so overwrite stays
+    // idempotent. Live tables of OTHER processes have different
+    // `_p<pid>_` names and are never candidates.
     if (!spark.catalog.tableExists(table)) {
       val p = new org.apache.hadoop.fs.Path(
         spark.sessionState.conf.warehousePath, table.toLowerCase)
@@ -53,10 +88,13 @@ object BucketedTables {
     df.sparkSession.table(table)
   }
 
-  /** A stable per-input-dir table name so repeated runs overwrite their
-    * own tables instead of accumulating, while concurrent runs against
-    * DIFFERENT data dirs never collide.
+  /** A stable per-(process, input-dir) table name: repeated runs within
+    * one JVM overwrite their own tables instead of accumulating, while
+    * concurrent JVMs sharing a warehouse path can never collide (the
+    * pid infix is also what lets [[sweepDeadPidTables]] reclaim dead
+    * processes' leftovers safely).
     */
   def tableName(prefix: String, dir: String): String =
-    s"${prefix}_${java.lang.Integer.toHexString(dir.hashCode)}"
+    s"${prefix}_p${ProcessHandle.current().pid()}_" +
+      java.lang.Integer.toHexString(dir.hashCode)
 }

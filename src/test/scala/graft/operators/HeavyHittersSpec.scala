@@ -51,9 +51,25 @@ class HeavyHittersSpec extends SparkSpec {
     import spark.implicits._
     val toks = tables.documents
       .select(explode(TextFunctions.alphaTokens($"text")).as("key"))
-    val plan = HeavyHitters.exactTopK(toks, "key", k = 20, capacity = 4096)
+    // the lazy recount plan (exactTopK itself now collects the k rows to
+    // run the N/capacity certificate, returning a local frame)
+    val keys = toks.select($"key".cast("string").as("key")).as[String]
+    val cands = keys.toDF("key").distinct()
+    val plan = HeavyHitters.recountTopK(cands, keys, k = 20)
       .queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"), plan.take(2000))
     assert(plan.contains("Broadcast"), plan.take(2000))
+  }
+
+  test("exactTopK throws (not silently wrong) when the certificate fails") {
+    import spark.implicits._
+    // near-uniform: 3000 distinct keys, ~6 each; capacity 8 per partition
+    // drops almost everything, and the 5th count (~6) <= N/8
+    val rows = (0 until 18000).map(i => s"u${i % 3000}")
+    val df = rows.toDF("key").repartition(4)
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.exactTopK(df, "key", k = 5, capacity = 8)
+    }
+    assert(e.getMessage.contains("capacity"), e.getMessage)
   }
 }

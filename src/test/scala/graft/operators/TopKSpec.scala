@@ -40,6 +40,15 @@ class TopKSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("TopK.perGroup rejects fractional score/id columns loudly") {
+    import spark.implicits._
+    val df = Seq(("a", 1.5, 1L)).toDF("source", "score", "doc_id")
+    val e = intercept[IllegalArgumentException] {
+      TopK.perGroup(df, Seq("source"), $"score", $"doc_id", k = 2)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("TopK.perGroup plan partial-aggregates before the shuffle") {
     import spark.implicits._
     val df = tables.documents.select($"source", length($"text").as("score"), $"doc_id")
