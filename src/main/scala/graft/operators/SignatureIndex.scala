@@ -158,12 +158,19 @@ object SignatureIndex {
     */
   private[graft] def tablePaths(
       spark: SparkSession, indexDir: String, table: String,
+      excludeBatch: Option[Long] = None): Seq[String] =
+    componentNames(spark, indexDir, table, excludeBatch)
+      .map(n => s"$indexDir/$table/$n")
+
+  /** Component dir NAMES of one index table (the coverage unit
+    * [[InMemoryMembershipStore.ensureCovers]] tracks). */
+  private[graft] def componentNames(
+      spark: SparkSession, indexDir: String, table: String,
       excludeBatch: Option[Long] = None): Seq[String] = {
     val dir = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val l = listTable(fs, dir)
-    l.copy(batches = l.batches.filterNot(excludeBatch.contains))
-      .dirNames.map(n => s"$indexDir/$table/$n")
+    l.copy(batches = l.batches.filterNot(excludeBatch.contains)).dirNames
   }
 
   /** The banded membership (band, bkey, doc_id) across all epochs.
@@ -427,6 +434,44 @@ object SignatureIndex {
       .select(col("da"), col("db"))
   }
 
+  /** Store-backed spelling of [[probeCandidates]]: the batch's banded
+    * rows are collected (refresh batches are batch-scale by contract —
+    * hard-capped at [[MaxStoreProbeRows]]), each key resolved through
+    * ONE store point lookup, and the resulting pairs re-enter the plan
+    * as a literal frame. Per-band duplicate pairs are kept, exactly as
+    * the frame join keeps one row per (band, bkey) collision — the
+    * refine dedups after thresholding, so the flag set is identical.
+    */
+  private def storeCandidates(
+      spark: SparkSession, indexDir: String, batchSh: DataFrame,
+      cfg: Config, excludeBatch: Option[Long], store: MembershipStore): DataFrame = {
+    import spark.implicits._
+    val batchBanded: Array[(Long, Int, Long)] = MinHashLSH.bandKeys(
+      MinHashLSH.signatures(batchSh, cfg.numPerms), cfg.bands, cfg.rowsPerBand)
+      .select(col("doc_id"), col("band"), col("bkey"))
+      .as[(Long, Int, Long)].collect()
+    require(batchBanded.length <= MaxStoreProbeRows,
+      s"store-backed probe batch has ${batchBanded.length} banded rows " +
+        s"(> $MaxStoreProbeRows) — this is a corpus, not a refresh batch; " +
+        "use the frame-join probe (store = None)")
+    store match {
+      case im: InMemoryMembershipStore => im.ensureCovers(
+        spark, indexDir, componentNames(spark, indexDir, "members", excludeBatch).toSet)
+      case _ => ()
+    }
+    val bm = store.bucketMembers(batchBanded.map(t => (t._2, t._3)).distinct)
+    val pairs = batchBanded.toSeq.flatMap { case (db, band, bkey) =>
+      bm.getOrElse((band, bkey), Array.empty[Long]).map(da => (da, db)).toSeq
+    }
+    spark.createDataset(pairs).toDF("da", "db")
+  }
+
+  /** Literal bound on the collected batch banded rows the store-backed
+    * probe materializes on the driver (a refresh batch is batch-scale
+    * by contract — docs x bands rows; 4M ≈ 64 MB of longs).
+    */
+  private val MaxStoreProbeRows = 4 * 1024 * 1024
+
   /** Ids of `batch` docs whose exact shingle Jaccard against SOME
     * indexed corpus doc reaches `threshold` — the index-backed spelling
     * of [[Decontamination.batchNearDuplicateIds]] (identical flag set
@@ -434,12 +479,20 @@ object SignatureIndex {
     * scaladoc). `corpus` supplies the TEXT of candidate corpus docs
     * only — it is filtered to candidate ids by a semi-join before any
     * shingle is derived.
+    *
+    * `store`: route the candidate probe through a [[MembershipStore]]
+    * point lookup instead of the members-frame join — the external-KV
+    * seam. Candidates (and therefore the returned flag set) are
+    * IDENTICAL by the store contract (spec-pinned); only the probe's
+    * WORK changes: an in-memory store makes it O(batch keys),
+    * independent of index size.
     */
   def probeNearDuplicateIds(
       spark: SparkSession, indexDir: String,
       corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, threshold: Double,
-      cfg: Config = Config(), excludeBatch: Option[Long] = None): DataFrame = {
+      cfg: Config = Config(), excludeBatch: Option[Long] = None,
+      store: Option[MembershipStore] = None): DataFrame = {
     validateParams(spark, indexDir, cfg)
     // one batch shingle derivation feeds the signature agg AND the
     // refine (cache-release contract: see Dedup.jaccardPairs)
@@ -449,7 +502,10 @@ object SignatureIndex {
     // signature aggregation (the probe's dominant compute — measured
     // 5.8 s -> see PLANS.md r8 notes). Hits-scale rows.
     // Cache-release contract: see Dedup.jaccardPairs.
-    val cand = probeCandidates(spark, indexDir, batchSh, cfg, excludeBatch).cache()
+    val cand = (store match {
+      case Some(st) => storeCandidates(spark, indexDir, batchSh, cfg, excludeBatch, st)
+      case None => probeCandidates(spark, indexDir, batchSh, cfg, excludeBatch)
+    }).cache()
     val candIds = cand.select(col("da").as(idCol)).distinct()
     // candidate corpus text only: hits-scale, not corpus-scale
     val corpusSh = Dedup.charShingles(

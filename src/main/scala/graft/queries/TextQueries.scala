@@ -94,11 +94,28 @@ object TextQueries {
     * scaladoc). Same pid-scoping as the expected parquets: concurrent
     * harness JVMs each build their own, dead-pid leftovers are cleaned.
     */
+  /** One-time index-build wall times, keyed `<artifact>|<dir>` — the
+    * ledger that lets Bench report BUILD separately from PROBE for the
+    * index-backed queries (q50/q130/q131/q133/q135/q136): the builds
+    * are ingest-time costs at 100 TB, and folding them into whichever
+    * pass first touches a query made solo numbers unrepresentative
+    * (r8: q136 solo 18.6 s of which ~14 s was the two-shard
+    * build+merge).
+    */
+  private[graft] val indexBuildMs =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def recordBuild[T](key: String, dir: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    indexBuildMs.put(s"$key|$dir", (System.nanoTime() - t0) / 1000000L)
+    r
+  }
+
   private val sigIndexByKey = scala.collection.concurrent.TrieMap.empty[String, String]
   private def ensureSigIndex(
       dir: String, kind: String)(corpus: => org.apache.spark.sql.DataFrame): String =
     synchronized {
-      sigIndexByKey.getOrElseUpdate(s"$kind|$dir", {
+      sigIndexByKey.getOrElseUpdate(s"$kind|$dir", recordBuild(s"sig_$kind", dir) {
         val path = s"${pidScopedScratch("graft_sigindex", dir)}/$kind"
         graft.operators.SignatureIndex.build(corpus, "doc_id", "text", path)
         path
@@ -121,7 +138,7 @@ object TextQueries {
   private def ensureMergedSigIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String): String =
     synchronized {
-      mergedSigIndexByDir.getOrElseUpdate(dir, {
+      mergedSigIndexByDir.getOrElseUpdate(dir, recordBuild("sig_merged_shards", dir) {
         import org.apache.spark.sql.functions.col
         val root = s"${pidScopedScratch("graft_sigindex", dir)}/merged_documents"
         val a = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
@@ -152,7 +169,7 @@ object TextQueries {
   private def ensureIvfBaseIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String): String =
     synchronized {
-      ivfBaseIndexByDir.getOrElseUpdate(dir, {
+      ivfBaseIndexByDir.getOrElseUpdate(dir, recordBuild("ivf_base", dir) {
         import org.apache.spark.sql.functions.col
         val path = s"${pidScopedScratch("graft_ivfidx", dir)}/embeddings_base"
         val base = Tables(spark, dir).embeddings.filter(col("vec_id") % 10 =!= 7)
@@ -171,7 +188,7 @@ object TextQueries {
   private val ivfIndexByDir = scala.collection.concurrent.TrieMap.empty[String, String]
   private def ensureIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): String =
     synchronized {
-      ivfIndexByDir.getOrElseUpdate(dir, {
+      ivfIndexByDir.getOrElseUpdate(dir, recordBuild("ivf_full", dir) {
         val path = s"${pidScopedScratch("graft_ivfidx", dir)}/embeddings"
         graft.operators.IvfIndex.persist(
           graft.operators.IvfIndex.build(

@@ -100,18 +100,11 @@ object DedupStreams {
     * one byte-range component — into NumPerms/8 longs, 8 components per
     * word. The driver kernel's agreement estimate then compares 8
     * components per XOR instead of one per array slot; exactness is
-    * byte equality either way.
+    * byte equality either way. (Shared with the point-lookup stores —
+    * one packing, one kernel, no drift.)
     */
-  private[streaming] def packSig8(sig: Array[Long]): Array[Long] = {
-    require(sig.length % 8 == 0, s"signature length ${sig.length} not a multiple of 8")
-    val out = new Array[Long](sig.length / 8)
-    var i = 0
-    while (i < sig.length) {
-      out(i >> 3) |= (sig(i) & 0xFFL) << ((i & 7) << 3)
-      i += 1
-    }
-    out
-  }
+  private[streaming] def packSig8(sig: Array[Long]): Array[Long] =
+    graft.operators.MembershipStore.packSig8(sig)
 
   /** Open-addressing set of positive longs (0 = empty slot sentinel;
     * callers must never add 0). The within-batch pair loop inserts the
@@ -152,18 +145,8 @@ object DedupStreams {
     * changing every trigger the generated source never hits the
     * codegen cache, costing ~10 s of janino per trigger.
     */
-  private[streaming] def packedAgreeCount(a: Array[Long], b: Array[Long]): Int = {
-    var diff = 0; var i = 0
-    while (i < a.length) {
-      val x = a(i) ^ b(i)
-      var y = x | ((x >>> 4) & 0x0f0f0f0f0f0f0f0fL)
-      y |= (y >>> 2) & 0x0303030303030303L
-      y |= (y >>> 1) & 0x0101010101010101L
-      diff += java.lang.Long.bitCount(y & 0x0101010101010101L)
-      i += 1
-    }
-    a.length * 8 - diff
-  }
+  private[streaming] def packedAgreeCount(a: Array[Long], b: Array[Long]): Int =
+    graft.operators.MembershipStore.agreeCount(a, b)
 
   /** Micro-batches between index compactions (fold `batch=*` dirs into
     * one `compacted=<M>` dir). Bounds the per-trigger listing at
@@ -318,6 +301,15 @@ object DedupStreams {
 
   /** Start the checkpointed streaming ingest: retained docs land in
     * `outDir` (parquet), their signature index under `indexDir`.
+    *
+    * `store`: route the per-trigger index probe through a
+    * [[graft.operators.MembershipStore]] point lookup — the external-KV
+    * seam. The parquet layout is still written (it stays the durable
+    * source of truth and the analytical copy); the store is the
+    * write-through view probes read. With the in-memory impl the
+    * probe's cost is O(batch keys), independent of index size — the
+    * spelling that eliminates the drain's one residual
+    * corpus-proportional term (the bloom-pruned epoch scan).
     */
   def ingest(
       docs: DataFrame,
@@ -325,12 +317,13 @@ object DedupStreams {
       indexDir: String,
       checkpointDir: String,
       threshold: Double = 0.7,
-      availableNow: Boolean = true): StreamingQuery = {
+      availableNow: Boolean = true,
+      store: Option[graft.operators.MembershipStore] = None): StreamingQuery = {
     val writer = docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        dedupBatch(batch.toDF(), outDir, indexDir, threshold, id)
+        dedupBatch(batch.toDF(), outDir, indexDir, threshold, id, store = store)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
@@ -387,12 +380,13 @@ object DedupStreams {
     * excluded from the index read: an interrupted write of this id is
     * about to be overwritten and must not feed its own dedup pass.
     */
-  private[streaming] def dedupBatch(
+  private[graft] def dedupBatch(
       batch: DataFrame, outDir: String, indexDir: String, threshold: Double,
       batchId: Long = 0L,
       bucketCap: Int = MinHashLSH.DefaultBucketCap,
       compactEvery: Int = DefaultCompactEvery,
-      driverBatchCap: Long = DefaultDriverBatchCap): Unit = {
+      driverBatchCap: Long = DefaultDriverBatchCap,
+      store: Option[graft.operators.MembershipStore] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     // the probe's bkey/doc_id In-filters carry up to MaxProbeKeyLiterals
@@ -449,6 +443,16 @@ object DedupStreams {
           .tablePaths(spark, indexDir, "members", excludeBatch = Some(batchId)).toSet
         if ((pre -- s.known).nonEmpty) probeState.remove(indexDir)
       }
+      // same novelty discipline for an attached point-lookup store: an
+      // out-of-band component about to be folded under our names must
+      // not survive the fold as a silently-missing coverage gap
+      store.foreach {
+        case im: graft.operators.InMemoryMembershipStore =>
+          val preNames = graft.operators.SignatureIndex
+            .componentNames(spark, indexDir, "members", excludeBatch = Some(batchId)).toSet
+          if ((preNames -- im.knownPaths).nonEmpty) im.clear()
+        case _ => ()
+      }
       try phase("compact")(compact(spark, indexDir, upTo = batchId - 1))
       catch { case e: Throwable => cachedBatch.unpersist(); throw e }
     }
@@ -498,11 +502,22 @@ object DedupStreams {
     // our compaction only renamed components the bloom already covers
     // (pre-compact novelty check above removed the state otherwise) —
     // resync the covered set instead of forcing an O(index) rebuild
-    if (didCompact)
+    if (didCompact) {
       probeState.get(indexDir).foreach(_.known = tablePaths("members").toSet)
+      // our fold renamed covered components without changing content —
+      // adopt the names (a cleared store ignores this and re-seeds)
+      store.foreach {
+        case im: graft.operators.InMemoryMembershipStore =>
+          im.resyncAfterFold(live.dirNames.toSet)
+        case _ => ()
+      }
+    }
     try {
       spark.conf.set(inFilterKey, MaxProbeKeyLiterals.toString)
-      val (members, idxSigs) = phase("frames") {
+      // lazy: the store-backed driver-kernel probe never touches the
+      // index FRAMES (no epoch cache, no parquet scan) — only the
+      // parquet paths (no store / over-cap distributed) force them
+      lazy val frames = phase("frames") {
         val emptyM = Seq.empty[(Int, Long, Long)].toDF("band", "bkey", "mid")
         val emptyS = Seq.empty[(Long, Array[Long])].toDF("doc_id", "sig8")
         if (live.isEmpty) (emptyM, emptyS)
@@ -549,6 +564,8 @@ object DedupStreams {
           (m, s)
         }
       }
+      def members: DataFrame = frames._1
+      def idxSigs: DataFrame = frames._2
       // greedy resolution in id order over only the pair-involved ids —
       // a doc in no pair and no index hit is retained unconditionally,
       // and every potential dropper of a pair endpoint is itself a pair
@@ -600,6 +617,55 @@ object DedupStreams {
         // the LocalRelation-broadcast join of the batch's collected band
         // keys: no exchange job, hits back in ONE narrow-scan job,
         // occupancy and candidate pairs derived in plain Scala.
+        // Index probe: either through an attached point-lookup store
+        // (the external-KV seam — O(batch keys) per trigger, cost
+        // independent of index size, identical flag set by the
+        // MembershipStore contract) or the inline fused parquet path
+        // (driver bloom gate + pushed-In pruned epoch scan). afterWrite
+        // is the branch's post-durable-write bookkeeping (store.put /
+        // bloom puts), invoked once the parquet batch dirs land.
+        val (occLocal, indexHits, afterWrite): (
+            Map[(Int, Long), Long], Set[Long], Seq[(Int, Long, Long)] => Unit) =
+          store match {
+          case Some(st) =>
+            st match {
+              case im: graft.operators.InMemoryMembershipStore =>
+                phase("store_sync")(
+                  im.ensureCovers(spark, indexDir, live.dirNames.toSet))
+              case _ => ()
+            }
+            val keys = phase("probe_prep")(
+              bandedLocal.map(t => (t._1, t._2)).distinct)
+            val bm = phase("probe_collect")(st.bucketMembers(keys))
+            val occ: Map[(Int, Long), Long] =
+              bm.map { case (k, ms) => k -> ms.length.toLong }
+            val mids = bm.valuesIterator.flatten.toArray.distinct
+            val msig = phase("msig_collect")(st.memberSigs(mids))
+            // driver refine loop: per-bucket member lists are bounded by
+            // the write-side cap, so this sweep is hit-bounded, and the
+            // SWAR agreement kernel is the same one the executors run on
+            // the parquet path — identical hit set, different venue
+            val hits = phase("refine_dist") {
+              val out = scala.collection.mutable.HashSet.empty[Long]
+              bandedLocal.foreach { case (band, bkey, nid) =>
+                if (!out.contains(nid)) bm.get((band, bkey)).foreach { ms =>
+                  val nsig = sigPk(nid)
+                  var i = 0
+                  while (i < ms.length && !out.contains(nid)) {
+                    msig.get(ms(i)).foreach { m =>
+                      if (packedAgreeCount(nsig, m).toDouble / NumPerms >= tCorr)
+                        out += nid
+                    }
+                    i += 1
+                  }
+                }
+              }
+              out.toSet
+            }
+            (occ, hits, adm => phase("store_put")(st.put(
+              batchId, adm,
+              adm.map(_._3).distinct.map(d => d -> sigPk(d)).toMap)))
+          case None =>
         // fetch-or-rebuild (see ProbeIndexState scaladoc): a cached state
         // is reusable only while it is BOTH under capacity (else resize
         // 4x — geometric) and covering every live member component (else
@@ -734,6 +800,12 @@ object DedupStreams {
             }
         }
         hitFrame.foreach(_.unpersist(false)) // trigger-scoped, drop eagerly
+        (occLocal, indexHits, adm => phase("bloom_put") {
+          adm.foreach(t => state.bloom.putLong(t._2))
+          state.items += adm.size
+          state.known += s"$indexDir/members/batch=$batchId"
+        })
+        }
         if (timing) sizes += ("idxhits" -> indexHits.size.toLong)
 
         // batch vs earlier batch docs (da < db): per-bucket all-pairs
@@ -824,14 +896,12 @@ object DedupStreams {
           Future(sigsDf.coalesce(1).write.mode("overwrite")
             .parquet(s"$indexDir/sigs/batch=$batchId")))),
           scala.concurrent.duration.Duration.Inf))
-        // bloom update strictly AFTER the members write lands (crash
-        // before this point -> rebuild covers it; a replay re-put is
-        // idempotent). Extra puts on a replay only add false positives.
-        phase("bloom_put") {
-          admitted.foreach(t => state.bloom.putLong(t._2))
-          state.items += admitted.size
-          state.known += s"$indexDir/members/batch=$batchId"
-        }
+        // probe-state update strictly AFTER the members write lands
+        // (crash before this point -> rebuild/re-seed covers it; a
+        // replay re-put is idempotent for the bloom and heals through
+        // ensureCovers for a store). Branch-specific: bloom puts on the
+        // parquet path, store.put on the KV path.
+        afterWrite(admitted)
       } else {
         // ---------------- distributed spelling (over-cap) ----------------
         // this path doesn't maintain the probe bloom — invalidate so the
