@@ -89,7 +89,19 @@ object Pca {
     */
   def eigen(
       moments: Seq[(Int, Int, java.math.BigDecimal)],
-      n: Long, d: Int): Array[(Double, Array[Double])] = {
+      n: Long, d: Int): Array[(Double, Array[Double])] =
+    eigenOfSymmetric(covariance(moments, n, d))
+
+  /** Assemble the d×d covariance from [[moments]] rows — the exact
+    * double-arithmetic spelling (s2·10⁻¹⁸ − (s1·10⁻⁹)·(s1·10⁻⁹)/n) /
+    * (n−1) over the exact integer sums, which an independent engine
+    * computing the SAME IEEE expression over the SAME integers
+    * reproduces bit-for-bit — the property q154's trace/Frobenius
+    * hash gate rides.
+    */
+  def covariance(
+      moments: Seq[(Int, Int, java.math.BigDecimal)],
+      n: Long, d: Int): Array[Array[Double]] = {
     require(n > 1, "need at least two rows for a covariance")
     val s1 = Array.ofDim[Double](d)
     val s2 = Array.ofDim[Double](d, d)
@@ -99,12 +111,30 @@ object Pca {
         val v = s.doubleValue() * 1e-18
         s2(i)(j) = v; s2(j)(i) = v
     }
-    val a = Array.tabulate(d, d)((i, j) =>
+    Array.tabulate(d, d)((i, j) =>
       (s2(i)(j) - s1(i) * s1(j) / n) / (n - 1))
+  }
+
+  /** Cyclic Jacobi on a symmetric matrix (see [[eigen]]). */
+  def eigenOfSymmetric(a0: Array[Array[Double]]): Array[(Double, Array[Double])] = {
+    val d = a0.length
+    val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
     var sweep = 0
     var off = offDiag(a, d)
-    while (off > 1e-12 && sweep < 64) {
+    // scale-relative termination: drive the off-diagonal Frobenius mass
+    // below ~1e-13 of the matrix's own norm (Jacobi converges
+    // quadratically, so the extra sweeps past the old absolute 1e-12
+    // cut are 1–2) — per-entry eigen residuals then land at
+    // ~1e-13·‖A‖, which is what lets q154 flag-gate ‖Cv−λv‖∞ at a
+    // 1e-9 envelope instead of the 1e-5 the loose cut allowed
+    val frobSq = {
+      var s = 0.0; var i = 0
+      while (i < d) { var j = 0; while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    val tol = math.max(1e-300, frobSq * 1e-26)
+    while (off > tol && sweep < 64) {
       var p = 0
       while (p < d - 1) {
         var q = p + 1

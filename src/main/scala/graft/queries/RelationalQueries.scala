@@ -1271,5 +1271,67 @@ object RelationalQueries {
           sum($"l_quantity").cast("long").as("sum_qty"))
         .orderBy($"orderkey")
     },
+
+    // ---- q153: dynamic partition pruning over the date-partitioned
+    // sink — S6's runtime payoff, now oracle-gated (it was only
+    // spec'd): the fact side is lineitem written partitionBy(ship
+    // month), the dim side is a RUNTIME-derived month set (top-3 months
+    // by urgent-order count — not statically foldable, so Catalyst
+    // must insert a dynamicpruning subquery on the fact's partition
+    // column rather than a constant partition filter). At 100 TB this
+    // is the difference between scanning 3 months and scanning the
+    // whole fact table when the qualifying partitions are only known
+    // at run time. Values are partitioning-transparent, so the DuckDB
+    // oracle runs on the raw table; the dynamicpruning plan shape is
+    // pinned in PlanGuardSpec. ---------------------------------------
+    QueryDef(
+      "q153_dynamic_partition_pruning",
+      """WITH top3 AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS ship_month,
+        |         count(*) AS n_urgent
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  GROUP BY 1 ORDER BY n_urgent DESC, ship_month LIMIT 3
+        |)
+        |SELECT t.ship_month, CAST(t.n_urgent AS BIGINT) AS n_urgent,
+        |       count(*)::BIGINT AS n_lines,
+        |       CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem l
+        |JOIN top3 t ON strftime(l.l_shipdate, '%Y-%m') = t.ship_month
+        |GROUP BY 1, 2 ORDER BY 1""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val fact = spark.read.parquet(DppSink.ensure(spark, dir))
+      val dim = Tables(spark, dir).orders
+        .filter($"o_orderpriority" === "1-URGENT")
+        .groupBy(date_format($"o_orderdate", "yyyy-MM").as("ship_month"))
+        .agg(count(lit(1)).as("n_urgent"))
+        .orderBy($"n_urgent".desc, $"ship_month")
+        .limit(3)
+      fact.join(dim, Seq("ship_month"))
+        .groupBy($"ship_month", $"n_urgent")
+        .agg(count(lit(1)).as("n_lines"),
+          sum($"l_quantity").cast("long").as("sum_qty"))
+        .orderBy($"ship_month")
+    },
   )
+}
+
+/** Per-(dir, JVM) month-partitioned lineitem sink for q153 — built once
+  * (a sink write is an ingest-time cost), then read back as a
+  * partitioned scan whose `ship_month` dirs a DPP subquery can prune.
+  */
+private[graft] object DppSink {
+  private val byDir = scala.collection.concurrent.TrieMap.empty[String, String]
+  def ensure(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    synchronized {
+      byDir.getOrElseUpdate(dir, {
+        import org.apache.spark.sql.functions._
+        val path = s"${TextQueries.pidScopedScratch("graft_dppsink", dir)}/lineitem_by_month"
+        Tables(spark, dir).lineitem
+          .select(col("l_orderkey"), col("l_quantity"),
+            date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+          .write.mode("overwrite").partitionBy("ship_month").parquet(path)
+        path
+      })
+    }
 }

@@ -203,7 +203,7 @@ object TextQueries {
     * pid, so without this every round leaks a corpus-sized directory);
     * live siblings — a concurrently running harness — are left alone.
     */
-  private def pidScopedScratch(base: String, dir: String): String = {
+  private[graft] def pidScopedScratch(base: String, dir: String): String = {
     import java.nio.file.{Files, Path, Paths}
     val root = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"), base)
     val prefix = Integer.toHexString(dir.hashCode) + "_"
@@ -4187,6 +4187,85 @@ object TextQueries {
           Tables(spark, dir).documents, "doc_id", "text",
           window = 6, maxDist = 3, rotations = 2)
         .orderBy($"da", $"db")
+    },
+
+    // ---- q154: PCA eigensolve gate (Pca.eigen) — the q141 follow-on:
+    // the driver-side Jacobi on the d×d covariance cannot be
+    // recomputed by a SQL oracle, so the gate rides ORTHOGONAL
+    // INVARIANTS both engines CAN derive bit-reproducibly from the
+    // exact integer moments: trace(C) = Σλᵢ and ‖C‖²_F = Σλᵢ² are
+    // preserved exactly by the similarity transform, and C itself
+    // assembles from identical IEEE expressions over identical
+    // integers on both sides (Pca.covariance scaladoc), so
+    // ROUND(trace, 6)/ROUND(frob², 6) hash-gate hard. The eigensolve
+    // QUALITY is flag-gated per the q65 envelope idiom (oracle emits
+    // literal TRUE, engine computes): Σλ within 1e-9 of the trace,
+    // Σλ² within 1e-7 of ‖C‖²_F, max residual ‖Cv−λv‖∞ < 1e-10,
+    // ‖VᵀV−I‖max < 1e-10, eigenvalues non-increasing. The whole
+    // query's corpus-scale work is the SAME one-pass moment reduction
+    // q141 runs; everything after is d×d metadata on the driver. -----
+    QueryDef(
+      "q154_pca_eigen",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), x AS (
+        |  SELECT vec_id, i - 1 AS i, CAST(floor(v[i] * 1e9) AS BIGINT) AS xi
+        |  FROM e, UNNEST(generate_series(1, len(v))) AS t(i)
+        |), m2 AS (
+        |  SELECT a.i AS i, b.i AS j, sum(CAST(a.xi AS HUGEINT) * b.xi) AS s
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2
+        |), m1 AS (SELECT i, CAST(sum(xi) AS HUGEINT) AS s FROM x GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM embeddings),
+        |cov AS (
+        |  SELECT m2.i, m2.j,
+        |         (CAST(m2.s AS DOUBLE) * 1e-18 -
+        |          (CAST(a.s AS DOUBLE) * 1e-9) * (CAST(b.s AS DOUBLE) * 1e-9) / n.n)
+        |           / (n.n - 1) AS c
+        |  FROM m2 JOIN m1 a ON a.i = m2.i JOIN m1 b ON b.i = m2.j
+        |  CROSS JOIN n
+        |)
+        |SELECT (SELECT n FROM n)::BIGINT AS n_rows,
+        |       64::BIGINT AS d,
+        |       round(sum(CASE WHEN i = j THEN c ELSE 0 END), 6) AS trace_r,
+        |       round(sum(c * c * (CASE WHEN i = j THEN 1 ELSE 2 END)), 6) AS frob2_r,
+        |       true AS eig_trace_ok, true AS eig_frob_ok,
+        |       true AS resid_ok, true AS ortho_ok, true AS descending_ok
+        |FROM cov""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val emb = Tables(spark, dir).embeddings
+      val d = 64
+      val rows = graft.operators.Pca.moments(emb, "embedding", d)
+        .select($"i", $"j", $"s")
+        .as[(Int, Int, java.math.BigDecimal)].collect().toSeq
+      val n = emb.count()
+      val cov = graft.operators.Pca.covariance(rows, n, d)
+      val eig = graft.operators.Pca.eigen(rows, n, d)
+      // trace and Frobenius from the covariance itself (the
+      // bit-reproducible side); eigen sums gate the solve via flags
+      var trace = 0.0; var frob2 = 0.0
+      for (i <- 0 until d) { trace += cov(i)(i); for (j <- 0 until d) frob2 += cov(i)(j) * cov(i)(j) }
+      val sumEv = eig.map(_._1).sum
+      val sumEv2 = eig.map(e => e._1 * e._1).sum
+      val resid = (for {
+        k <- 0 until d; i <- 0 until d
+      } yield math.abs(
+        (0 until d).map(j => cov(i)(j) * eig(k)._2(j)).sum - eig(k)._1 * eig(k)._2(i))).max
+      val ortho = (for { a <- 0 until d; b <- 0 until d } yield math.abs(
+        (0 until d).map(i => eig(a)._2(i) * eig(b)._2(i)).sum - (if (a == b) 1.0 else 0.0))).max
+      val descending = eig.map(_._1).sliding(2).forall(p => p(0) >= p(1))
+      val scale = math.max(1.0, math.abs(trace))
+      val normScale = math.max(1.0, math.sqrt(frob2))
+      Seq((n, d.toLong,
+        BigDecimal(trace).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(frob2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        math.abs(sumEv - trace) < 1e-9 * scale,
+        math.abs(sumEv2 - frob2) < 1e-7 * math.max(1.0, frob2),
+        resid < 1e-9 * normScale, ortho < 1e-10, descending))
+        .toDF("n_rows", "d", "trace_r", "frob2_r", "eig_trace_ok",
+          "eig_frob_ok", "resid_ok", "ortho_ok", "descending_ok")
     },
   )
 }

@@ -289,4 +289,15 @@ class PlanGuardSpec extends SparkSpec {
       s"batch-side banded frame must broadcast into the corpus stream:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
   }
+
+  test("q153: the fact scan carries a dynamicpruning partition filter") {
+    // the dim side (top-3 urgent months) is runtime-derived, so the
+    // month-partitioned fact scan must be pruned by a DPP subquery —
+    // not a constant partition filter, and never a full scan
+    val plan = planOf("q153_dynamic_partition_pruning")
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$plan")
+    assert(plan.contains("PartitionFilters"),
+      s"no partition filter section on the fact scan:\n$plan")
+  }
 }
