@@ -118,10 +118,11 @@ object Decontamination {
       indexDir: String,
       threshold: Double,
       cfg: SignatureIndex.Config = SignatureIndex.Config(),
-      excludeBatch: Option[Long] = None): DataFrame =
+      excludeBatch: Option[Long] = None,
+      store: Option[MembershipStore] = None): DataFrame =
     SignatureIndex.probeNearDuplicateIds(
       corpus.sparkSession, indexDir, corpus, batch, idCol, textCol, threshold, cfg,
-      excludeBatch)
+      excludeBatch, store)
 
   /** Shared bipartite near-dup pair derivation: exact-thresholded
     * (da = bulk side, db = `isSmall` side) pairs with J >= threshold.

@@ -4267,5 +4267,52 @@ object TextQueries {
         .toDF("n_rows", "d", "trace_r", "frob2_r", "eig_trace_ok",
           "eig_frob_ok", "resid_ok", "ortho_ok", "descending_ok")
     },
+
+    // ---- q155: batch admission through the IN-MEMORY MembershipStore —
+    // q131's scenario with the candidate probe routed through the
+    // external-KV seam's point-lookup impl (store seeded once per (dir,
+    // JVM) from the same persisted index q131 scans; probes thereafter
+    // are O(batch keys), independent of index size). The oracle is the
+    // SAME exact bipartite recompute as q131, so the driver gate proves
+    // KV-backed ≡ exact — not merely KV ≡ the engine's own parquet
+    // probe (that equivalence is MembershipStoreSpec's job). ----------
+    QueryDef("q155_kv_store_admission", incrementalOracle(0.7)) { (spark, dir) =>
+      import spark.implicits._
+      val a = Tables(spark, dir).documents.select($"doc_id", $"text")
+      val cohort = when($"doc_id" % 9 === 3, lit("exact"))
+        .when($"doc_id" % 7 === 2, lit("near"))
+        .when($"doc_id" % 13 === 5, lit("novel"))
+      val b = a.withColumn("cohort", cohort).filter($"cohort".isNotNull)
+        .select(($"doc_id" + 2000000L).as("doc_id"),
+          when($"cohort" === "exact", $"text")
+            .when($"cohort" === "near", concat($"text", lit(" edited")))
+            .otherwise(concat(lit("fresh item "), $"doc_id".cast("string"),
+              lit(" unseen content"))).as("text"),
+          $"cohort")
+      val idx = ensureSigIndex(dir, "documents")(a)
+      val flagged = graft.operators.Decontamination
+        .batchNearDuplicateIdsIndexed(
+          a, b.drop("cohort"), "doc_id", "text", idx, threshold = 0.7,
+          store = Some(kvStoreFor(idx)))
+        .withColumnRenamed("doc_id", "fid")
+      b.join(flagged, $"doc_id" === $"fid", "left")
+        .groupBy($"cohort")
+        .agg(count(lit(1)).as("n_batch"),
+          count($"fid").as("n_flagged"),
+          (count(lit(1)) - count($"fid")).as("n_admitted"),
+          coalesce(sum(when($"fid".isNull, $"doc_id")), lit(0L))
+            .cast("long").as("admitted_checksum"))
+        .orderBy($"cohort")
+    },
   )
+
+  /** Per-(indexDir, JVM) in-memory membership store for q155 — seeded
+    * once from the persisted index on first probe (ensureCovers), then
+    * point-lookup-only across warm re-runs, mirroring how a long-lived
+    * refresh service would hold the KV view.
+    */
+  private val kvStoreByIdx =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.InMemoryMembershipStore]
+  private def kvStoreFor(idx: String): graft.operators.InMemoryMembershipStore =
+    kvStoreByIdx.getOrElseUpdate(idx, new graft.operators.InMemoryMembershipStore)
 }
