@@ -46,7 +46,7 @@ object Bench {
     // ≈ warm for them instead of solo carrying a hidden build.
     val indexBacked = Set("q50_ann_ivf", "q130_refresh_pipeline",
       "q131_index_admission", "q133_index_append", "q135_ivf_append",
-      "q136_index_merge")
+      "q136_index_merge", "q155_kv_store_admission")
     val prebuild: Seq[(String, Double)] = SparkEntry.registry
       .filter(q => indexBacked.contains(q.name)).map { q =>
         val t0 = System.nanoTime()
