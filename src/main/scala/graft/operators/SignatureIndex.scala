@@ -436,11 +436,19 @@ object SignatureIndex {
 
   /** Store-backed spelling of [[probeCandidates]]: the batch's banded
     * rows are collected (refresh batches are batch-scale by contract —
-    * hard-capped at [[MaxStoreProbeRows]]), each key resolved through
-    * ONE store point lookup, and the resulting pairs re-enter the plan
-    * as a literal frame. Per-band duplicate pairs are kept, exactly as
-    * the frame join keeps one row per (band, bkey) collision — the
-    * refine dedups after thresholding, so the flag set is identical.
+    * hard-capped at [[MaxStoreProbeRows]]), each DISTINCT key resolved
+    * through ONE store point lookup, and the hit rows (one per member
+    * per probed bucket — occupancy-bounded, NOT pair-bounded) re-enter
+    * the plan as a literal frame that joins the batch side back on
+    * (band, bkey). The pair MULTISET therefore materializes on the
+    * executors, never the driver: a corpus hot bucket probed by its
+    * own thousands of exact-copy batch docs multiplies |bucket|×|probes|
+    * pairs, which a driver-side flatMap spelling OOM'd on at the sf1
+    * tier — the same nothing-multiset-proportional-on-the-driver rule
+    * the streaming kernel's hit frame follows. Per-band duplicate
+    * pairs are kept, exactly as the frame join keeps one row per
+    * (band, bkey) collision — the refine dedups after thresholding, so
+    * the flag set is identical.
     */
   private def storeCandidates(
       spark: SparkSession, indexDir: String, batchSh: DataFrame,
@@ -460,10 +468,17 @@ object SignatureIndex {
       case _ => ()
     }
     val bm = store.bucketMembers(batchBanded.map(t => (t._2, t._3)).distinct)
-    val pairs = batchBanded.toSeq.flatMap { case (db, band, bkey) =>
-      bm.getOrElse((band, bkey), Array.empty[Long]).map(da => (da, db)).toSeq
+    val hitRows: Seq[(Int, Long, Long)] = bm.toSeq.flatMap {
+      case ((band, bkey), ms) => ms.map(m => (band, bkey, m)).toSeq
     }
-    spark.createDataset(pairs).toDF("da", "db")
+    require(hitRows.length <= MaxStoreProbeRows,
+      s"store probe hit ${hitRows.length} (bucket, member) rows " +
+        s"(> $MaxStoreProbeRows) — occupancy of the probed buckets is " +
+        "corpus-scale; use the frame-join probe (store = None)")
+    val batchDf = spark.createDataset(batchBanded.toSeq).toDF("db", "band", "bkey")
+    spark.createDataset(hitRows).toDF("band", "bkey", "da")
+      .join(broadcast(batchDf), Seq("band", "bkey"))
+      .select(col("da"), col("db"))
   }
 
   /** Literal bound on the collected batch banded rows the store-backed
