@@ -110,14 +110,33 @@ object MembershipStore {
   */
 final class ParquetMembershipStore(
     spark: SparkSession, indexDir: String,
-    excludeBatch: Option[Long] = None) extends MembershipStore {
+    val excludeBatch: Option[Long] = None) extends MembershipStore {
   import org.apache.spark.sql.functions._
 
-  /** Past this many literals the pushed In-predicate is dropped in
-    * favor of the full scan (the parquet-mr nested-OR stack bound —
-    * see DedupStreams.MaxProbeKeyLiterals).
+  /** Per-SCAN bound on pushed In-predicate literals (the parquet-mr
+    * nested-OR stack bound — see DedupStreams.MaxProbeKeyLiterals).
+    * A probe past the bound is CHUNKED into ceil(n/1024) pruned scans
+    * unioned into one job — every branch keeps its pushed filter, so
+    * collected bytes stay O(hits) at ANY key count. (The r9 spelling
+    * dropped the filter past the bound and collected the full index to
+    * the driver, filtering after — the exact anti-pattern this store
+    * exists to avoid; on a 100 TB index one hot trigger past 1024 keys
+    * would OOM the driver.)
     */
   private val MaxInLiterals = 1024
+
+  /** Union of per-chunk pushed-In pruned scans over `lits` values of
+    * `keyCol` — never an unfiltered scan, never more than
+    * [[MaxInLiterals]] literals in any one scan branch.
+    * private[operators]: MembershipStoreSpec pins the every-branch-
+    * filtered plan shape at >1024 keys.
+    */
+  private[operators] def prunedScan(
+      src0: org.apache.spark.sql.DataFrame, keyCol: String,
+      lits: Array[Long]): org.apache.spark.sql.DataFrame =
+    lits.grouped(MaxInLiterals)
+      .map(ch => src0.filter(col(keyCol).isin(ch.map(Long.box).toSeq: _*)))
+      .reduce(_ union _)
 
   override def bucketMembers(
       keys: Array[(Int, Long)]): Map[(Int, Long), Array[Long]] = {
@@ -126,11 +145,8 @@ final class ParquetMembershipStore(
     val keySet = keys.toSet
     val bkeys = keys.map(_._2).distinct
     val src0 = spark.read.parquet(paths: _*)
-    val src =
-      if (bkeys.length <= MaxInLiterals)
-        src0.filter(col("bkey").isin(bkeys.map(Long.box).toSeq: _*))
-      else src0
-    src.select(col("band"), col("bkey"), col("doc_id"))
+    prunedScan(src0, "bkey", bkeys)
+      .select(col("band"), col("bkey"), col("doc_id"))
       .collect()
       .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
       .filter(t => keySet.contains(t._1))
@@ -143,11 +159,8 @@ final class ParquetMembershipStore(
     if (paths.isEmpty || ids.isEmpty) return Map.empty
     val idSet = ids.toSet
     val src0 = spark.read.parquet(paths: _*)
-    val src =
-      if (ids.length <= MaxInLiterals)
-        src0.filter(col("doc_id").isin(ids.map(Long.box).toSeq: _*))
-      else src0
-    src.select(col("doc_id"), col("sig8"))
+    prunedScan(src0, "doc_id", ids.distinct)
+      .select(col("doc_id"), col("sig8"))
       .collect()
       .filter(r => idSet.contains(r.getLong(0)))
       .map(r => r.getLong(0) ->

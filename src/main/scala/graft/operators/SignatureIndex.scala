@@ -465,6 +465,16 @@ object SignatureIndex {
     store match {
       case im: InMemoryMembershipStore => im.ensureCovers(
         spark, indexDir, componentNames(spark, indexDir, "members", excludeBatch).toSet)
+      // A parquet store pins ITS exclusion at construction; the call
+      // site's excludeBatch cannot reach its scans, so a mismatch would
+      // silently probe the excluded batch's own partial rows. Refuse
+      // the divergence instead (the in-memory impl honors the call-site
+      // value through the ensureCovers listing above).
+      case ps: ParquetMembershipStore => require(
+        ps.excludeBatch == excludeBatch,
+        s"store-backed probe: ParquetMembershipStore pinned " +
+          s"excludeBatch=${ps.excludeBatch} but the probe requested " +
+          s"$excludeBatch — construct the store with the probe's exclusion")
       case _ => ()
     }
     val bm = store.bucketMembers(batchBanded.map(t => (t._2, t._3)).distinct)

@@ -632,6 +632,14 @@ object DedupStreams {
               case im: graft.operators.InMemoryMembershipStore =>
                 phase("store_sync")(
                   im.ensureCovers(spark, indexDir, live.dirNames.toSet))
+              // a parquet store pins its exclusion at construction and
+              // ignores the trigger's — refuse a store that would probe
+              // this batch's own partial rows (or silently exclude a
+              // different batch)
+              case ps: graft.operators.ParquetMembershipStore => require(
+                ps.excludeBatch.contains(batchId),
+                s"dedupBatch($batchId): attached ParquetMembershipStore " +
+                  s"pins excludeBatch=${ps.excludeBatch}, not this trigger")
               case _ => ()
             }
             val keys = phase("probe_prep")(

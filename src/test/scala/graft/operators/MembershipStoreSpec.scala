@@ -153,6 +153,56 @@ class MembershipStoreSpec extends SparkSpec {
       "copy of the out-of-band appended doc must be dropped (store seeded the append)")
   }
 
+  test("parquet store past 1024 distinct keys: every scan branch stays filtered (no full-index collect), results unchanged") {
+    val (corpus, _) = scenario()
+    val dir = tmpDir("chunk")
+    SignatureIndex.build(corpus, "doc_id", "text", dir)
+    // real keys (hits guaranteed) padded with synthetic absent keys to
+    // push the probe well past the 1024-literal per-scan bound — the r9
+    // fallback dropped the filter entirely here and collected the whole
+    // index to the driver
+    val realKeys = SignatureIndex.members(spark, dir)
+      .select($"band", $"bkey").distinct().as[(Int, Long)].collect()
+    val keys = realKeys ++ (0 until 3000).map(i => (i % 32, 900000000L + i))
+    val nKeys = keys.map(_._2).distinct.length
+    assert(nKeys > 2048, s"scenario must exceed two chunks, got $nKeys keys")
+    val pq = new ParquetMembershipStore(spark, dir)
+    // plan shape: the probe is a union of per-chunk scans, EVERY leaf
+    // under a Filter carrying the chunk's In predicate — an unfiltered
+    // leaf is exactly the banned full-scan-collect
+    val memberPaths = SignatureIndex.tablePaths(spark, dir, "members", None)
+    val probe = pq.prunedScan(
+      spark.read.parquet(memberPaths: _*), "bkey", keys.map(_._2).distinct)
+    import org.apache.spark.sql.catalyst.plans.logical
+    def leaves(p: logical.LogicalPlan, filtered: Boolean): Seq[Boolean] = p match {
+      case f: logical.Filter =>
+        val hasKey = f.condition.references.exists(_.name == "bkey")
+        f.children.flatMap(leaves(_, filtered || hasKey))
+      case l if l.children.isEmpty => Seq(filtered)
+      case _ => p.children.flatMap(leaves(_, filtered))
+    }
+    val marks = leaves(probe.queryExecution.optimizedPlan, filtered = false)
+    val expectChunks = (nKeys + 1023) / 1024
+    assert(marks.length == expectChunks,
+      s"expected $expectChunks chunked scan branches, got ${marks.length}")
+    assert(marks.forall(identity), "an unfiltered scan branch survived past the literal cap")
+    // results: identical to the frame-derived expectation at this key count
+    val keySet = keys.toSet
+    val want = SignatureIndex.members(spark, dir)
+      .select($"band", $"bkey", $"doc_id").as[(Int, Long, Long)].collect()
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, vs) => k -> vs.map(_._3).distinct.sorted.toSeq }
+      .filter(t => keySet.contains(t._1))
+    val got = pq.bucketMembers(keys).map { case (k, v) => k -> v.toSeq }
+    assert(got == want, s"chunked probe diverged (${got.size} vs ${want.size} buckets)")
+    // signatures through the same chunked path
+    val ids = want.valuesIterator.flatten.toArray.distinct ++
+      (0 until 2000).map(i => 800000000L + i)
+    assert(ids.distinct.length > 1024)
+    val sigs = pq.memberSigs(ids)
+    assert(sigs.keySet == want.valuesIterator.flatten.toSet)
+  }
+
   test("in-memory store coverage violation (uncertified fold) forces a full rebuild, not a silent miss") {
     val st = new InMemoryMembershipStore
     val root = Files.createTempDirectory("graft_store_oob").toString
