@@ -36,20 +36,30 @@ object BucketedTables {
     */
   private lazy val sweepDeadPidTables: org.apache.spark.sql.SparkSession => Unit = {
     val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-    spark => if (done.compareAndSet(false, true)) {
-      val wh = new org.apache.hadoop.fs.Path(spark.sessionState.conf.warehousePath)
-      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(wh)) {
-        val pat = "^[a-z0-9]+_p([0-9]+)_[0-9a-f]+$".r
-        fs.listStatus(wh).foreach { st =>
-          st.getPath.getName match {
-            case pat(pid) =>
-              val h = ProcessHandle.of(pid.toLong)
-              if (!h.isPresent || !h.get().isAlive) {
-                fs.delete(st.getPath, true); ()
-              }
-            case _ => ()
-          }
+    spark => if (done.compareAndSet(false, true)) sweepNow(spark)
+  }
+
+  /** The sweep body (once-per-JVM wrapper above; private[sources] so
+    * BucketedTablesSpec can exercise it against a fake dead-pid dir
+    * without depending on first-call ordering within the JVM).
+    */
+  private[sources] def sweepNow(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val wh = new org.apache.hadoop.fs.Path(spark.sessionState.conf.warehousePath)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) {
+      // prefix class must admit '_': tableName mints names like
+      // graft_bkt_orders_p<pid>_<hex> — the r9 spelling ([a-z0-9]+)
+      // could never match one, making the sweep a silent no-op and
+      // leaking every dead pid's table copies in the warehouse
+      val pat = "^[a-z0-9_]+_p([0-9]+)_[0-9a-f]+$".r
+      fs.listStatus(wh).foreach { st =>
+        st.getPath.getName match {
+          case pat(pid) =>
+            val h = ProcessHandle.of(pid.toLong)
+            if (!h.isPresent || !h.get().isAlive) {
+              fs.delete(st.getPath, true); ()
+            }
+          case _ => ()
         }
       }
     }

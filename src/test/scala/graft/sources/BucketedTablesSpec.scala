@@ -62,6 +62,34 @@ class BucketedTablesSpec extends SparkSpec {
     assert(meta.contains("Num Buckets") && meta.contains("4"), meta)
   }
 
+  test("sweep reclaims a dead-pid dir named via tableName and keeps live-pid dirs") {
+    val wh = new org.apache.hadoop.fs.Path(spark.sessionState.conf.warehousePath)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a dead pid: walk down from the pid cap until one isn't running
+    val deadPid = Iterator.iterate(4194000L)(_ - 1)
+      .find(p => !ProcessHandle.of(p).isPresent).get
+    // the REAL naming scheme (underscore-bearing prefix — the r9 sweep
+    // regex rejected exactly these and leaked them forever)
+    val deadName = BucketedTables.tableName("graft_bkt_orders", "/fake/dir")
+      .replace(s"_p${ProcessHandle.current().pid()}_", s"_p${deadPid}_")
+    val liveName = BucketedTables.tableName("graft_bkt_orders", "/fake/dir")
+    val other = "unrelated_table"
+    Seq(deadName, liveName, other).foreach { n =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(wh, n)); ()
+    }
+    try {
+      BucketedTables.sweepNow(spark)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(wh, deadName)),
+        s"dead-pid dir $deadName must be swept")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(wh, liveName)),
+        "live-pid dir must survive the sweep")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(wh, other)),
+        "non-matching names must never be touched")
+    } finally Seq(deadName, liveName, other).foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(wh, n), true); ()
+    }
+  }
+
   test("tableName is dir-stable and dir-distinct") {
     val a = BucketedTables.tableName("p", "/data/x")
     assert(a == BucketedTables.tableName("p", "/data/x"))
