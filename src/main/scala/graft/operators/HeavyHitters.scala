@@ -37,8 +37,21 @@ object HeavyHitters {
     * estimated counts undershoot truth by ≤ n/capacity.
     */
   private[operators] def misraGries(
-      it: Iterator[String], capacity: Int): mutable.HashMap[String, Long] = {
+      it: Iterator[String], capacity: Int): mutable.HashMap[String, Long] =
+    misraGriesTracked(it, capacity)._1
+
+  /** [[misraGries]] plus whether ANY decrement-all fired. A summary
+    * that never decremented is EXACT for its partition (every distinct
+    * key seen is a survivor) — when that holds on every partition the
+    * candidate set is the complete distinct-key set and the recount is
+    * exact at any k, including inputs with fewer than k distinct keys
+    * (the N/capacity certificate can't distinguish low cardinality
+    * from dropped candidates; this flag can).
+    */
+  private[operators] def misraGriesTracked(
+      it: Iterator[String], capacity: Int): (mutable.HashMap[String, Long], Boolean) = {
     val acc = mutable.HashMap.empty[String, Long]
+    var dropped = false
     while (it.hasNext) {
       val k = it.next()
       acc.get(k) match {
@@ -47,6 +60,7 @@ object HeavyHitters {
         case None =>
           // decrement-all, dropping zeros (amortized: this O(capacity)
           // step retires `capacity` arrivals' worth of counts)
+          dropped = true
           val dead = mutable.ArrayBuffer.empty[String]
           acc.keysIterator.foreach { kk =>
             val c = acc(kk) - 1
@@ -55,7 +69,7 @@ object HeavyHitters {
           dead.foreach(acc.remove)
       }
     }
-    acc
+    (acc, dropped)
   }
 
   /** Distinct candidate keys: the union of per-partition Misra–Gries
@@ -82,9 +96,13 @@ object HeavyHitters {
     keys.mapPartitions { it =>
       var n = 0L
       val counted = it.map { x => n += 1; x }
-      val surv = misraGries(counted, capacity).keysIterator.toArray
-      Iterator.single((null: String, n)) ++ surv.iterator.map(k => (k, 0L))
-    }.toDF("key", "pn")
+      val (acc, droppedAny) = misraGriesTracked(counted, capacity)
+      val surv = acc.keysIterator.toArray
+      // the null row doubles as the partition's exhaustiveness flag:
+      // pn carries n_p, exact carries "no decrement-all fired here"
+      Iterator.single((null: String, n, !droppedAny)) ++
+        surv.iterator.map(k => (k, 0L, false))
+    }.toDF("key", "pn", "exact")
   }
 
   /** The lazy candidate-recount plan (tok, n): semi-join the corpus to
@@ -108,15 +126,24 @@ object HeavyHitters {
     * by (n DESC, tok ASC). Two corpus scans, zero vocabulary-sized
     * shuffles: the recount is semi-joined to the candidate set first.
     *
-    * The Misra–Gries containment guarantee only certifies the result
-    * when the k-th returned count exceeds N/capacity (any key the
-    * summaries dropped has true count ≤ N/capacity, so nothing absent
-    * can displace the returned head) — and that condition is now
-    * CHECKED, not just documented: the candidate pass also carries the
-    * per-partition row counts, and a violation (undersized capacity on
-    * a near-uniform distribution, or fewer than k certified hitters)
-    * throws with the measured N instead of returning a silently wrong
-    * top-k. The k returned rows are collected for the check — k is
+    * Certification — CHECKED, not just documented — is one of:
+    *
+    *   - exhaustive candidates: no partition's Misra–Gries pass ever
+    *     fired a decrement-all (the summaries hold every distinct key
+    *     exactly), so the recount is a complete exact top-k at any k —
+    *     including inputs with FEWER than k distinct keys, where all of
+    *     them are returned. This is what certifies the small-cardinality
+    *     case the N/capacity certificate below cannot (it can't
+    *     distinguish low cardinality from dropped candidates).
+    *   - the Misra–Gries containment guarantee: the k-th returned count
+    *     exceeds N/capacity (any key the summaries dropped has true
+    *     count ≤ N/capacity, so nothing absent can displace the
+    *     returned head). Requires ≥ k certified candidates; a violation
+    *     (undersized capacity on a near-uniform distribution) throws
+    *     with the measured N instead of returning a silently wrong
+    *     top-k.
+    *
+    * The ≤ k returned rows are collected for the check — k is
     * metadata-scale by the operator's contract.
     */
   def exactTopK(df: DataFrame, keyCol: String, k: Int, capacity: Int): DataFrame = {
@@ -125,20 +152,24 @@ object HeavyHitters {
     val keys = df.select(col(keyCol).cast("string").as("key")).as[String]
     val cc = candidatesAndCounts(keys, capacity).cache()
     try {
-      val n = cc.filter(col("key").isNull)
-        .agg(coalesce(sum(col("pn")), lit(0L))).as[Long].head()
+      val (n, exhaustive) = cc.filter(col("key").isNull)
+        .agg(coalesce(sum(col("pn")), lit(0L)),
+          coalesce(min(col("exact")), lit(true)))
+        .as[(Long, Boolean)].head()
       val cands = cc.filter(col("key").isNotNull).select(col("key")).distinct()
       val top = recountTopK(cands, keys, k)
         .as[(String, Long)].collect()
-      require(top.length >= k,
-        s"HeavyHitters.exactTopK: only ${top.length} certified candidates for " +
-          s"k=$k (N=$n, capacity=$capacity) — the true top-$k may include " +
-          "dropped keys; raise capacity")
-      val kth = top.last._2
-      require(kth * capacity.toLong > n,
-        s"HeavyHitters.exactTopK: k-th count $kth fails the certificate " +
-          s"(needs > N/capacity = $n/$capacity) — dropped keys could displace " +
-          "the tail of the returned top-k; raise capacity")
+      if (!exhaustive) {
+        require(top.length >= k,
+          s"HeavyHitters.exactTopK: only ${top.length} certified candidates for " +
+            s"k=$k (N=$n, capacity=$capacity) — the true top-$k may include " +
+            "dropped keys; raise capacity")
+        val kth = top.last._2
+        require(kth * capacity.toLong > n,
+          s"HeavyHitters.exactTopK: k-th count $kth fails the certificate " +
+            s"(needs > N/capacity = $n/$capacity) — dropped keys could displace " +
+            "the tail of the returned top-k; raise capacity")
+      }
       spark.createDataset(top.toSeq).toDF("tok", "n")
     } finally { cc.unpersist(); () }
   }

@@ -61,6 +61,21 @@ class HeavyHittersSpec extends SparkSpec {
     assert(plan.contains("Broadcast"), plan.take(2000))
   }
 
+  test("exactTopK with fewer than k distinct keys returns all of them (exhaustive-candidate certificate)") {
+    import spark.implicits._
+    // 7 distinct keys, k=20: the N/capacity certificate can't fire (no
+    // 20th row), but no partition ever decrements at capacity 64, so
+    // the candidate set is provably complete and the answer exact
+    val rows = (0 until 700).map(i => s"k${i % 7}")
+    val df = rows.toDF("key").repartition(4)
+    val got = HeavyHitters.exactTopK(df, "key", k = 20, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = df.groupBy($"key".as("tok")).agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want && got.length == 7)
+  }
+
   test("exactTopK throws (not silently wrong) when the certificate fails") {
     import spark.implicits._
     // near-uniform: 3000 distinct keys, ~6 each; capacity 8 per partition
