@@ -111,6 +111,29 @@ object TextQueries {
     r
   }
 
+  /** Byte sizes of the persisted ANN index artifacts this JVM built —
+    * the bench ledger's index-size line. The pair that matters at
+    * 100 TB is pq_codes vs ivf_assignments: the PQ code table is the
+    * compressed stand-in for the raw-vector table on the scoring path
+    * (q156; ~32× smaller at 1024-dim float32 / m=16).
+    */
+  private[graft] def indexSizeBytes(
+      spark: org.apache.spark.sql.SparkSession): Map[String, Long] = {
+    val entries =
+      ivfIndexByDir.values.toSeq.distinct.flatMap(d => Seq(
+        "ivf_assignments" -> s"$d/assignments",
+        "ivf_centroids" -> s"$d/centroids")) ++
+      pqIndexByDir.values.toSeq.distinct.flatMap(d => Seq(
+        "pq_codes" -> s"$d/codes",
+        "pq_codebooks" -> s"$d/codebooks"))
+    entries.flatMap { case (label, path) =>
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(hp)) Some(label -> fs.getContentSummary(hp).getLength)
+      else None
+    }.toMap
+  }
+
   private val sigIndexByKey = scala.collection.concurrent.TrieMap.empty[String, String]
   private def ensureSigIndex(
       dir: String, kind: String)(corpus: => org.apache.spark.sql.DataFrame): String =
@@ -194,6 +217,37 @@ object TextQueries {
           graft.operators.IvfIndex.build(
             spark, Tables(spark, dir).embeddings, "vec_id", "embedding", nLists = 16),
           path)
+        path
+      })
+    }
+
+  /** Expected PQ code table for q156's oracle: the codes the build-time
+    * encode persisted, dumped flat so DuckDB can recompute the exact
+    * integer code checksum independently. The engine side re-encodes
+    * LIVE from the frozen codebooks — checksum equality is the
+    * determinism differential (persisted ≡ re-encode, bit for bit). */
+  lazy val PqCodesExpected: String = s"$expectedRoot/pq_codes.parquet"
+
+  /** Per-(dir, JVM) IVF-PQ layer over [[ensureIvfIndex]]: train the
+    * per-subspace residual codebooks once, encode + persist the code
+    * table, dump the oracle's expected copy. Returns the PQ dir.
+    */
+  private val pqIndexByDir = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ensurePqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    synchronized {
+      pqIndexByDir.getOrElseUpdate(dir, recordBuild("ivf_pq", dir) {
+        val ivfDir = ensureIvfIndex(spark, dir)
+        val path = s"${pidScopedScratch("graft_ivfidx", dir)}/embeddings_pq"
+        val m = graft.operators.IvfIndex.load(spark, ivfDir)
+        val cb = graft.operators.ProductQuantization.train(
+          m.assignments, m.centroids, m = 16, ks = 16)
+        val codes = graft.operators.ProductQuantization.encode(
+          m.assignments, m.centroids, cb)
+        graft.operators.ProductQuantization.persist(codes, cb, path)
+        ensureExpected("pq_codes", dir) {
+          graft.operators.ProductQuantization.loadCodes(spark, path)
+            .coalesce(1).write.mode("overwrite").parquet(PqCodesExpected)
+        }
         path
       })
     }
@@ -4192,18 +4246,27 @@ object TextQueries {
     // ---- q154: PCA eigensolve gate (Pca.eigen) — the q141 follow-on:
     // the driver-side Jacobi on the d×d covariance cannot be
     // recomputed by a SQL oracle, so the gate rides ORTHOGONAL
-    // INVARIANTS both engines CAN derive bit-reproducibly from the
-    // exact integer moments: trace(C) = Σλᵢ and ‖C‖²_F = Σλᵢ² are
-    // preserved exactly by the similarity transform, and C itself
-    // assembles from identical IEEE expressions over identical
-    // integers on both sides (Pca.covariance scaladoc), so
-    // ROUND(trace, 6)/ROUND(frob², 6) hash-gate hard. The eigensolve
-    // QUALITY is flag-gated per the q65 envelope idiom (oracle emits
-    // literal TRUE, engine computes): Σλ within 1e-9 of the trace,
-    // Σλ² within 1e-7 of ‖C‖²_F, max residual ‖Cv−λv‖∞ < 1e-10,
-    // ‖VᵀV−I‖max < 1e-10, eigenvalues non-increasing. The whole
-    // query's corpus-scale work is the SAME one-pass moment reduction
-    // q141 runs; everything after is d×d metadata on the driver. -----
+    // INVARIANTS. The hash-gated half is EXACT INTEGER arithmetic over
+    // the moments (no double summation order, no rounding-boundary
+    // flake — the r9 ROUND(double, 6) spelling could flip its 6th
+    // decimal when the two engines' sum orders landed a trace near a
+    // 5e-7 boundary): with t_ij = n·m2_ij − m1_i·m1_j (so C_ij =
+    // t_ij·10⁻¹⁸/(n(n−1)) — a pure scaling), gate
+    //   trace: T = Σ_i t_ii  — |T| < 2^96 outlives BIGINT and the
+    //     float64 envelope, so emit T mod M₁ and T mod M₂ for two
+    //     primes just under 2^53 (CRT: equal residues ⇒ equal T,
+    //     since |T| < M₁·M₂); each residue is float64-exact BIGINT.
+    //   Frobenius: F = Σ_{i≤j} w_ij·t_ij² (w: 1 diag / 2 off) reaches
+    //     ~2^172 — uncomputable even in HUGEINT — so BOTH sides reduce
+    //     per-term: Σ w·((t mod M)² mod M) mod M, identical integers ⇒
+    //     identical residues, order-free.
+    // The eigensolve QUALITY is flag-gated per the q65 envelope idiom
+    // (oracle emits literal TRUE, engine computes): Σλ within 1e-9·s
+    // of the trace, Σλ² within 1e-7·s of ‖C‖²_F, max residual
+    // ‖Cv−λv‖∞ < 1e-9·max(1,‖C‖_F), ‖VᵀV−I‖max < 1e-10, eigenvalues
+    // non-increasing. The whole query's corpus-scale work is the SAME
+    // one-pass moment reduction q141 runs; everything after is d×d
+    // metadata on the driver. -----------------------------------------
     QueryDef(
       "q154_pca_eigen",
       """WITH e AS (
@@ -4218,21 +4281,28 @@ object TextQueries {
         |  GROUP BY 1, 2
         |), m1 AS (SELECT i, CAST(sum(xi) AS HUGEINT) AS s FROM x GROUP BY 1),
         |n AS (SELECT count(*) AS n FROM embeddings),
-        |cov AS (
-        |  SELECT m2.i, m2.j,
-        |         (CAST(m2.s AS DOUBLE) * 1e-18 -
-        |          (CAST(a.s AS DOUBLE) * 1e-9) * (CAST(b.s AS DOUBLE) * 1e-9) / n.n)
-        |           / (n.n - 1) AS c
+        |t AS (
+        |  SELECT m2.i AS i, m2.j AS j,
+        |         CAST(n.n AS HUGEINT) * m2.s - a.s * b.s AS tv,
+        |         CASE WHEN m2.i = m2.j THEN 1 ELSE 2 END AS w
         |  FROM m2 JOIN m1 a ON a.i = m2.i JOIN m1 b ON b.i = m2.j
         |  CROSS JOIN n
         |)
         |SELECT (SELECT n FROM n)::BIGINT AS n_rows,
         |       64::BIGINT AS d,
-        |       round(sum(CASE WHEN i = j THEN c ELSE 0 END), 6) AS trace_r,
-        |       round(sum(c * c * (CASE WHEN i = j THEN 1 ELSE 2 END)), 6) AS frob2_r,
+        |       CAST((((SELECT sum(tv) FROM t WHERE i = j) % 9007199254740881)
+        |             + 9007199254740881) % 9007199254740881 AS BIGINT) AS trace_m1,
+        |       CAST((((SELECT sum(tv) FROM t WHERE i = j) % 9007199254740847)
+        |             + 9007199254740847) % 9007199254740847 AS BIGINT) AS trace_m2,
+        |       CAST(sum(w * ((((tv % 9007199254740881) + 9007199254740881) % 9007199254740881)
+        |                     * (((tv % 9007199254740881) + 9007199254740881) % 9007199254740881)
+        |                     % 9007199254740881)) % 9007199254740881 AS BIGINT) AS frob_m1,
+        |       CAST(sum(w * ((((tv % 9007199254740847) + 9007199254740847) % 9007199254740847)
+        |                     * (((tv % 9007199254740847) + 9007199254740847) % 9007199254740847)
+        |                     % 9007199254740847)) % 9007199254740847 AS BIGINT) AS frob_m2,
         |       true AS eig_trace_ok, true AS eig_frob_ok,
         |       true AS resid_ok, true AS ortho_ok, true AS descending_ok
-        |FROM cov""",
+        |FROM t""",
     ) { (spark, dir) =>
       import spark.implicits._
       val emb = Tables(spark, dir).embeddings
@@ -4243,8 +4313,26 @@ object TextQueries {
       val n = emb.count()
       val cov = graft.operators.Pca.covariance(rows, n, d)
       val eig = graft.operators.Pca.eigen(rows, n, d)
-      // trace and Frobenius from the covariance itself (the
-      // bit-reproducible side); eigen sums gate the solve via flags
+      // hash-gated half: exact-integer trace/Frobenius residues over
+      // t_ij = n·m2_ij − m1_i·m1_j (scaladoc above)
+      val bigM1 = BigInt(9007199254740881L); val bigM2 = BigInt(9007199254740847L)
+      val m1v = Array.fill(d)(BigInt(0))
+      val m2v = Array.ofDim[BigInt](d, d)
+      rows.foreach {
+        case (i, -1, s) => m1v(i) = BigInt(s.toBigIntegerExact)
+        case (i, j, s)  => m2v(i)(j) = BigInt(s.toBigIntegerExact)
+      }
+      val nB = BigInt(n)
+      var tInt = BigInt(0); var f1 = BigInt(0); var f2 = BigInt(0)
+      for (i <- 0 until d; j <- i until d) {
+        val t = nB * m2v(i)(j) - m1v(i) * m1v(j)
+        if (i == j) tInt += t
+        val w = if (i == j) BigInt(1) else BigInt(2)
+        val r1 = t.mod(bigM1); val r2 = t.mod(bigM2)
+        f1 = (f1 + w * ((r1 * r1).mod(bigM1))).mod(bigM1)
+        f2 = (f2 + w * ((r2 * r2).mod(bigM2))).mod(bigM2)
+      }
+      // flag-gated half: eigensolve quality vs the assembled covariance
       var trace = 0.0; var frob2 = 0.0
       for (i <- 0 until d) { trace += cov(i)(i); for (j <- 0 until d) frob2 += cov(i)(j) * cov(i)(j) }
       val sumEv = eig.map(_._1).sum
@@ -4259,13 +4347,12 @@ object TextQueries {
       val scale = math.max(1.0, math.abs(trace))
       val normScale = math.max(1.0, math.sqrt(frob2))
       Seq((n, d.toLong,
-        BigDecimal(trace).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        BigDecimal(frob2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        tInt.mod(bigM1).toLong, tInt.mod(bigM2).toLong, f1.toLong, f2.toLong,
         math.abs(sumEv - trace) < 1e-9 * scale,
         math.abs(sumEv2 - frob2) < 1e-7 * math.max(1.0, frob2),
         resid < 1e-9 * normScale, ortho < 1e-10, descending))
-        .toDF("n_rows", "d", "trace_r", "frob2_r", "eig_trace_ok",
-          "eig_frob_ok", "resid_ok", "ortho_ok", "descending_ok")
+        .toDF("n_rows", "d", "trace_m1", "trace_m2", "frob_m1", "frob_m2",
+          "eig_trace_ok", "eig_frob_ok", "resid_ok", "ortho_ok", "descending_ok")
     },
 
     // ---- q155: batch admission through the IN-MEMORY MembershipStore —
@@ -4303,6 +4390,60 @@ object TextQueries {
           coalesce(sum(when($"fid".isNull, $"doc_id")), lit(0L))
             .cast("long").as("admitted_checksum"))
         .orderBy($"cohort")
+    },
+
+    // ---- q156: IVF-PQ (ProductQuantization scaladoc) — the residual-
+    // compression stage of the billion-scale ANN stack: the persisted
+    // index stores m=8 codebook ids per vector instead of the raw
+    // floats (8 B vs 256 B at d=64 float32 — the difference between a
+    // ~4 TB and a ~64 GB code table at 10⁹×1024-dim). Gate, per the
+    // q50 idiom: (a) the exact-integer CODE CHECKSUM — DuckDB
+    // recomputes it over the build-time expected dump while the engine
+    // re-encodes LIVE from the frozen codebooks, so equality proves
+    // encode determinism (persisted ≡ re-encode, bit for bit); (b) a
+    // row-set flag that the persisted code table IS the live re-encode
+    // (exceptAll both ways); (c) an ADC recall@5 >= 0.6 flag against
+    // the live exact cosine top-5 (itself fixture-pinned by q50).
+    // DuckDB cannot run k-means or ADC, so (b)/(c) ride the q65
+    // envelope idiom (oracle emits the literal the engine must earn).
+    QueryDef(
+      "q156_ivf_pq",
+      s"""SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_vectors,
+         |       16::BIGINT AS m, 16::BIGINT AS ks,
+         |       (SELECT CAST(coalesce(sum((id % 9973 + 1) *
+         |                list_sum(list_transform(codes, (c, i) -> (c + 1) * i))), 0) AS BIGINT)
+         |        FROM read_parquet('$PqCodesExpected/*.parquet')) AS code_checksum,
+         |       1 AS reencode_ok, 1 AS recall_ge_060""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val pqDir = ensurePqIndex(spark, dir)
+      val ivf = graft.operators.IvfIndex.load(spark, ensureIvfIndex(spark, dir))
+      val cb = graft.operators.ProductQuantization.loadCodebooks(spark, pqDir)
+      val persisted = graft.operators.ProductQuantization.loadCodes(spark, pqDir)
+      val live = graft.operators.ProductQuantization
+        .encode(ivf.assignments, ivf.centroids, cb).cache()
+      try {
+        val checksum = graft.operators.ProductQuantization.codeChecksum(live)
+        val nVec = live.count()
+        val reencodeOk =
+          persisted.exceptAll(live).isEmpty && live.exceptAll(persisted).isEmpty
+        val e = Tables(spark, dir).embeddings
+        val exact = graft.operators.SimilaritySearch
+          .topK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
+          .select($"qid", $"cid").cache()
+        val adc = graft.operators.ProductQuantization
+          .adcTopK(spark, ivf, cb, persisted, (0L until 10L).toSeq, k = 5, nProbe = 4,
+            rerank = 25)
+          .select($"qid", $"cid")
+        val nExact = exact.count()
+        val hits = exact.join(adc, Seq("qid", "cid")).count()
+        exact.unpersist()
+        Seq((nVec, 16L, 16L, checksum,
+          if (reencodeOk) 1 else 0,
+          if (hits.toDouble / nExact >= 0.6) 1 else 0))
+          .toDF("n_vectors", "m", "ks", "code_checksum", "reencode_ok",
+            "recall_ge_060")
+      } finally { live.unpersist(); () }
     },
   )
 
