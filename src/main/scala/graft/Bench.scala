@@ -46,7 +46,7 @@ object Bench {
     // ≈ warm for them instead of solo carrying a hidden build.
     val indexBacked = Set("q50_ann_ivf", "q130_refresh_pipeline",
       "q131_index_admission", "q133_index_append", "q135_ivf_append",
-      "q136_index_merge", "q155_kv_store_admission")
+      "q136_index_merge", "q155_kv_store_admission", "q156_ivf_pq")
     val prebuild: Seq[(String, Double)] = SparkEntry.registry
       .filter(q => indexBacked.contains(q.name)).map { q =>
         val t0 = System.nanoTime()
@@ -59,6 +59,11 @@ object Bench {
         System.err.println(f"[bench:prebuild] ${q.name}%-28s ${dt}%8.2f s")
         q.name -> dt
       }
+    // index-size ledger: persisted bytes of the ANN artifacts the
+    // prebuild just materialized (pq_codes vs ivf_assignments is the
+    // q156 compression claim, measured)
+    val indexBytes: Map[String, Long] =
+      graft.queries.TextQueries.indexSizeBytes(spark)
 
     val failed = collection.mutable.LinkedHashSet[String]()
     // Per-pass system diagnostics (r7 item: the definitive sweep showed a
@@ -137,7 +142,13 @@ object Bench {
     // after the full sweep, so its number reflects steady-state plan cost
     // with its generated classes resident — the standalone-warm figure a
     // user profiling one query would see, free of any residual sweep noise.
-    val soloNames = warm.sortBy(-_._2).take(10).map(_._1)
+    // r9 verdict item 5: q61/q63/q40 regressed 1.3-1.6x r8→r9 on
+    // unchanged code — force them into the solo set for one round so
+    // the artifact carries a quiet re-measure alongside the sweep time
+    val forcedSolo = Set("q61_context_pack", "q63_training_pipeline",
+      "q40_normalize_distinct")
+    val soloNames = (warm.sortBy(-_._2).take(10).map(_._1) ++
+      forcedSolo.filter(warm.toMap.contains)).distinct
     val solo: Seq[(String, Double)] = SparkEntry.registry
       .filter(q => soloNames.contains(q.name)).flatMap { q =>
         val t0 = System.nanoTime()
@@ -203,55 +214,114 @@ object Bench {
     val streamJson: String = try {
       import java.nio.file.{Files, Path, Paths}
       val src = Paths.get(graft.fixtures.ClaimFixtures.EdiDir)
-      val tmp = Files.createTempDirectory("bench_stream")
-      // ~100 MB of replicated EDI + parquet per run — delete on exit so
-      // repeated rounds don't accumulate dead corpora in /tmp
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        try {
-          val s = Files.walk(tmp)
-          try s.sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(f => { Files.deleteIfExists(f); () })
-          finally s.close()
-        } catch { case _: Throwable => () } // already-gone dir: nothing to clean
-      }))
-      val in = tmp.resolve("in"); Files.createDirectories(in)
-      var nFiles = 0
-      val listing = Files.list(src)
-      try listing.forEach { f =>
-        if (f.getFileName.toString.endsWith(".txt")) {
-          (0 until 100).foreach { r =>
-            Files.copy(f, in.resolve(s"r${r}_${f.getFileName}")); nFiles += 1
+      // One full ingest run into fresh dirs; returns (files, rows, sec,
+      // per-batch (batchId, triggerMs, addBatchMs, walMs)) in batch order.
+      def runIngest(): (Int, Long, Double, Seq[(Long, Long, Long, Long)]) = {
+        val tmp = Files.createTempDirectory("bench_stream")
+        // ~100 MB of replicated EDI + parquet per run — delete on exit so
+        // repeated rounds don't accumulate dead corpora in /tmp
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          try {
+            val s = Files.walk(tmp)
+            try s.sorted(java.util.Comparator.reverseOrder[Path]())
+              .forEach(f => { Files.deleteIfExists(f); () })
+            finally s.close()
+          } catch { case _: Throwable => () } // already-gone dir: nothing to clean
+        }))
+        val in = tmp.resolve("in"); Files.createDirectories(in)
+        var nFiles = 0
+        val listing = Files.list(src)
+        try listing.forEach { f =>
+          if (f.getFileName.toString.endsWith(".txt")) {
+            (0 until 100).foreach { r =>
+              Files.copy(f, in.resolve(s"r${r}_${f.getFileName}")); nFiles += 1
+            }
           }
+        } finally listing.close()
+        val t0 = System.nanoTime()
+        val q = graft.streaming.ClaimStreams.ingest(
+          spark, in.toString, tmp.resolve("out").toString, tmp.resolve("ckpt").toString)
+        val finished = q.awaitTermination(900000L)
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (!finished) { q.stop(); (nFiles, -1L, dt, Nil) }
+        else {
+          def d(p: org.apache.spark.sql.streaming.StreamingQueryProgress,
+              k: String): Long =
+            Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)
+          val batches = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+            .map(p => (p.batchId, d(p, "triggerExecution"),
+              d(p, "addBatch"), d(p, "walCommit")))
+          val rows = spark.read.parquet(tmp.resolve("out").toString).count()
+          (nFiles, rows, dt, batches)
         }
-      } finally listing.close()
-      val t0 = System.nanoTime()
-      val q = graft.streaming.ClaimStreams.ingest(
-        spark, in.toString, tmp.resolve("out").toString, tmp.resolve("ckpt").toString)
-      val finished = q.awaitTermination(900000L)
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (!finished) { q.stop(); """null""" }
-      else {
-        val batchMs = q.recentProgress.toSeq
-          .filter(_.numInputRows > 0)
-          .map(p => Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
-          .sorted
-        val rows = spark.read.parquet(tmp.resolve("out").toString).count()
-        val sec = String.format(java.util.Locale.ROOT, "%.3f", Double.box(dt))
+      }
+      def js(run: (Int, Long, Double, Seq[(Long, Long, Long, Long)])): String = {
+        val (nFiles, rows, dt, batches) = run
+        if (rows < 0) return "null"
+        val ms = batches.map(_._2)
+        val sorted = ms.sorted
         val (nb, p50, mx) =
-          if (batchMs.isEmpty) (0, 0L, 0L)
-          else (batchMs.size, batchMs(batchMs.size / 2), batchMs.last)
+          if (sorted.isEmpty) (0, 0L, 0L)
+          else (sorted.size, sorted(sorted.size / 2), sorted.last)
+        val sec = String.format(java.util.Locale.ROOT, "%.3f", Double.box(dt))
+        // per-batch trigger ms in BATCH ORDER (position of an outlier is
+        // evidence: batch 0 = warmup/prebuild interference, mid-run =
+        // contention/GC) + the max batch's component split
+        val arr = ms.mkString("[", ",", "]")
+        val maxDetail = batches.sortBy(-_._2).headOption.map { b =>
+          s"""{"batch":${b._1},"trigger_ms":${b._2},"add_batch_ms":${b._3},""" +
+            s""""wal_commit_ms":${b._4}}"""
+        }.getOrElse("null")
         System.err.println(
           s"[bench:stream] ingest $nFiles files -> $rows claims in $sec s " +
             s"($nb batches, p50 ${p50} ms, max ${mx} ms)")
         s"""{"files":$nFiles,"claims":$rows,"sec":$sec,""" +
-          s""""batches":$nb,"batch_p50_ms":$p50,"batch_max_ms":$mx}"""
+          s""""batches":$nb,"batch_p50_ms":$p50,"batch_max_ms":$mx,""" +
+          s""""batch_ms":$arr,"max_batch":$maxDetail}"""
+      }
+      // same contention discipline as the query passes: per-pass
+      // load/GC/CPU diag, and a max-batch outlier past 2x p50 triggers
+      // ONE resweep into fresh dirs — a clean resweep names transient
+      // contention (GC/prebuild/host), a repeated spike names the plan
+      val (l0, gc0, cpu0) = sysSnap()
+      val first = runIngest()
+      val (l1, gc1, cpu1) = sysSnap()
+      passDiag("stream_ingest") = String.format(java.util.Locale.ROOT,
+        """{"load1_start":%.2f,"load1_end":%.2f,"gc_ms":%d,"proc_cpu_ms":%d,"wall_ms":%d}""",
+        Double.box(l0), Double.box(l1), Long.box(gc1 - gc0), Long.box(cpu1 - cpu0),
+        Long.box((first._3 * 1000).toLong))
+      System.err.println(s"[bench:stream] diag ${passDiag("stream_ingest")}")
+      val base = js(first)
+      if (base == "null") base
+      else {
+        val ms = first._4.map(_._2).sorted
+        val spiky = ms.nonEmpty && ms.last > 2 * ms(ms.size / 2)
+        val resweep = if (spiky) {
+          System.err.println("[bench:stream] max batch > 2x p50 — resweeping once")
+          js(runIngest())
+        } else "null"
+        base.dropRight(1) + s""","resweep":$resweep}"""
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench:stream] ingest FAILED: ${e.getMessage}")
       "null"
     }
 
-    val drainJson = dedupDrain(spark, sfDir)
+    // same per-pass diag for the drain (its own first/second-half slope
+    // check is the in-pass regression guard; the diag names GC vs host
+    // contention when a batch spikes)
+    val drainJson = {
+      val (dl0, dgc0, dcpu0) = sysSnap()
+      val t0d = System.nanoTime()
+      val r = dedupDrain(spark, sfDir)
+      val (dl1, dgc1, dcpu1) = sysSnap()
+      passDiag("stream_dedup_drain") = String.format(java.util.Locale.ROOT,
+        """{"load1_start":%.2f,"load1_end":%.2f,"gc_ms":%d,"proc_cpu_ms":%d,"wall_ms":%d}""",
+        Double.box(dl0), Double.box(dl1), Long.box(dgc1 - dgc0),
+        Long.box(dcpu1 - dcpu0), Long.box((System.nanoTime() - t0d) / 1000000L))
+      System.err.println(s"[bench:drain] diag ${passDiag("stream_dedup_drain")}")
+      r
+    }
     // Quiesce FULLY before printing: r6's summary line was pushed out of
     // the driver's 2000-char stdout tail by post-emit executor-shutdown
     // spew (Task rejected from ThreadPoolExecutor[Terminated] on the
@@ -275,12 +345,16 @@ object Bench {
       val builds = graft.queries.TextQueries.indexBuildMs.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k.takeWhile(_ != '|') + "\":" + v }
         .mkString("{", ",", "}")
+      val sizes = indexBytes.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
       val triples = soloSuspects.map { n =>
         "\"" + n + "\":{\"warm\":" + m3(warm.toMap.getOrElse(n, 0.0)) +
           ",\"solo\":" + m3(soloMap.getOrElse(n, 0.0)) +
           ",\"resweep\":" + resoloMap.get(n).map(m3).getOrElse("null") + "}"
       }.mkString("{", ",", "}")
-      s""""prebuild":$pb,"index_build_ms":$builds,"solo_contended":$triples"""
+      s""""prebuild":$pb,"index_build_ms":$builds,"index_bytes":$sizes,""" +
+        s""""solo_contended":$triples"""
     }
     emit(cold, warmFinal, solo, failed.toSeq, streamJson, drainJson, sfDir,
       diagJson, warm2, suspects, soloSuspects, extrasJson)
