@@ -194,5 +194,95 @@ object EventQueries {
         .agg(count(lit(1)).as("n_active"))
         .orderBy($"cohort_week", $"week_offset")
     },
+
+    // ---- q157: STREAMING sessionization on transformWithState (T4×T6,
+    // EventStreams.sessionSummaryTws scaladoc) gated against the q31
+    // batch derivation — the one streaming surface row that previously
+    // had only a spec, now a driver-visible hash gate. The events table
+    // replays as a REAL file-source stream in four ROUND-ROBIN chunks
+    // (event_id % 4), so every micro-batch spans the full time range
+    // and sessions merge across triggers — out-of-order arrival is the
+    // point, and batching-invariance (sessions = connected components
+    // of the event-time SET) is what makes the final state equal the
+    // batch answer. Integer outputs only (n_sessions, n_events), no
+    // float session-average to round. ts rides the JSON hop as exact
+    // unix MICROS (the default JSON timestamp format truncates to
+    // millis, which would move session boundaries). ------------------
+    QueryDef(
+      "q157_stream_sessionization",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged
+        |), per_session AS (
+        |  SELECT user_id, sid, count(*) AS n FROM sessions GROUP BY user_id, sid
+        |)
+        |SELECT user_id, count(*)::BIGINT AS n_sessions,
+        |       CAST(sum(n) AS BIGINT) AS n_events
+        |FROM per_session GROUP BY user_id ORDER BY user_id""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      import java.nio.file.{Files, Path, Paths}
+      val scratch = graft.queries.TextQueries
+        .pidScopedScratch("graft_stream_sess", dir)
+      def rmTree(p: Path): Unit = if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.delete(f))
+        finally s.close()
+      }
+      val run = s"$scratch/run"
+      rmTree(Paths.get(run))
+      val ev = Tables(spark, dir).events
+        .select($"user_id", unix_micros($"ts").as("ts_us"),
+          pmod($"event_id", lit(4)).cast("int").as("chunk")).cache()
+      def writeChunk(i: Int): Unit = ev.filter($"chunk" === i).drop("chunk")
+        .coalesce(1).write.json(s"$run/in/chunk_$i")
+      writeChunk(0) // the in/* glob must match before the query starts
+      val stream = spark.readStream
+        .schema("user_id LONG, ts_us LONG")
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$run/in/*")
+        .select($"user_id", timestamp_micros($"ts_us").as("ts"))
+      // transformWithState requires the RocksDB state store provider
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val out = graft.streaming.EventStreams.sessionSummaryTws(spark, stream)
+        val q = out.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", s"$run/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            b.withColumn("batch", lit(id))
+              .write.mode("append").parquet(s"$run/out")
+            ()
+          }
+          .start()
+        try {
+          q.processAllAvailable()
+          (1 to 3).foreach { i => writeChunk(i); q.processAllAvailable() }
+        } finally q.stop()
+      } finally {
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        ev.unpersist()
+      }
+      // final per-user state: the row from the LAST batch that emitted
+      // the user (n_events is strictly monotone per emission, so max
+      // batch = max n_events — both orderings pick the same row)
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"batch".desc, $"n_events".desc)
+      spark.read.parquet(s"$run/out")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"n_sessions", $"n_events")
+        .orderBy($"user_id")
+    },
   )
 }

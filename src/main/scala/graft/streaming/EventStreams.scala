@@ -188,6 +188,69 @@ object EventStreams {
       .toDF()
   }
 
+  case class SessEvent(user_id: Long, ts_us: Long)
+  case class SessionInterval(s: Long, e: Long, n: Long)
+  case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** T4×T6: SESSIONIZATION on the `transformWithState` API — custom
+    * session state instead of the built-in `session_window` (q31/T4),
+    * for pipelines that need the session CONTENTS or a merge rule the
+    * built-in can't express. Per-user state is the list of disjoint
+    * session intervals (start_us, end_us, n_events); each micro-batch
+    * merge-inserts its events and re-emits the user's full summary
+    * (Update mode), so the LAST emission per user equals the batch
+    * answer over everything ingested.
+    *
+    * Batching-invariance (what the q157 gate rides): sessions are the
+    * connected components of the event-time set under "gap ≤ 30 min"
+    * adjacency — a property of the SET, not the arrival order — and
+    * interval merging computes exactly those components incrementally,
+    * so ANY chunking of the input (including out-of-order event-time
+    * arrival across batches) converges to the identical final state.
+    * At 100 TB the state per user is its live session intervals; a
+    * production deployment bounds it by closing intervals behind the
+    * event-time watermark with timers (the q31 built-in does the same
+    * internally) — the gate intentionally runs unbounded (TimeMode
+    * None, no watermark) so no event is ever dropped and the batch
+    * oracle comparison is exact.
+    */
+  def sessionSummaryTws(
+      spark: SparkSession, events: DataFrame,
+      gapUs: Long = 1800000000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+    class SessionProcessor extends StatefulProcessor[Long, SessEvent, SessionSummary] {
+      @transient private var state: org.apache.spark.sql.streaming.ValueState[Seq[SessionInterval]] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[Seq[SessionInterval]](
+          "sessions",
+          implicitly[org.apache.spark.sql.Encoder[Seq[SessionInterval]]],
+          TTLConfig.NONE)
+      override def handleInputRows(
+          uid: Long, rows: Iterator[SessEvent],
+          timers: TimerValues): Iterator[SessionSummary] = {
+        val prev = Option(state.get()).getOrElse(Seq.empty)
+        val incoming = rows.map(e => SessionInterval(e.ts_us, e.ts_us, 1L)).toSeq
+        val all = (prev ++ incoming).sortBy(iv => (iv.s, iv.e))
+        val merged = all.foldLeft(List.empty[SessionInterval]) { (acc, iv) =>
+          acc match {
+            case h :: t if iv.s <= h.e + gapUs =>
+              SessionInterval(h.s, math.max(h.e, iv.e), h.n + iv.n) :: t
+            case _ => iv :: acc
+          }
+        }.reverse
+        state.update(merged)
+        Iterator.single(SessionSummary(uid, merged.size.toLong, merged.map(_.n).sum))
+      }
+    }
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
   /** T-extra: the foreachBatch merge/upsert sink — maintain a
     * latest-event-per-user parquet table, merged per micro-batch. Each
     * batch unions the incoming rows with the current table, keeps one
