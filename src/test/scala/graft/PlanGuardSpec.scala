@@ -300,4 +300,50 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"),
       s"no partition filter section on the fact scan:\n$plan")
   }
+
+  test("skewed vocabulary join: AQE's skew split fires (skew=true in the final adaptive plan)") {
+    // the q120 shape — per-token tf rows joined to a vocabulary-sized df
+    // side that is deliberately NOT broadcast (corpus vocabularies exceed
+    // any broadcast cap), with stopword skew left to AQE. This guard
+    // proves the runtime half of that design decision: a hot key's
+    // shuffle partition past the skew threshold is SPLIT, not serialized
+    // onto one reducer. Thresholds lowered to spec scale; the skewed
+    // SortMergeJoin prints skew=true only in the FINAL adaptive plan,
+    // i.e. after execution.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "262144",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pad = "x" * 100
+      // 90% of 200k tf rows land on the stopword key — one hot shuffle
+      // partition ~20 MB raw vs a few hundred KB for the cold tokens
+      val tf = spark.range(0, 200000).select(
+        when($"id" % 10 < 9, lit("the"))
+          .otherwise(concat(lit("tok"), ($"id" % 1000).cast("string"))).as("term"),
+        concat(lit(pad), $"id".cast("string")).as("payload"))
+      val df = spark.range(0, 1000)
+        .select(concat(lit("tok"), $"id".cast("string")).as("term"),
+          ($"id" + 1).cast("double").as("df"))
+        .union(Seq(("the", 1.0)).toDF("term", "df"))
+      val joined = tf.join(df, Seq("term"))
+      // drive the df's OWN query execution to finality (count()/write
+      // would plan a separate execution whose adaptive plan we can't see)
+      val n = joined.queryExecution.executedPlan.execute().count()
+      assert(n == 200000L, s"join lost rows: $n")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew split did not fire:\n${plan.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
