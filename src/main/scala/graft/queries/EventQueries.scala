@@ -284,5 +284,133 @@ object EventQueries {
         .select($"user_id", $"n_sessions", $"n_events")
         .orderBy($"user_id")
     },
+
+    // ---- q158: time-series gap-fill — hourly resample + forward fill.
+    // The standard sensor/metric regularization operator: per user, an
+    // hourly grid spans [first observed hour, last observed hour]; hours
+    // with no event take the most recent observed hourly value
+    // (last-observation-carried-forward). Observed hourly value = max
+    // within the hour (order-free, so both engines agree without a
+    // tie-break protocol). The grid is a generator (explode over
+    // sequence — narrow, no shuffle); the fill is one window pass
+    // partitioned by user_id: at 100 TB the only shuffle is the hourly
+    // pre-aggregation + the per-user window, both on the same key, and
+    // grid size is bounded by users x span-hours regardless of event
+    // count. Output aggregates per user so the gate stays small. --------
+    QueryDef(
+      "q158_gap_fill",
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, max(value) AS v
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
+        |), grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds
+        |), filled AS (
+        |  SELECT g.user_id, g.h, hv.v,
+        |         last_value(hv.v IGNORE NULLS) OVER (
+        |           PARTITION BY g.user_id ORDER BY g.h
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+        |  FROM grid g LEFT JOIN hourly hv ON hv.user_id = g.user_id AND hv.h = g.h
+        |)
+        |SELECT user_id, count(*)::BIGINT AS n_hours, count(v)::BIGINT AS n_observed,
+        |       (count(*) - count(v))::BIGINT AS n_filled,
+        |       CAST(sum(CAST(fv AS DECIMAL(18,2))) AS DOUBLE) AS filled_sum
+        |FROM filled GROUP BY user_id ORDER BY user_id""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val hourly = Tables(spark, dir).events
+        .groupBy($"user_id", date_trunc("hour", $"ts").as("h"))
+        .agg(max($"value").as("v"))
+      val grid = hourly.groupBy($"user_id")
+        .agg(min($"h").as("h0"), max($"h").as("h1"))
+        .select($"user_id",
+          explode(sequence($"h0", $"h1", expr("INTERVAL 1 HOUR"))).as("h"))
+      val w = Window.partitionBy($"user_id").orderBy($"h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("fv", last($"v", ignoreNulls = true).over(w))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_hours"), count($"v").as("n_observed"),
+          (count(lit(1)) - count($"v")).as("n_filled"),
+          sumMoney($"fv").as("filled_sum"))
+        .orderBy($"user_id")
+    },
+
+    // ---- q159: STREAMING stream-stream interval self-join (T8,
+    // EventStreams.selfJoinWithin10Min) gated against the q14 batch
+    // semantics — T8's first driver-visible gate (previously spec-only).
+    // The events table replays as a real file-source stream in four
+    // TIME-ORDERED chunks (equal ts slices, order-preserving and
+    // distributed to compute — no global window). Time order is what
+    // makes the gate exact: chunk k+1's earliest event is >= chunk k's
+    // latest, so (a) no input ever arrives below the 20-min watermark
+    // (never dropped), and (b) a row is evicted from join state only
+    // when watermark > its ts + 10 min, at which point every future
+    // partner is provably out of the band — inner-join emission is
+    // therefore complete AND state stays bounded by the watermark
+    // horizon, the property that holds at 100 TB stream volumes.
+    // ts rides the JSON hop as exact unix MICROS (q157's lesson). -----
+    QueryDef(
+      "q159_stream_stream_join",
+      """SELECT a.event_type AS a_type, count(*)::BIGINT AS n_pairs,
+        |       sum(b.event_id)::BIGINT AS pair_checksum
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) > epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000
+        |GROUP BY 1 ORDER BY 1""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      import java.nio.file.{Files, Path, Paths}
+      val scratch = graft.queries.TextQueries
+        .pidScopedScratch("graft_stream_ssj", dir)
+      def rmTree(p: Path): Unit = if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.delete(f))
+        finally s.close()
+      }
+      val run = s"$scratch/run"
+      rmTree(Paths.get(run))
+      val ev0 = Tables(spark, dir).events
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+          $"event_type")
+      val b = ev0.agg(min($"ts_us"), max($"ts_us")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val ev = ev0.withColumn("chunk", least(lit(3),
+        floor(($"ts_us" - lit(lo)) * lit(4L) / lit(hi - lo + 1)).cast("int")))
+        .cache()
+      def writeChunk(i: Int): Unit = ev.filter($"chunk" === i).drop("chunk")
+        .coalesce(1).write.json(s"$run/in/chunk_$i")
+      writeChunk(0) // the in/* glob must match before the query starts
+      val stream = spark.readStream
+        .schema("event_id LONG, user_id LONG, ts_us LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$run/in/*")
+        .select($"event_id", $"user_id", timestamp_micros($"ts_us").as("ts"),
+          $"event_type")
+      try {
+        val joined = graft.streaming.EventStreams.selfJoinWithin10Min(stream)
+        val q = joined.writeStream
+          .option("checkpointLocation", s"$run/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.select($"a_type", $"b_id")
+              .write.mode("append").parquet(s"$run/out")
+            ()
+          }
+          .start()
+        try {
+          q.processAllAvailable()
+          (1 to 3).foreach { i => writeChunk(i); q.processAllAvailable() }
+        } finally q.stop()
+      } finally ev.unpersist()
+      // explicit schema: a zero-pair run leaves only _SUCCESS in out/
+      spark.read.schema("a_type STRING, b_id LONG").parquet(s"$run/out")
+        .groupBy($"a_type")
+        .agg(count(lit(1)).as("n_pairs"), sum($"b_id").as("pair_checksum"))
+        .orderBy($"a_type")
+    },
   )
 }
