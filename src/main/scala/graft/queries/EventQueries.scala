@@ -412,5 +412,67 @@ object EventQueries {
         .agg(count(lit(1)).as("n_pairs"), sum($"b_id").as("pair_checksum"))
         .orderBy($"a_type")
     },
+
+    // ---- q160: SCD Type-2 history build — collapse a per-key changelog
+    // into validity intervals (the islands half of gaps-and-islands; the
+    // standard slowly-changing-dimension construction). Tracked attribute
+    // = event_type per user; consecutive runs of the same type become one
+    // interval [valid_from, valid_to), valid_to NULL on the current row.
+    // Two user-partitioned window passes (change flag via lag, interval id
+    // via running sum) + one groupBy + one lead — all shuffles on the same
+    // key, so at 100 TB this is a single exchange reused across stages.
+    // Output is sliced to user_id % 8 = 0 (deterministic, applied on BOTH
+    // engines) purely to bound the dumped gate; interval_seq makes the
+    // ORDER BY total. -------------------------------------------------
+    QueryDef(
+      "q160_scd2_history",
+      """WITH src AS (
+        |  SELECT user_id, ts, event_id, event_type FROM events WHERE user_id % 8 = 0
+        |), flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(event_type) OVER w IS NULL
+        |                OR event_type <> lag(event_type) OVER w
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT user_id, ts, event_type,
+        |         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged
+        |), intervals AS (
+        |  SELECT user_id, sid, any_value(event_type) AS state,
+        |         min(ts) AS vf, count(*) AS n_events
+        |  FROM numbered GROUP BY user_id, sid
+        |)
+        |SELECT user_id, CAST(sid AS BIGINT) AS interval_seq, state,
+        |       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |       strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY sid),
+        |                '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |       CAST(n_events AS BIGINT) AS n_events,
+        |       CAST(lead(vf) OVER (PARTITION BY user_id ORDER BY sid) IS NULL
+        |            AS BIGINT) AS is_current
+        |FROM intervals ORDER BY user_id, interval_seq""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wLead = Window.partitionBy($"user_id").orderBy($"sid")
+      Tables(spark, dir).events
+        .filter($"user_id" % 8 === 0)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("chg",
+          when(lag($"event_type", 1).over(w).isNull ||
+            $"event_type" =!= lag($"event_type", 1).over(w), 1).otherwise(0))
+        .withColumn("sid", sum($"chg").over(run))
+        .groupBy($"user_id", $"sid")
+        .agg(first($"event_type").as("state"), min($"ts").as("vf"),
+          count(lit(1)).as("n_events"))
+        .select($"user_id", $"sid".cast("long").as("interval_seq"), $"state",
+          tsStr($"vf").as("valid_from"),
+          tsStr(lead($"vf", 1).over(wLead)).as("valid_to"),
+          $"n_events",
+          lead($"vf", 1).over(wLead).isNull.cast("long").as("is_current"))
+        .orderBy($"user_id", $"interval_seq")
+    },
   )
 }

@@ -62,4 +62,38 @@ class EventWideningSpec extends SparkSpec {
     assert(exp.map(_._2).sum > 0, "degenerate fixture: no pairs at sf0.001")
     assert(got == exp)
   }
+
+  test("q160_scd2_history matches a driver-side run-length recomputation") {
+    import spark.implicits._
+    val got = registry("q160_scd2_history").run(spark, sfDir)
+      .select($"user_id", $"interval_seq", $"state", $"valid_from",
+        $"valid_to", $"n_events", $"is_current")
+      .as[(Long, Long, String, String, Option[String], Long, Long)]
+      .collect().toSeq
+
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    val raw = tables.events
+      .filter($"user_id" % 8 === 0)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val exp = raw.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      // run-length encode consecutive equal states
+      val runs = ordered.foldLeft(Vector.empty[(String, Long, Long)]) {
+        case (acc, (_, us, _, tpe)) => acc.lastOption match {
+          case Some((t, vf, n)) if t == tpe => acc.init :+ ((t, vf, n + 1))
+          case _ => acc :+ ((tpe, us, 1L))
+        }
+      }
+      runs.zipWithIndex.map { case ((tpe, vfUs, n), i) =>
+        val vt = runs.lift(i + 1).map(r => fmt.format(
+          java.time.Instant.ofEpochSecond(r._2 / 1000000L)))
+        (u, (i + 1).toLong, tpe,
+          fmt.format(java.time.Instant.ofEpochSecond(vfUs / 1000000L)),
+          vt, n, if (vt.isEmpty) 1L else 0L)
+      }
+    }
+    assert(got.nonEmpty && got == exp)
+  }
 }
