@@ -48,7 +48,7 @@ class EventWideningSpec extends SparkSpec {
     val got = registry("q159_stream_stream_join").run(spark, sfDir)
       .as[(String, Long, Long)].collect().toSeq
 
-    val e = tables.events
+    val e = tables.events.filter($"user_id" % 4 === 0)
     val a = e.select($"user_id".as("a_user"), unix_micros($"ts").as("a_us"),
       $"event_type".as("a_type"))
     val b = e.select($"user_id".as("b_user"), unix_micros($"ts").as("b_us"),
