@@ -46,16 +46,26 @@ object BenchSlope {
     Tables(spark, sfDir).lineitem.limit(1000)
       .write.format("noop").mode("overwrite").save()
 
-    def pass(tag: String): Seq[(String, Double)] = subset.map { q =>
+    // A failed execution is recorded in `failed` and DROPPED from the
+    // pass's timing dict — Bench's solo-pass rule ("a time-to-failure
+    // must never read as a steady-state number in the artifact") applies
+    // per-pass here too: a fast-failing query at one tier would
+    // otherwise ledger as a bogus sublinear ratio (r10 ADVICE).
+    val failed = collection.mutable.LinkedHashSet[String]()
+    def pass(tag: String): Seq[(String, Double)] = subset.flatMap { q =>
       val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[slope:$tag] ${q.name} FAILED: ${e.getMessage}")
-      }
+      val ok =
+        try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          failed += s"$tag:${q.name}"
+          System.err.println(s"[slope:$tag] ${q.name} FAILED: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[slope:$tag] ${q.name}%-28s ${dt}%8.2f s")
+      System.err.println(f"[slope:$tag] ${q.name}%-28s ${dt}%8.2f s" +
+        (if (ok) "" else " (FAILED — dropped from dict)"))
       spark.catalog.clearCache()
-      q.name -> dt
+      if (ok) Some(q.name -> dt) else None
     }
 
     // prebuild: one untimed execution of the index-backed members so the
@@ -70,9 +80,13 @@ object BenchSlope {
     val cold = pass("cold")
     val w1 = pass("warm").toMap
     val w2 = pass("warm2").toMap
-    val warm = subset.map(q =>
-      q.name -> math.min(w1.getOrElse(q.name, Double.MaxValue),
-        w2.getOrElse(q.name, Double.MaxValue)))
+    // best-of-2 over the passes that SUCCEEDED; a query that failed both
+    // warm passes has no entry at all (slope_ledger.py surfaces it in
+    // `dropped` instead of silently intersecting it away)
+    val warm = subset.flatMap { q =>
+      val vs = Seq(w1.get(q.name), w2.get(q.name)).flatten
+      if (vs.isEmpty) None else Some(q.name -> vs.min)
+    }
 
     spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
     spark.sparkContext.setLogLevel("OFF")
@@ -81,10 +95,12 @@ object BenchSlope {
     def ms(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def obj(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val out =
       s"""{"metric":"scale_slope","sf":"$sfDir","queries":${obj(warm)},""" +
         s""""cold_queries":${obj(cold)},"warm1":${obj(w1.toSeq.sortBy(_._1))},""" +
-        s""""warm2":${obj(w2.toSeq.sortBy(_._1))}}"""
+        s""""warm2":${obj(w2.toSeq.sortBy(_._1))},""" +
+        s""""n_failed":${failed.size},"failed":$failedArr}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       val path = java.nio.file.Paths.get(p)
       Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))

@@ -11,10 +11,15 @@ import org.apache.spark.sql.SparkSession
   * metastore stats a nightly ANALYZE maintains; the harness computes
   * them once per session (Bench/Verify call [[analyze]] at startup).
   *
-  * TPC-H tables get `FOR ALL COLUMNS` (ndv/min/max feed the join-reorder
-  * cost model); documents/embeddings get table-level stats only (column
-  * stats are undefined on array columns, and no registry query join-
-  * reorders on text).
+  * TPC-H tables and `documents` get `FOR ALL COLUMNS` (ndv/min/max feed
+  * the join-reorder cost model — and avgLen feeds CBO's Project SIZE
+  * estimate, which matters more than reorder for the text tables: with
+  * only table-level stats, CBO sized a narrow (doc_id, ts) projection of
+  * `documents` at full-table bytes, un-broadcasting q139's per-candidate
+  * timestamp joins into 20M-row sort-merge joins — the r10 ledger's
+  * "23x superlinear" row was THIS misplan, not the LSH algorithm).
+  * `embeddings` gets column stats for its scalar columns only (column
+  * stats are undefined on array columns).
   */
 object CatalogStats {
 
@@ -23,8 +28,10 @@ object CatalogStats {
     * Tables.events, which a bare catalog scan would bypass.
     */
   val ColumnStatTables = Seq(
-    "region", "nation", "customer", "supplier", "part", "orders", "lineitem")
-  val TableStatTables = Seq("documents", "embeddings")
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    "documents")
+  /** name -> the scalar columns to ANALYZE (array columns are ineligible). */
+  val PartialColumnStatTables = Map("embeddings" -> Seq("vec_id", "label"))
 
   // (dir, name) registered in this session — Tables consults this so
   // catalog resolution only ever serves the dir the stats were built for
@@ -49,7 +56,7 @@ object CatalogStats {
   def analyze(spark: SparkSession, dir: String): Unit = synchronized {
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-    (ColumnStatTables ++ TableStatTables).foreach { name =>
+    (ColumnStatTables ++ PartialColumnStatTables.keys).foreach { name =>
       val t = catalogName(dir, name)
       // the memo is JVM-global but catalog tables are per-session: a
       // fresh session after spark.stop() must re-register + re-ANALYZE,
@@ -57,10 +64,12 @@ object CatalogStats {
       if (!registered.contains((dir, name)) || !spark.catalog.tableExists(t)) {
         spark.sql(s"DROP TABLE IF EXISTS $t")
         spark.sql(s"CREATE TABLE $t USING parquet LOCATION '$dir/$name.parquet'")
-        if (ColumnStatTables.contains(name))
-          spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
-        else
-          spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+        PartialColumnStatTables.get(name) match {
+          case Some(cols) => spark.sql(
+            s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}")
+          case None =>
+            spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+        }
         registered.put((dir, name), ())
       }
     }

@@ -233,10 +233,18 @@ object MinHashLSH {
     * monotonicity), so recall vs the post-filter spelling is
     * unchanged. Bucket population is bounded by ~2·horizon of data per
     * key regardless of how old the corpus grows, which is the whole
-    * point at 100 TB. Candidates then pass the EXACT |ta-tb| <=
-    * horizon predicate (adjacent cells admit gaps up to 2·horizon)
-    * BEFORE the Jaccard refine, so the popcount kernel never sees an
-    * out-of-window pair.
+    * point at 100 TB. The EXACT |ta-tb| <= horizon predicate (adjacent
+    * cells admit gaps up to 2·horizon) is applied AFTER the Jaccard
+    * refine, on hit-scale rows: refining the few out-of-window
+    * candidates costs popcounts, while attaching timestamps to the
+    * candidate MULTISET costs two candidate-scale joins — and, worse,
+    * the pre-refine {cand, ta, tb, |ta-tb|<=h} join tree is exactly
+    * the triangle CBO join-reorder mis-planned into a corpus x corpus
+    * nested loop (ta x tb on the theta edge first, measured 101 s vs
+    * 18 s at the 50k-doc tier — the r10 slope ledger's "23x
+    * superlinear" row). Post-refine, the join inputs are hit-scale and
+    * the tree is barriered behind the refine kernel's aggregate, so
+    * neither cost nor reorder can touch corpus scale.
     *
     * `ts` must be a narrow (idCol, tCol) frame, one row per document —
     * fingerprint-scale, joined once onto the signature frame (not the
@@ -277,12 +285,13 @@ object MinHashLSH {
       dedup = false)
     val ta = tsn.select(col("doc_id").as("da"), col("__t").as("__ta"))
     val tb = tsn.select(col("doc_id").as("db"), col("__t").as("__tb"))
-    val inWindow = cand.join(ta, "da").join(tb, "db")
-      .filter(abs(col("__ta") - col("__tb")) <= horizon)
-      .select(col("da"), col("db"))
-    Dedup.jaccardForPairs(sh, inWindow, threshold, pairsDistinct = false)
+    // refine FIRST; the horizon predicate rides the hit-scale timestamp
+    // attach below (see scaladoc: the pre-refine spelling was both a
+    // candidate-scale double join and a CBO reorder hazard)
+    Dedup.jaccardForPairs(sh, cand, threshold, pairsDistinct = false)
       .join(ta, "da").join(tb, "db")
       .withColumn("t_gap", abs(col("__ta") - col("__tb")))
+      .filter(col("t_gap") <= horizon)
       .drop("__ta", "__tb")
   }
 }

@@ -221,13 +221,21 @@ class PlanGuardSpec extends SparkSpec {
         s"the fact table should no longer anchor the join chain: $withCbo")
       // the harness runs EVERY query in this context (catalog stats +
       // CBO), so the headline invariants must hold here too, not only in
-      // the stat-less default the other guards assert
-      Seq("q07_star_join", "q35b_minhash_lsh", "q76_fuzzy_decontam").foreach { name =>
+      // the stat-less default the other guards assert. q139 is the
+      // regression this guard exists for: CBO join-reorder once picked
+      // the |ta-tb| <= horizon THETA edge first and planned the
+      // timestamp attach as a corpus x corpus BroadcastNestedLoopJoin
+      // (r10's "23x superlinear" ledger row; fixed by refining before
+      // the hit-scale timestamp joins — MinHashLSH scaladoc).
+      Seq("q07_star_join", "q35b_minhash_lsh", "q76_fuzzy_decontam",
+          "q139_temporal_neardup").foreach { name =>
         val q = SparkEntry.registry.find(_.name == name).get
         val plan = q.run(spark, sfDir).queryExecution.explainString(FormattedMode)
         spark.catalog.clearCache()
         assert(!plan.contains("CartesianProduct"),
           s"$name degenerates to a cartesian under CBO stats:\n$plan")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join under CBO stats:\n$plan")
         if (name == "q07_star_join")
           assert(plan.contains("BroadcastHashJoin"),
             s"dims stop broadcasting under CBO stats:\n$plan")
