@@ -492,5 +492,106 @@ object EventQueries {
           lead($"vf", 1).over(wLead).isNull.cast("long").as("is_current"))
         .orderBy($"user_id", $"interval_seq")
     },
+
+    // ---- q161: STREAMING stream-stream LEFT-OUTER interval join (T8
+    // outer, EventStreams.leftOuterSelfJoinWithin10Min) gated against
+    // the batch LEFT JOIN — the semantics real event pipelines hit:
+    // unmatched events must still appear, as null-side rows emitted
+    // only once the watermark proves no partner can arrive (r10
+    // verdict item 7; the early-emission failure mode would show up
+    // here as n_unmatched drift or duplicate a-rows, both hash-fatal).
+    // Same time-ordered 4-chunk replay as q159, PLUS a fifth SENTINEL
+    // chunk 40 min past the real timeline: null emission is state
+    // EVICTION, which only happens when the watermark passes a_ts +
+    // 10 min — without the sentinel, every unmatched row within the
+    // last watermark-delay + band of the timeline would sit in state
+    // forever and the batch comparison would be incomplete. Sentinel
+    // rows carry user_id = -1: they advance the watermark, cannot pair
+    // with any real row (equi-key + future ts), and are excluded from
+    // the output by the a_user >= 0 filter — which is a no-op in the
+    // batch oracle (no negative user exists in events), so both
+    // engines aggregate the identical row set. ----------------------
+    QueryDef(
+      "q161_stream_stream_outer",
+      """SELECT a.event_type AS a_type, count(*)::BIGINT AS n_rows,
+        |       count(b.event_id)::BIGINT AS n_pairs,
+        |       (count(*) - count(b.event_id))::BIGINT AS n_unmatched,
+        |       coalesce(sum(b.event_id), 0)::BIGINT AS pair_checksum
+        |FROM events a LEFT JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) > epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000
+        |WHERE a.user_id % 4 = 0
+        |GROUP BY 1 ORDER BY 1""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      import java.nio.file.{Files, Path, Paths}
+      val scratch = graft.queries.TextQueries
+        .pidScopedScratch("graft_stream_ssjo", dir)
+      def rmTree(p: Path): Unit = if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.delete(f))
+        finally s.close()
+      }
+      val run = s"$scratch/run"
+      rmTree(Paths.get(run))
+      // user-quarter replay, time-ordered chunks: q159's construction
+      val ev0 = Tables(spark, dir).events
+        .filter($"user_id" % 4 === 0)
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+          $"event_type")
+      val b = ev0.agg(min($"ts_us"), max($"ts_us")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val ev = ev0.withColumn("chunk", least(lit(3),
+        floor(($"ts_us" - lit(lo)) * lit(4L) / lit(hi - lo + 1)).cast("int")))
+        .cache()
+      def writeChunk(i: Int): Unit = ev.filter($"chunk" === i).drop("chunk")
+        .coalesce(1).write.json(s"$run/in/chunk_$i")
+      def writeSentinel(): Unit = Seq(
+          (-1L, -1L, hi + 40L * 60000000L, "sentinel"),
+          (-2L, -1L, hi + 41L * 60000000L, "sentinel"))
+        .toDF("event_id", "user_id", "ts_us", "event_type")
+        .coalesce(1).write.json(s"$run/in/chunk_4")
+      writeChunk(0) // the in/* glob must match before the query starts
+      val stream = spark.readStream
+        .schema("event_id LONG, user_id LONG, ts_us LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$run/in/*")
+        .select($"event_id", $"user_id", timestamp_micros($"ts_us").as("ts"),
+          $"event_type")
+      // 8 stream-scoped shuffle partitions: q159's commit-cost note
+      val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val joined = graft.streaming.EventStreams.leftOuterSelfJoinWithin10Min(stream)
+        val q = joined.writeStream
+          .option("checkpointLocation", s"$run/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.select($"a_user", $"a_type", $"b_id")
+              .write.mode("append").parquet(s"$run/out")
+            ()
+          }
+          .start()
+        try {
+          q.processAllAvailable()
+          (1 to 3).foreach { i => writeChunk(i); q.processAllAvailable() }
+          writeSentinel(); q.processAllAvailable()
+        } finally q.stop()
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+        ev.unpersist()
+      }
+      // explicit schema: a zero-row run leaves only _SUCCESS in out/
+      spark.read.schema("a_user LONG, a_type STRING, b_id LONG")
+        .parquet(s"$run/out")
+        .filter($"a_user" >= 0) // drop the sentinel's own (live) rows
+        .groupBy($"a_type")
+        .agg(count(lit(1)).as("n_rows"),
+          count($"b_id").as("n_pairs"),
+          (count(lit(1)) - count($"b_id")).as("n_unmatched"),
+          coalesce(sum($"b_id"), lit(0L)).cast("long").as("pair_checksum"))
+        .orderBy($"a_type")
+    },
   )
 }

@@ -96,6 +96,30 @@ object EventStreams {
         col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
   }
 
+  /** T8 outer: the LEFT-OUTER spelling of [[selfJoinWithin10Min]] — the
+    * semantics real event pipelines need when unmatched events must
+    * still appear (an impression with no click, a request with no
+    * response). Matched pairs emit as they meet; an unmatched left row
+    * emits ONCE with null right columns, and only after the event-time
+    * watermark passes the end of its join band (a_ts + 10 min) — before
+    * that, a partner could still arrive, so early null emission would
+    * be a retraction waiting to happen. Same bounded-state shape as the
+    * inner join: both sides watermarked, the band bounds how long a row
+    * waits in state, and null emission is exactly the state-eviction
+    * event, so completeness and bounded memory are the same property.
+    */
+  def leftOuterSelfJoinWithin10Min(events: DataFrame): DataFrame = {
+    val a = events.select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+      col("event_type").as("a_type")).withWatermark("a_ts", "20 minutes")
+    val b = events.select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+      col("event_id").as("b_id")).withWatermark("b_ts", "20 minutes")
+    a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+  }
+
   /** Per-user running profile state for T6. */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserProfile(user_id: Long, n_events: Long, total_value: Double)
@@ -191,6 +215,25 @@ object EventStreams {
   case class SessEvent(user_id: Long, ts_us: Long)
   case class SessionInterval(s: Long, e: Long, n: Long)
   case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
+  /** One CLOSED session (bounded sessionization output). */
+  case class ClosedSession(user_id: Long, s_start_us: Long, s_end_us: Long, n_events: Long)
+
+  /** Merge-insert `incoming` single-event intervals into `prev` disjoint
+    * session intervals under "gap <= gapUs" adjacency — the connected-
+    * components step both TWS sessionizers share. Returns the disjoint
+    * merged intervals in ascending start order.
+    */
+  private def mergeIntervals(
+      prev: Seq[SessionInterval], incoming: Seq[SessionInterval],
+      gapUs: Long): List[SessionInterval] =
+    (prev ++ incoming).sortBy(iv => (iv.s, iv.e))
+      .foldLeft(List.empty[SessionInterval]) { (acc, iv) =>
+        acc match {
+          case h :: t if iv.s <= h.e + gapUs =>
+            SessionInterval(h.s, math.max(h.e, iv.e), h.n + iv.n) :: t
+          case _ => iv :: acc
+        }
+      }.reverse
 
   /** T4×T6: SESSIONIZATION on the `transformWithState` API — custom
     * session state instead of the built-in `session_window` (q31/T4),
@@ -207,10 +250,12 @@ object EventStreams {
     * interval merging computes exactly those components incrementally,
     * so ANY chunking of the input (including out-of-order event-time
     * arrival across batches) converges to the identical final state.
-    * At 100 TB the state per user is its live session intervals; a
+    * At 100 TB the state per user is its live session intervals; the
     * production deployment bounds it by closing intervals behind the
-    * event-time watermark with timers (the q31 built-in does the same
-    * internally) — the gate intentionally runs unbounded (TimeMode
+    * event-time watermark with timers — that variant is
+    * [[closedSessionsTws]] (the q31 built-in does the same internally),
+    * and EventStreamsSpec pins closed ∪ live ≡ this unbounded operator.
+    * The q157 gate intentionally runs THIS unbounded mode (TimeMode
     * None, no watermark) so no event is ever dropped and the batch
     * oracle comparison is exact.
     */
@@ -231,14 +276,7 @@ object EventStreams {
           timers: TimerValues): Iterator[SessionSummary] = {
         val prev = Option(state.get()).getOrElse(Seq.empty)
         val incoming = rows.map(e => SessionInterval(e.ts_us, e.ts_us, 1L)).toSeq
-        val all = (prev ++ incoming).sortBy(iv => (iv.s, iv.e))
-        val merged = all.foldLeft(List.empty[SessionInterval]) { (acc, iv) =>
-          acc match {
-            case h :: t if iv.s <= h.e + gapUs =>
-              SessionInterval(h.s, math.max(h.e, iv.e), h.n + iv.n) :: t
-            case _ => iv :: acc
-          }
-        }.reverse
+        val merged = mergeIntervals(prev, incoming, gapUs)
         state.update(merged)
         Iterator.single(SessionSummary(uid, merged.size.toLong, merged.map(_.n).sum))
       }
@@ -248,6 +286,97 @@ object EventStreams {
       .as[SessEvent]
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
+  /** The WATERMARK-BOUNDED sessionizer — [[sessionSummaryTws]]'s
+    * production configuration (r10 verdict item 3): TimeMode.EventTime
+    * with per-key timers, so per-user state holds only LIVE intervals.
+    * An interval [s, e] is closed — emitted once as a [[ClosedSession]]
+    * row and dropped from state — as soon as the event-time watermark
+    * passes e + gap: no future row the watermark still admits can
+    * extend it (any such row has ts > watermark - delay >= ... > e +
+    * gap, so it starts a new session). Closing happens on input rows
+    * AND on registered timers, so an idle user's last session closes
+    * when the watermark advances even if the user never appears again —
+    * without timers that state would be pinned forever, which is
+    * exactly the unbounded-state weakness this variant retires.
+    *
+    * State per user is therefore bounded by the live horizon (watermark
+    * delay + gap) regardless of stream age; the timer book-keeping is
+    * one extra long per user (the registered expiry, so re-registration
+    * replaces rather than accumulates timers).
+    *
+    * Emission contract (EventStreamsSpec): over any time-ordered replay
+    * whose rows all stay above the watermark, each session is emitted
+    * EXACTLY ONCE as a closed row, and closed ∪ still-live-at-shutdown
+    * equals the unbounded variant's final interval set (equivalently
+    * the q31 batch session_window answer). Append output mode — closed
+    * sessions are immutable facts, the sink never sees a retraction.
+    */
+  def closedSessionsTws(
+      spark: SparkSession, events: DataFrame,
+      gapUs: Long = 1800000000L,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+    class BoundedSessionProcessor extends StatefulProcessor[Long, SessEvent, ClosedSession] {
+      @transient private var state: org.apache.spark.sql.streaming.ValueState[Seq[SessionInterval]] = _
+      @transient private var timer: org.apache.spark.sql.streaming.ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        state = getHandle.getValueState[Seq[SessionInterval]](
+          "live_sessions",
+          implicitly[org.apache.spark.sql.Encoder[Seq[SessionInterval]]],
+          TTLConfig.NONE)
+        timer = getHandle.getValueState[Long](
+          "timer_ms", implicitly[org.apache.spark.sql.Encoder[Long]], TTLConfig.NONE)
+      }
+      /** Close everything the watermark has passed; keep the rest live
+        * and (re-)arm ONE timer at the earliest future close point.
+        */
+      private def sweep(
+          uid: Long, merged: Seq[SessionInterval],
+          wmUs: Long): Iterator[ClosedSession] = {
+        val (closed, live) = merged.partition(iv => iv.e + gapUs < wmUs)
+        if (live.isEmpty) { state.clear(); timer.clear() }
+        else {
+          state.update(live)
+          // +1 ms: timers fire when watermark >= expiry; the close
+          // predicate is strict (e + gap < wm), so round UP
+          val nextMs = live.map(_.e + gapUs).min / 1000L + 1L
+          val cur = Option(timer.get()).filter(_ != 0L)
+          if (!cur.contains(nextMs)) {
+            cur.foreach(getHandle.deleteTimer)
+            getHandle.registerTimer(nextMs)
+            timer.update(nextMs)
+          }
+        }
+        closed.sortBy(_.s).map(c => ClosedSession(uid, c.s, c.e, c.n)).iterator
+      }
+      override def handleInputRows(
+          uid: Long, rows: Iterator[SessEvent],
+          timers: TimerValues): Iterator[ClosedSession] = {
+        val prev = Option(state.get()).getOrElse(Seq.empty)
+        val incoming = rows.map(e => SessionInterval(e.ts_us, e.ts_us, 1L)).toSeq
+        sweep(uid, mergeIntervals(prev, incoming, gapUs),
+          timers.getCurrentWatermarkInMs() * 1000L)
+      }
+      override def handleExpiredTimer(
+          uid: Long, timers: TimerValues,
+          expired: ExpiredTimerInfo): Iterator[ClosedSession] = {
+        // the fired timer is consumed; drop our book-keeping before the
+        // sweep re-arms (or not) for whatever is still live
+        timer.clear()
+        val prev = Option(state.get()).getOrElse(Seq.empty)
+        sweep(uid, prev, timers.getCurrentWatermarkInMs() * 1000L)
+      }
+    }
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new BoundedSessionProcessor, TimeMode.EventTime(), OutputMode.Append())
       .toDF()
   }
 

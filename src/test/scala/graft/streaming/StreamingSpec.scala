@@ -228,4 +228,84 @@ class StreamingSpec extends SparkSpec {
       .agg(max(col("n")).as("n")).agg(sum(col("n"))).head().getLong(0)
     assert(total == 10, s"late event must be dropped, saw $total")
   }
+
+  test("T6c closedSessionsTws: closed ∪ live ≡ the unbounded sessionizer, exactly-once, mid-stream closure") {
+    // Controlled corpus, one file per micro-batch (written only after the
+    // previous batch commits, so watermark progression is deterministic):
+    //   user 1: session A = [t0, t0+5m] (2 events), session B = [t0+60m,
+    //           t0+62m] (2 events)   (55m gap > 30m session gap)
+    //   user 2: session A = [t0+1m] (1 event), session B = [t0+120m] (1)
+    //   user 99 (sentinel): [t0+240m, t0+241m] — advances the watermark so
+    //           every REAL session closes, while its own stays LIVE at
+    //           shutdown (watermark never reaches t0+241m+30m), pinning
+    //           that live intervals are retained in state, not emitted.
+    val dir = Files.createTempDirectory("bounded_sess").toFile
+    val base = 1700000000000000000L // ns
+    def ev(id: Int, user: Long, offsetMin: Long): String =
+      s"""{"event_id":$id,"ts_ns":${base + offsetMin * 60000000000L},"user_id":$user,"event_type":"view","value":1.0,"props":"{}"}"""
+    val files = Seq(
+      "a.json" -> Seq(ev(1, 1, 0), ev(2, 1, 5), ev(3, 2, 1)),
+      "b.json" -> Seq(ev(4, 1, 60), ev(5, 1, 62)),
+      "c.json" -> Seq(ev(6, 2, 120)),
+      "d.json" -> Seq(ev(7, 99, 240), ev(8, 99, 241)))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val outDir = Files.createTempDirectory("bounded_sess_out").toString + "/out"
+    try {
+      val stream = EventStreams.readReplay(spark, dir.toString, filesPerTrigger = 1)
+      val q = EventStreams.closedSessionsTws(spark, stream)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", Files.createTempDirectory("ckpt_t6c").toString)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!b.isEmpty) b.withColumn("batch", lit(id))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      var lastBatch = 0L
+      try files.foreach { case (name, rows) =>
+        Files.write(new java.io.File(dir, name).toPath, rows.mkString("\n").getBytes)
+        q.processAllAvailable()
+        lastBatch = q.lastProgress.batchId
+      } finally q.stop()
+      val closed = spark.read.parquet(outDir)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("s_start_us"),
+          r.getAs[Long]("s_end_us"), r.getAs[Long]("n_events"), r.getAs[Long]("batch")))
+      // exactly-once: no session row is ever re-emitted
+      assert(closed.map(t => (t._1, t._2)).distinct.length == closed.length,
+        s"duplicate closed-session emissions: ${closed.mkString(", ")}")
+      // the sentinel's session is still live at shutdown — never emitted
+      assert(!closed.exists(_._1 == 99L), s"live session emitted: ${closed.mkString(", ")}")
+      // closed sessions == the batch session_window answer over the real users
+      val us = (m: Long) => (base / 1000L) + m * 60000000L
+      val expected = Set(
+        (1L, us(0), us(5), 2L), (1L, us(60), us(62), 2L),
+        (2L, us(1), us(1), 1L), (2L, us(120), us(120), 1L))
+      assert(closed.map(t => (t._1, t._2, t._3, t._4)).toSet == expected,
+        s"closed sessions diverge: got ${closed.mkString(", ")}")
+      // bounded state is useful only if sessions close BEFORE stream end:
+      // user 1's session A must close once the watermark passes t0+35m,
+      // i.e. strictly before the sentinel file's batch
+      assert(closed.filter(_._1 == 1L).map(_._5).min < lastBatch,
+        s"no mid-stream closure: ${closed.mkString(", ")} lastBatch=$lastBatch")
+      // closed ∪ live ≡ unbounded: per-user summaries of the closed set
+      // must match the unbounded variant's final state for the real
+      // users, and the sentinel's state (live, unemitted here) must be
+      // exactly the unbounded variant's answer for user 99
+      val unbounded = EventStreams.runToMemory(
+        spark, EventStreams.sessionSummaryTws(spark,
+          EventStreams.readReplay(spark, dir.toString, filesPerTrigger = 1)),
+        "t6c_unbounded", OutputMode.Update())
+        .groupBy(col("user_id"))
+        .agg(max(col("n_sessions")).as("ns"), max(col("n_events")).as("ne"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val closedByUser = closed.groupBy(_._1)
+        .map { case (u, ss) => u -> ((ss.length.toLong, ss.map(_._4).sum)) }
+      assert(closedByUser == unbounded.removed(99L),
+        s"closed sessions != unbounded summaries: $closedByUser vs $unbounded")
+      assert(unbounded(99L) == ((1L, 2L)), s"sentinel summary: ${unbounded(99L)}")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
