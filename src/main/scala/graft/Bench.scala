@@ -65,6 +65,24 @@ object Bench {
     val indexBytes: Map[String, Long] =
       graft.queries.TextQueries.indexSizeBytes(spark)
 
+    // Streaming gates run in a QUIET LANE at the end of each pass (r10
+    // verdict item 6): their numbers are micro-batch machinery (state-
+    // store commits, WAL fsyncs, RocksDB maintenance), which measured
+    // up to 1.8x slower mid-sweep than solo (q157 10.6 s vs 5.7 s) —
+    // residual GC/cleanup from the preceding heavy batch queries, not
+    // plan cost. Each lane entry is preceded by a quiesce: defensive
+    // stream stop, cache clear, and one explicit GC so the stream's
+    // per-trigger latencies don't absorb the previous query's garbage.
+    // They still land in the same cold/warm dicts — the headline total
+    // is unchanged in meaning, only measured quiet.
+    val streamGateNames = Seq("q111_stream_dedup",
+      "q157_stream_sessionization", "q159_stream_stream_join")
+    def quiesce(): Unit = {
+      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
     val failed = collection.mutable.LinkedHashSet[String]()
     // Per-pass system diagnostics (r7 item: the definitive sweep showed a
     // contiguous 15-query window 2-11x slower than the same queries' solo
@@ -88,7 +106,11 @@ object Bench {
     def pass(tag: String): Seq[(String, Double)] = {
       val (l0, gc0, cpu0) = sysSnap()
       val t0p = System.nanoTime()
-      val out = SparkEntry.registry.map { q =>
+      // batch queries in registry order, then the streaming quiet lane
+      val ordered = SparkEntry.registry.filterNot(q => streamGateNames.contains(q.name)) ++
+        streamGateNames.flatMap(n => SparkEntry.registry.find(_.name == n))
+      val out = ordered.map { q =>
+        if (streamGateNames.contains(q.name)) quiesce()
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -142,15 +164,17 @@ object Bench {
     // after the full sweep, so its number reflects steady-state plan cost
     // with its generated classes resident — the standalone-warm figure a
     // user profiling one query would see, free of any residual sweep noise.
-    // r9 verdict item 5: q61/q63/q40 regressed 1.3-1.6x r8→r9 on
-    // unchanged code — force them into the solo set for one round so
-    // the artifact carries a quiet re-measure alongside the sweep time
-    val forcedSolo = Set("q61_context_pack", "q63_training_pipeline",
-      "q40_normalize_distinct")
+    // streaming gates always get a solo row: the quiet-lane warm time
+    // and the solo time should now agree (n_solo_contended 0 is the
+    // r11 done-criterion), and the artifact proves it per round.
+    // (r9's one-round q61/q63/q40 forcing served its purpose and is
+    // dropped.)
+    val forcedSolo = streamGateNames.toSet
     val soloNames = (warm.sortBy(-_._2).take(10).map(_._1) ++
       forcedSolo.filter(warm.toMap.contains)).distinct
     val solo: Seq[(String, Double)] = SparkEntry.registry
       .filter(q => soloNames.contains(q.name)).flatMap { q =>
+        if (streamGateNames.contains(q.name)) quiesce()
         val t0 = System.nanoTime()
         val ok =
           try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -183,6 +207,7 @@ object Bench {
     }
     val resolo: Seq[(String, Double)] = SparkEntry.registry
       .filter(q => soloSuspects.contains(q.name)).flatMap { q =>
+        if (streamGateNames.contains(q.name)) quiesce()
         val t0 = System.nanoTime()
         val ok =
           try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
