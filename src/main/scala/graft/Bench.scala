@@ -76,7 +76,8 @@ object Bench {
     // They still land in the same cold/warm dicts — the headline total
     // is unchanged in meaning, only measured quiet.
     val streamGateNames = Seq("q111_stream_dedup",
-      "q157_stream_sessionization", "q159_stream_stream_join")
+      "q157_stream_sessionization", "q159_stream_stream_join",
+      "q161_stream_stream_outer")
     def quiesce(): Unit = {
       spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
       spark.catalog.clearCache()

@@ -478,15 +478,24 @@ object SignatureIndex {
       case _ => ()
     }
     val bm = store.bucketMembers(batchBanded.map(t => (t._2, t._3)).distinct)
-    val hitRows: Seq[(Int, Long, Long)] = bm.toSeq.flatMap {
-      case ((band, bkey), ms) => ms.map(m => (band, bkey, m)).toSeq
-    }
-    require(hitRows.length <= MaxStoreProbeRows,
-      s"store probe hit ${hitRows.length} (bucket, member) rows " +
+    // ONE driver row per probed bucket, members as a packed array,
+    // exploded on the executors: the flat (bucket, member) spelling
+    // materialized Σ occupancy driver-side tuples — ~3M at sf0.1 when
+    // near-dup probes land in the uncapped corpus index's hot buckets —
+    // and the createDataset serialization of those tuples alone cost
+    // more than the whole frame-join probe it replaced (q133 6.4 s →
+    // 14.9 s, r11). Bucket-count rows + primitive arrays keep the
+    // driver hop at probed-key scale; occupancy expands in-plan.
+    val hitBuckets: Seq[(Int, Long, Array[Long])] =
+      bm.toSeq.map { case ((band, bkey), ms) => (band, bkey, ms) }
+    val nHits = hitBuckets.iterator.map(_._3.length.toLong).sum
+    require(nHits <= MaxStoreProbeRows,
+      s"store probe hit $nHits (bucket, member) rows " +
         s"(> $MaxStoreProbeRows) — occupancy of the probed buckets is " +
         "corpus-scale; use the frame-join probe (store = None)")
     val batchDf = spark.createDataset(batchBanded.toSeq).toDF("db", "band", "bkey")
-    spark.createDataset(hitRows).toDF("band", "bkey", "da")
+    spark.createDataset(hitBuckets).toDF("band", "bkey", "das")
+      .select(col("band"), col("bkey"), explode(col("das")).as("da"))
       .join(broadcast(batchDf), Seq("band", "bkey"))
       .select(col("da"), col("db"))
   }
