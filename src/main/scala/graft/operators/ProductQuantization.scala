@@ -79,12 +79,29 @@ object ProductQuantization {
       .select(residualCol(col("v"), col("cv")).as("r"))
       .cache()
     try {
-      val books = Array.tabulate(m) { mi =>
-        val feat = res.select(slice(col("r"), mi * dsub + 1, dsub).as("sub"))
-          .withColumn("features", array_to_vector(col("sub")))
-        val model = new KMeans().setK(ks).setSeed(seed + mi).setMaxIter(10).fit(feat)
-        model.clusterCenters.map(_.toArray)
-      }
+      // the m per-subspace fits are independent — submit them from
+      // concurrent threads so their (driver-dominated: job planning,
+      // small-data Lloyd's rounds) wall times overlap instead of
+      // stacking. Results are bit-identical to the sequential spelling:
+      // each fit sees the same cached residual frame and its own fixed
+      // seed, and Spark schedules jobs from multiple threads fairly.
+      // On a real cluster this is also the right shape — the fits are
+      // data-parallel within AND job-parallel across subspaces (the
+      // bench's index_build_ms.ivf_pq line tracks the measured win).
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 8))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      val books =
+        try Await.result(Future.sequence((0 until m).toList.map { mi =>
+          Future {
+            val feat = res.select(slice(col("r"), mi * dsub + 1, dsub).as("sub"))
+              .withColumn("features", array_to_vector(col("sub")))
+            val model = new KMeans().setK(ks).setSeed(seed + mi).setMaxIter(10).fit(feat)
+            model.clusterCenters.map(_.toArray)
+          }
+        }), Duration.Inf).toArray
+        finally pool.shutdown()
       Codebooks(m, ks, dsub, books)
     } finally { res.unpersist(); () }
   }
