@@ -77,7 +77,7 @@ object Bench {
     // is unchanged in meaning, only measured quiet.
     val streamGateNames = Seq("q111_stream_dedup",
       "q157_stream_sessionization", "q159_stream_stream_join",
-      "q161_stream_stream_outer")
+      "q161_stream_stream_outer", "q162_bounded_sessions")
     def quiesce(): Unit = {
       spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
       spark.catalog.clearCache()
@@ -110,14 +110,16 @@ object Bench {
       // batch queries in registry order, then the streaming quiet lane
       val ordered = SparkEntry.registry.filterNot(q => streamGateNames.contains(q.name)) ++
         streamGateNames.flatMap(n => SparkEntry.registry.find(_.name == n))
-      val out = ordered.map { q =>
+      val out = ordered.flatMap { q =>
         if (streamGateNames.contains(q.name)) quiesce()
         val t0 = System.nanoTime()
-        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          failed += q.name
-          System.err.println(s"[bench:$tag] ${q.name} FAILED: ${e.getMessage}")
-        }
+        val ok =
+          try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            failed += q.name
+            System.err.println(s"[bench:$tag] ${q.name} FAILED: ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench:$tag] ${q.name}%-28s ${dt}%8.2f s")
         // drop anything a query pinned in the cache manager so storage memory
@@ -128,7 +130,10 @@ object Bench {
         // the finished query's own intermediates — it is not the source of
         // the r4 warm drift (that was codegen-cache eviction, fixed above).
         spark.catalog.clearCache()
-        q.name -> dt
+        // a failed query's time-to-failure must never ledger as a
+        // steady-state number (BenchSlope's r11 rule, applied here too):
+        // the name lives only in `failed`
+        if (ok) Some(q.name -> dt) else None
       }
       val (l1, gc1, cpu1) = sysSnap()
       val wallMs = (System.nanoTime() - t0p) / 1000000L
@@ -147,8 +152,11 @@ object Bench {
     // plan cost. If that happens to >= 5 queries, the sweep was perturbed —
     // re-run it once and report the per-query best of the two warm passes
     // as steady state (both passes land in the file artifact).
-    val suspects = warm1.zip(cold).collect {
-      case ((n, wv), (n2, cv)) if n == n2 && wv > 0.5 && wv > cv * 1.5 => n
+    // name-keyed (not positional zip): a query dropped from one pass by
+    // the failure rule above must not misalign every later comparison
+    val coldMap = cold.toMap
+    val suspects = warm1.collect {
+      case (n, wv) if coldMap.get(n).exists(cv => wv > 0.5 && wv > cv * 1.5) => n
     }
     val warm2: Option[Seq[(String, Double)]] =
       if (suspects.size >= 5) {
@@ -157,7 +165,9 @@ object Bench {
         Some(pass("warm2"))
       } else None
     val warm = warm2 match {
-      case Some(w2) => warm1.zip(w2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+      case Some(w2) =>
+        val w2m = w2.toMap
+        warm1.map { case (n, a) => n -> w2m.get(n).map(math.min(a, _)).getOrElse(a) }
       case None => warm1
     }
 
@@ -379,8 +389,16 @@ object Bench {
           ",\"solo\":" + m3(soloMap.getOrElse(n, 0.0)) +
           ",\"resweep\":" + resoloMap.get(n).map(m3).getOrElse("null") + "}"
       }.mkString("{", ",", "}")
+      // store_bytes: resident footprint of every KV-seam membership
+      // store this JVM seeded (q133's two views, q155) — the r11
+      // verdict's "corpus-proportional and not yet a ledger line"
+      val stores = graft.queries.TextQueries.kvStoreStats.toSeq.sortBy(_._1)
+        .map { case (k, s) =>
+          "\"" + k + "\":{\"entries\":" + s.entries + ",\"sigs\":" + s.sigs +
+            ",\"bytes\":" + s.approxBytes + "}"
+        }.mkString("{", ",", "}")
       s""""prebuild":$pb,"index_build_ms":$builds,"index_bytes":$sizes,""" +
-        s""""solo_contended":$triples"""
+        s""""store_bytes":$stores,"solo_contended":$triples"""
     }
     emit(cold, warmFinal, solo, failed.toSeq, streamJson, drainJson, sfDir,
       diagJson, warm2, suspects, soloSuspects, extrasJson)
@@ -572,7 +590,11 @@ object Bench {
           s"[bench:drain] near-dedup $nDocs docs -> $retained retained in $sec s " +
             s"(${batchMs.size} batches, p50 ${p50(batchMs)} ms, max ${batchMs.max} ms, " +
             s"2nd-half/1st-half p50 ratio $rs)")
-        s"""{"docs":$nDocs,"retained":$retained,"sec":$sec,"store":"$storeKind","batches":${batchMs.size},""" +
+        val storeStat = store.map { s =>
+          val st = s.stats
+          s"""{"entries":${st.entries},"sigs":${st.sigs},"bytes":${st.approxBytes}}"""
+        }.getOrElse("null")
+        s"""{"docs":$nDocs,"retained":$retained,"sec":$sec,"store":"$storeKind","store_stats":$storeStat,"batches":${batchMs.size},""" +
           s""""batch_p50_ms":${p50(batchMs)},"batch_max_ms":${batchMs.max},""" +
           s""""p50_first_half_ms":${p50(h1)},"p50_second_half_ms":${p50(h2)},""" +
           s""""slope_ratio":$rs,"quartile_p50_ms":[${quart.mkString(",")}],""" +

@@ -66,6 +66,16 @@ trait MembershipStore {
 
 object MembershipStore {
 
+  /** Capacity ledger row for one in-memory store: membership entries,
+    * signature rows, and an approximate resident-bytes figure. The
+    * single-JVM stand-in's footprint is corpus-proportional (it seeds
+    * the full retained member set), and that cost must be a MEASURED
+    * bench line, not a scaladoc caveat — the production contract stays
+    * "the same interface fronts a real KV store" where this figure is
+    * the store's keyspace size instead of driver heap.
+    */
+  final case class StoreStats(entries: Int, sigs: Int, approxBytes: Long)
+
   /** Pack a b-bit (8-bit fold) signature — `sig` holds one byte-range
     * component per long — into sig.length/8 longs, 8 components per
     * word, so agreement counting compares 8 components per XOR
@@ -346,6 +356,20 @@ final class InMemoryMembershipStore extends MembershipStore {
           ()
         }
     known ++= fresh
+  }
+
+  /** See [[MembershipStore.StoreStats]]. Bytes = the primitive backing
+    * arrays (13 B/table slot: key + used + head; 16 B/entry capacity:
+    * band + mid + next) + packed sig words + ~64 B/sig JVM overhead
+    * (HashMap node + boxed key + array header).
+    */
+  def stats: MembershipStore.StoreStats = synchronized {
+    var sigWords = 0L
+    val it = sigMap.values().iterator()
+    while (it.hasNext) sigWords += it.next().length
+    val bytes = tableKeys.length.toLong * 13L + entryMid.length.toLong * 16L +
+      sigWords * 8L + sigMap.size.toLong * 64L
+    MembershipStore.StoreStats(nEntries, sigMap.size, bytes)
   }
 
   /** The caller's own compaction renamed covered components WITHOUT

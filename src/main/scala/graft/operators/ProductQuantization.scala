@@ -101,6 +101,13 @@ object ProductQuantization {
             model.clusterCenters.map(_.toArray)
           }
         }), Duration.Inf).toArray
+        catch { case t: Throwable =>
+          // a failed fit rethrows through Await while up to m-1 sibling
+          // fits are still in flight; graceful shutdown() would let them
+          // run to completion with discarded results — interrupt them so
+          // a failed training round releases driver/cluster resources
+          pool.shutdownNow(); throw t
+        }
         finally pool.shutdown()
       Codebooks(m, ks, dsub, books)
     } finally { res.unpersist(); () }

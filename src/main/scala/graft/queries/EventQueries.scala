@@ -410,9 +410,10 @@ object EventQueries {
         val joined = graft.streaming.EventStreams.selfJoinWithin10Min(stream)
         val q = joined.writeStream
           .option("checkpointLocation", s"$run/ckpt")
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // batch-id subdir + overwrite: replay-idempotent (see q161)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
             batch.select($"a_type", $"b_id")
-              .write.mode("append").parquet(s"$run/out")
+              .write.mode("overwrite").parquet(s"$run/out/batch_$bid")
             ()
           }
           .start()
@@ -424,8 +425,10 @@ object EventQueries {
         spark.conf.set("spark.sql.shuffle.partitions", savedParts)
         ev.unpersist()
       }
-      // explicit schema: a zero-pair run leaves only _SUCCESS in out/
-      spark.read.schema("a_type STRING, b_id LONG").parquet(s"$run/out")
+      // explicit schema: a zero-pair batch leaves only _SUCCESS in its dir
+      spark.read.schema("a_type STRING, b_id LONG")
+        .option("recursiveFileLookup", "true")
+        .parquet(s"$run/out")
         .groupBy($"a_type")
         .agg(count(lit(1)).as("n_pairs"), sum($"b_id").as("pair_checksum"))
         .orderBy($"a_type")
@@ -567,9 +570,14 @@ object EventQueries {
         val joined = graft.streaming.EventStreams.leftOuterSelfJoinWithin10Min(stream)
         val q = joined.writeStream
           .option("checkpointLocation", s"$run/ckpt")
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // batch-id-named subdir + overwrite = idempotent under retry
+          // (r11 advice): a replayed or partially-written micro-batch
+          // lands in the same directory and replaces itself instead of
+          // double-appending — this gate's whole point is exact row-set
+          // equality against the batch oracle
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
             batch.select($"a_user", $"a_type", $"b_id")
-              .write.mode("append").parquet(s"$run/out")
+              .write.mode("overwrite").parquet(s"$run/out/batch_$bid")
             ()
           }
           .start()
@@ -582,8 +590,9 @@ object EventQueries {
         spark.conf.set("spark.sql.shuffle.partitions", savedParts)
         ev.unpersist()
       }
-      // explicit schema: a zero-row run leaves only _SUCCESS in out/
+      // explicit schema: a zero-row batch leaves only _SUCCESS in its dir
       spark.read.schema("a_user LONG, a_type STRING, b_id LONG")
+        .option("recursiveFileLookup", "true")
         .parquet(s"$run/out")
         .filter($"a_user" >= 0) // drop the sentinel's own (live) rows
         .groupBy($"a_type")
@@ -592,6 +601,119 @@ object EventQueries {
           (count(lit(1)) - count($"b_id")).as("n_unmatched"),
           coalesce(sum($"b_id"), lit(0L)).cast("long").as("pair_checksum"))
         .orderBy($"a_type")
+    },
+
+    // ---- q162: STREAMING watermark-bounded sessionization (T4×T6
+    // production mode, EventStreams.closedSessionsTws) — the driver
+    // gate for the variant q157 deliberately does NOT run: state per
+    // user bounded by the live horizon (watermark delay + gap), closed
+    // sessions emitted exactly once in Append mode via event-time
+    // TIMERS, never retracted. Replay is q159's time-ordered 4-chunk
+    // construction (within-chunk arrival is still arbitrary — that is
+    // the out-of-order surface a bounded-state operator must absorb;
+    // chunk contiguity keeps every row above the 10-min watermark so
+    // the comparison is exact). A far-future SENTINEL chunk (user -1,
+    // hi + 41/42 min) pushes the final watermark past hi + 31 min >
+    // every session end + the 30-min gap, so ALL real sessions close
+    // and emit before shutdown — which makes this gate double as the
+    // boundedness proof: if any live state were pinned (a leaked
+    // session, a dropped timer), its user's n_sessions would come up
+    // short and the hash would fail. total_dur_us pins the interval
+    // BOUNDARIES, not just counts — a session split or merge error
+    // that preserved row counts would still shift sum(end - start). --
+    QueryDef(
+      "q162_bounded_sessions",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged
+        |), per_session AS (
+        |  SELECT user_id, sid, count(*) AS n,
+        |         min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+        |  FROM sessions GROUP BY user_id, sid
+        |)
+        |SELECT user_id, count(*)::BIGINT AS n_sessions,
+        |       CAST(sum(n) AS BIGINT) AS n_events,
+        |       CAST(sum(e_us - s_us) AS BIGINT) AS total_dur_us
+        |FROM per_session GROUP BY user_id ORDER BY user_id""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      import java.nio.file.{Files, Path, Paths}
+      val scratch = graft.queries.TextQueries
+        .pidScopedScratch("graft_stream_bsess", dir)
+      def rmTree(p: Path): Unit = if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.delete(f))
+        finally s.close()
+      }
+      val run = s"$scratch/run"
+      rmTree(Paths.get(run))
+      val ev0 = Tables(spark, dir).events
+        .select($"user_id", unix_micros($"ts").as("ts_us"))
+      val b = ev0.agg(min($"ts_us"), max($"ts_us")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val ev = ev0.withColumn("chunk", least(lit(3),
+        floor(($"ts_us" - lit(lo)) * lit(4L) / lit(hi - lo + 1)).cast("int")))
+        .cache()
+      def writeChunk(i: Int): Unit = ev.filter($"chunk" === i).drop("chunk")
+        .coalesce(1).write.json(s"$run/in/chunk_$i")
+      def writeSentinel(): Unit = Seq(
+          (-1L, hi + 41L * 60000000L),
+          (-1L, hi + 42L * 60000000L))
+        .toDF("user_id", "ts_us")
+        .coalesce(1).write.json(s"$run/in/chunk_4")
+      writeChunk(0) // the in/* glob must match before the query starts
+      val stream = spark.readStream
+        .schema("user_id LONG, ts_us LONG")
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$run/in/*")
+        .select($"user_id", timestamp_micros($"ts_us").as("ts"))
+      // transformWithState requires the RocksDB state store provider;
+      // 8 stream-scoped shuffle partitions: q159's commit-cost note
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val closed = graft.streaming.EventStreams.closedSessionsTws(spark, stream)
+        val q = closed.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$run/ckpt")
+          // batch-id subdir + overwrite: replay-idempotent (see q161)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+            batch.write.mode("overwrite").parquet(s"$run/out/batch_$bid")
+            ()
+          }
+          .start()
+        try {
+          q.processAllAvailable()
+          (1 to 3).foreach { i => writeChunk(i); q.processAllAvailable() }
+          writeSentinel(); q.processAllAvailable()
+        } finally q.stop()
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        ev.unpersist()
+      }
+      // closed rows only: the sentinel proved everything real closed
+      spark.read
+        .schema("user_id LONG, s_start_us LONG, s_end_us LONG, n_events LONG")
+        .option("recursiveFileLookup", "true")
+        .parquet(s"$run/out")
+        .filter($"user_id" >= 0) // the sentinel's own session stays live
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum($"n_events").cast("long").as("n_events"),
+          sum($"s_end_us" - $"s_start_us").cast("long").as("total_dur_us"))
+        .orderBy($"user_id")
     },
   )
 }

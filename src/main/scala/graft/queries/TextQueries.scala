@@ -4474,4 +4474,24 @@ object TextQueries {
     scala.collection.concurrent.TrieMap.empty[String, graft.operators.InMemoryMembershipStore]
   private def kvStoreFor(idx: String): graft.operators.InMemoryMembershipStore =
     kvStoreByIdx.getOrElseUpdate(idx, new graft.operators.InMemoryMembershipStore)
+
+  /** Tool access to the per-(dir, JVM) ANN index builds (PqRecall):
+    * same ensure-once semantics as the q50/q156 gates.
+    */
+  private[graft] def ivfIndexDir(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    ensureIvfIndex(spark, dir)
+  private[graft] def pqIndexDir(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    ensurePqIndex(spark, dir)
+
+  /** Capacity ledger over every KV-seam store this JVM seeded (the
+    * bench's store_bytes line). Keys are shortened to the index dir's
+    * last path component plus the view suffix — stable across pids.
+    */
+  private[graft] def kvStoreStats: Map[String, graft.operators.MembershipStore.StoreStats] =
+    kvStoreByIdx.readOnlySnapshot().toMap.map { case (k, v) =>
+      val (path, suffix) = k.span(_ != '#')
+      (path.split('/').last + suffix) -> v.stats
+    }
 }

@@ -338,7 +338,15 @@ object EventStreams {
           uid: Long, merged: Seq[SessionInterval],
           wmUs: Long): Iterator[ClosedSession] = {
         val (closed, live) = merged.partition(iv => iv.e + gapUs < wmUs)
-        if (live.isEmpty) { state.clear(); timer.clear() }
+        if (live.isEmpty) {
+          // delete the registered timer too (r11 advice): timer.clear()
+          // alone drops only our bookkeeping value — the orphaned timer
+          // would still fire later on empty state. Harmless today (the
+          // empty-state sweep is a no-op) but exactly-once emission must
+          // not silently depend on that.
+          Option(timer.get()).filter(_ != 0L).foreach(getHandle.deleteTimer)
+          state.clear(); timer.clear()
+        }
         else {
           state.update(live)
           // +1 ms: timers fire when watermark >= expiry; the close

@@ -290,6 +290,14 @@ class StreamingSpec extends SparkSpec {
       // i.e. strictly before the sentinel file's batch
       assert(closed.filter(_._1 == 1L).map(_._5).min < lastBatch,
         s"no mid-stream closure: ${closed.mkString(", ")} lastBatch=$lastBatch")
+      // BOUNDED state, measured: at shutdown the store holds only the
+      // sentinel's live session + its timer bookkeeping — every real
+      // user's state rows AND timers were evicted on close. An
+      // unbounded (or leaky) variant would retain rows for all three
+      // users here, and for every user ever seen at scale.
+      val finalStateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(finalStateRows <= 4,
+        s"state not bounded by the live horizon: $finalStateRows rows at shutdown")
       // closed ∪ live ≡ unbounded: per-user summaries of the closed set
       // must match the unbounded variant's final state for the real
       // users, and the sentinel's state (live, unemitted here) must be
