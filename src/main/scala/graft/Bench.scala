@@ -77,7 +77,8 @@ object Bench {
     // is unchanged in meaning, only measured quiet.
     val streamGateNames = Seq("q111_stream_dedup",
       "q157_stream_sessionization", "q159_stream_stream_join",
-      "q161_stream_stream_outer", "q162_bounded_sessions")
+      "q161_stream_stream_outer", "q162_bounded_sessions",
+      "q163_stream_stream_full")
     def quiesce(): Unit = {
       spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
       spark.catalog.clearCache()

@@ -715,5 +715,111 @@ object EventQueries {
           sum($"s_end_us" - $"s_start_us").cast("long").as("total_dur_us"))
         .orderBy($"user_id")
     },
+
+    // ---- q163: STREAMING stream-stream FULL-OUTER interval join (T8's
+    // last mode, EventStreams.fullOuterSelfJoinWithin10Min) gated
+    // against the batch FULL JOIN. q161's construction generalizes:
+    // null emission on EITHER side is that side's watermark-driven
+    // state eviction — an a-row with no successor within 10 min emits
+    // null-b when the watermark passes a_ts + band; a b-row with no
+    // predecessor emits null-a when it passes b_ts. The same sentinel
+    // chunk drains both sides' timeline tails (final watermark hi+21m
+    // clears a-eviction at hi+10m and b-eviction at hi). The sentinel
+    // pair matches itself and emits one (a_user=-1, b_id=-2) row —
+    // dropped by the a_user filter; its unmatched spellings sit above
+    // the final watermark and never emit. The b_id >= 0 guard is
+    // belt-and-braces against either surfacing as a b-side null row.
+    // Grouping key coalesces a_type with a '(b-unmatched)' bucket so
+    // both null sides are pinned: a-side nulls inflate n_unmatched_a
+    // within their type; b-side nulls land in their own group with an
+    // id checksum. The batch oracle has no negative users/ids, so its
+    // filter is a no-op and both engines aggregate the same row set. --
+    QueryDef(
+      "q163_stream_stream_full",
+      """WITH q AS (SELECT * FROM events WHERE user_id % 4 = 0)
+        |SELECT coalesce(a.event_type, '(b-unmatched)') AS grp,
+        |       count(*)::BIGINT AS n_rows,
+        |       count(a.user_id)::BIGINT AS n_a,
+        |       count(b.event_id)::BIGINT AS n_b,
+        |       (count(*) - count(b.event_id))::BIGINT AS n_unmatched_a,
+        |       coalesce(sum(b.event_id), 0)::BIGINT AS b_checksum
+        |FROM q a FULL JOIN q b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) > epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000
+        |GROUP BY 1 ORDER BY 1""",
+    ) { (spark, dir) =>
+      import spark.implicits._
+      import java.nio.file.{Files, Path, Paths}
+      val scratch = graft.queries.TextQueries
+        .pidScopedScratch("graft_stream_ssfo", dir)
+      def rmTree(p: Path): Unit = if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.delete(f))
+        finally s.close()
+      }
+      val run = s"$scratch/run"
+      rmTree(Paths.get(run))
+      val ev0 = Tables(spark, dir).events
+        .filter($"user_id" % 4 === 0)
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+          $"event_type")
+      val b = ev0.agg(min($"ts_us"), max($"ts_us")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val ev = ev0.withColumn("chunk", least(lit(3),
+        floor(($"ts_us" - lit(lo)) * lit(4L) / lit(hi - lo + 1)).cast("int")))
+        .cache()
+      def writeChunk(i: Int): Unit = ev.filter($"chunk" === i).drop("chunk")
+        .coalesce(1).write.json(s"$run/in/chunk_$i")
+      def writeSentinel(): Unit = Seq(
+          (-1L, -1L, hi + 40L * 60000000L, "sentinel"),
+          (-2L, -1L, hi + 41L * 60000000L, "sentinel"))
+        .toDF("event_id", "user_id", "ts_us", "event_type")
+        .coalesce(1).write.json(s"$run/in/chunk_4")
+      writeChunk(0) // the in/* glob must match before the query starts
+      val stream = spark.readStream
+        .schema("event_id LONG, user_id LONG, ts_us LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$run/in/*")
+        .select($"event_id", $"user_id", timestamp_micros($"ts_us").as("ts"),
+          $"event_type")
+      val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val joined = graft.streaming.EventStreams.fullOuterSelfJoinWithin10Min(stream)
+        val q = joined.writeStream
+          .option("checkpointLocation", s"$run/ckpt")
+          // batch-id subdir + overwrite: replay-idempotent (see q161)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+            batch.select($"a_user", $"a_type", $"b_id")
+              .write.mode("overwrite").parquet(s"$run/out/batch_$bid")
+            ()
+          }
+          .start()
+        try {
+          q.processAllAvailable()
+          (1 to 3).foreach { i => writeChunk(i); q.processAllAvailable() }
+          writeSentinel(); q.processAllAvailable()
+        } finally q.stop()
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+        ev.unpersist()
+      }
+      spark.read
+        .schema("a_user LONG, a_type STRING, b_id LONG")
+        .option("recursiveFileLookup", "true")
+        .parquet(s"$run/out")
+        // drop sentinel rows on whichever side they surfaced
+        .filter(($"a_user".isNull || $"a_user" >= 0) &&
+          ($"b_id".isNull || $"b_id" >= 0))
+        .groupBy(coalesce($"a_type", lit("(b-unmatched)")).as("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          count($"a_user").as("n_a"),
+          count($"b_id").as("n_b"),
+          (count(lit(1)) - count($"b_id")).as("n_unmatched_a"),
+          coalesce(sum($"b_id"), lit(0L)).cast("long").as("b_checksum"))
+        .orderBy($"grp")
+    },
   )
 }

@@ -120,6 +120,27 @@ object EventStreams {
       "left_outer")
   }
 
+  /** T8 full-outer: BOTH sides' unmatched rows survive — the last join
+    * mode of the stream-stream family (left-outer's construction
+    * generalizes: null emission on either side is that side's
+    * state-eviction event). An unmatched a-row (no successor within
+    * 10 min) emits null-b once the watermark passes a_ts + band; an
+    * unmatched b-row (no predecessor) emits null-a once the watermark
+    * passes b_ts — each exactly once, never retracted, state bounded
+    * by band + watermark delay on both sides.
+    */
+  def fullOuterSelfJoinWithin10Min(events: DataFrame): DataFrame = {
+    val a = events.select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+      col("event_type").as("a_type")).withWatermark("a_ts", "20 minutes")
+    val b = events.select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+      col("event_id").as("b_id")).withWatermark("b_ts", "20 minutes")
+    a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"),
+      "full_outer")
+  }
+
   /** Per-user running profile state for T6. */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserProfile(user_id: Long, n_events: Long, total_value: Double)
