@@ -251,9 +251,15 @@ object EventQueries {
         .option("maxFilesPerTrigger", "1")
         .json(s"$run/in/*")
         .select($"user_id", timestamp_micros($"ts_us").as("ts"))
-      // transformWithState requires the RocksDB state store provider
+      // transformWithState requires the RocksDB state store provider;
+      // 4 stream-scoped shuffle partitions (q159's commit-cost note —
+      // per-trigger cost here is RocksDB commit + WAL per PARTITION,
+      // and the default 32 paid 32 store commits x 4 triggers for
+      // batch-scale data)
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val savedParts157 = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val out = graft.streaming.EventStreams.sessionSummaryTws(spark, stream)
         val q = out.writeStream
@@ -271,6 +277,7 @@ object EventQueries {
         } finally q.stop()
       } finally {
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.set("spark.sql.shuffle.partitions", savedParts157)
         ev.unpersist()
       }
       // final per-user state: the row from the LAST batch that emitted
@@ -341,9 +348,11 @@ object EventQueries {
     // ---- q159: STREAMING stream-stream interval self-join (T8,
     // EventStreams.selfJoinWithin10Min) gated against the q14 batch
     // semantics — T8's first driver-visible gate (previously spec-only).
-    // The events table replays as a real file-source stream in four
+    // The events table replays as a real file-source stream in two
     // TIME-ORDERED chunks (equal ts slices, order-preserving and
-    // distributed to compute — no global window). Time order is what
+    // distributed to compute — no global window; r12 trimmed 4 -> 2:
+    // cross-trigger state handoff still happens at the boundary and
+    // per-trigger commit machinery halves). Time order is what
     // makes the gate exact: chunk k+1's earliest event is >= chunk k's
     // latest, so (a) no input ever arrives below the 20-min watermark
     // (never dropped), and (b) a row is evicted from join state only
@@ -386,8 +395,8 @@ object EventQueries {
           $"event_type")
       val b = ev0.agg(min($"ts_us"), max($"ts_us")).head()
       val (lo, hi) = (b.getLong(0), b.getLong(1))
-      val ev = ev0.withColumn("chunk", least(lit(3),
-        floor(($"ts_us" - lit(lo)) * lit(4L) / lit(hi - lo + 1)).cast("int")))
+      val ev = ev0.withColumn("chunk", least(lit(1),
+        floor(($"ts_us" - lit(lo)) * lit(2L) / lit(hi - lo + 1)).cast("int")))
         .cache()
       def writeChunk(i: Int): Unit = ev.filter($"chunk" === i).drop("chunk")
         .coalesce(1).write.json(s"$run/in/chunk_$i")
@@ -405,7 +414,7 @@ object EventQueries {
       // pinned by the fresh checkpoint at start, so the conf is scoped
       // to this query like q157's state-store provider conf.
       val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val joined = graft.streaming.EventStreams.selfJoinWithin10Min(stream)
         val q = joined.writeStream
@@ -419,7 +428,7 @@ object EventQueries {
           .start()
         try {
           q.processAllAvailable()
-          (1 to 3).foreach { i => writeChunk(i); q.processAllAvailable() }
+          (1 to 1).foreach { i => writeChunk(i); q.processAllAvailable() }
         } finally q.stop()
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions", savedParts)
@@ -503,7 +512,7 @@ object EventQueries {
     // only once the watermark proves no partner can arrive (r10
     // verdict item 7; the early-emission failure mode would show up
     // here as n_unmatched drift or duplicate a-rows, both hash-fatal).
-    // Same time-ordered 4-chunk replay as q159, PLUS a fifth SENTINEL
+    // Same time-ordered 2-chunk replay as q159, PLUS a SENTINEL
     // chunk 40 min past the real timeline: null emission is state
     // EVICTION, which only happens when the watermark passes a_ts +
     // 10 min — without the sentinel, every unmatched row within the
@@ -546,8 +555,8 @@ object EventQueries {
           $"event_type")
       val b = ev0.agg(min($"ts_us"), max($"ts_us")).head()
       val (lo, hi) = (b.getLong(0), b.getLong(1))
-      val ev = ev0.withColumn("chunk", least(lit(3),
-        floor(($"ts_us" - lit(lo)) * lit(4L) / lit(hi - lo + 1)).cast("int")))
+      val ev = ev0.withColumn("chunk", least(lit(1),
+        floor(($"ts_us" - lit(lo)) * lit(2L) / lit(hi - lo + 1)).cast("int")))
         .cache()
       def writeChunk(i: Int): Unit = ev.filter($"chunk" === i).drop("chunk")
         .coalesce(1).write.json(s"$run/in/chunk_$i")
@@ -565,7 +574,7 @@ object EventQueries {
           $"event_type")
       // 8 stream-scoped shuffle partitions: q159's commit-cost note
       val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val joined = graft.streaming.EventStreams.leftOuterSelfJoinWithin10Min(stream)
         val q = joined.writeStream
@@ -583,7 +592,7 @@ object EventQueries {
           .start()
         try {
           q.processAllAvailable()
-          (1 to 3).foreach { i => writeChunk(i); q.processAllAvailable() }
+          (1 to 1).foreach { i => writeChunk(i); q.processAllAvailable() }
           writeSentinel(); q.processAllAvailable()
         } finally q.stop()
       } finally {
@@ -608,8 +617,10 @@ object EventQueries {
     // gate for the variant q157 deliberately does NOT run: state per
     // user bounded by the live horizon (watermark delay + gap), closed
     // sessions emitted exactly once in Append mode via event-time
-    // TIMERS, never retracted. Replay is q159's time-ordered 4-chunk
-    // construction (within-chunk arrival is still arbitrary — that is
+    // TIMERS, never retracted. Replay keeps the FULL time-ordered
+    // 4-chunk construction (unlike the trimmed stream-stream gates —
+    // mid-stream closure across several watermark steps is this gate's
+    // point; within-chunk arrival is still arbitrary — that is
     // the out-of-order surface a bounded-state operator must absorb;
     // chunk contiguity keeps every row above the 10-min watermark so
     // the comparison is exact). A far-future SENTINEL chunk (user -1,
@@ -681,7 +692,7 @@ object EventQueries {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val closed = graft.streaming.EventStreams.closedSessionsTws(spark, stream)
         val q = closed.writeStream
@@ -767,8 +778,8 @@ object EventQueries {
           $"event_type")
       val b = ev0.agg(min($"ts_us"), max($"ts_us")).head()
       val (lo, hi) = (b.getLong(0), b.getLong(1))
-      val ev = ev0.withColumn("chunk", least(lit(3),
-        floor(($"ts_us" - lit(lo)) * lit(4L) / lit(hi - lo + 1)).cast("int")))
+      val ev = ev0.withColumn("chunk", least(lit(1),
+        floor(($"ts_us" - lit(lo)) * lit(2L) / lit(hi - lo + 1)).cast("int")))
         .cache()
       def writeChunk(i: Int): Unit = ev.filter($"chunk" === i).drop("chunk")
         .coalesce(1).write.json(s"$run/in/chunk_$i")
@@ -785,7 +796,7 @@ object EventQueries {
         .select($"event_id", $"user_id", timestamp_micros($"ts_us").as("ts"),
           $"event_type")
       val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val joined = graft.streaming.EventStreams.fullOuterSelfJoinWithin10Min(stream)
         val q = joined.writeStream
@@ -799,7 +810,7 @@ object EventQueries {
           .start()
         try {
           q.processAllAvailable()
-          (1 to 3).foreach { i => writeChunk(i); q.processAllAvailable() }
+          (1 to 1).foreach { i => writeChunk(i); q.processAllAvailable() }
           writeSentinel(); q.processAllAvailable()
         } finally q.stop()
       } finally {
